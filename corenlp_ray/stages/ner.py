@@ -1,0 +1,250 @@
+"""NER stage: entity typing + numeric/date normalization + mention chunking.
+
+Reference shape: NERCombinerAnnotator runs CRF models in fallback
+combination, then rule-based numeric classifiers, SUTime, gazetteer
+(TokensRegexNER) overlays, and EntityMentionsAnnotator BIO→span chunking
+(/root/reference/src/edu/stanford/nlp/pipeline/NERCombinerAnnotator.java:34,
+ie/NERClassifierCombiner.java:28, pipeline/EntityMentionsAnnotator.java:35,
+pipeline/LabeledChunkIdentifier.java:31). Numeric/date normalization mirrors
+QuantifiableEntityNormalizer/SUTime semantics at reduced scope
+(ie/QuantifiableEntityNormalizer.java, time/SUTime.java), resolving
+relative-free dates against the page's ``warc_ts`` docdate (the DocDate
+analogue, pipeline/DocDateAnnotator.java:22).
+
+This engine types entities with deterministic gazetteer + shape + context
+rules over the POS column (the model-swap point is the actor class, same as
+POS). Types: PERSON ORGANIZATION LOCATION MISC DATE NUMBER MONEY PERCENT
+ORDINAL DURATION, O.
+
+Adds columns:
+  tok_ner   list<string>   per-token type ("O" default)
+  men_begin list<int32>    mention start (doc-level token idx)
+  men_end   list<int32>    mention end (exclusive)
+  men_sent  list<int32>    sentence index of mention
+  men_ner   list<string>   mention type
+  men_norm  list<string>   normalized value (dates ISO, numbers numeric)
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+from corenlp_ray.functions.lexicon import (
+    FEMALE_NAMES, GAZETTEER, LOCATIONS, MALE_NAMES, MONTHS, NUMBER_WORDS,
+    ORDINAL_WORDS, ORG_SUFFIXES, PERSON_TITLES,
+)
+
+_NUM_RE = re.compile(r"^[+-]?\d+(?:,\d{3})*(?:\.\d+)?$|^\.\d+$")
+_YEAR_RE = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
+_ORDNUM_RE = re.compile(r"^(\d+)(?:st|nd|rd|th)$")
+
+
+def _num_value(w: str) -> Optional[float]:
+    if _NUM_RE.match(w):
+        return float(w.replace(",", ""))
+    return NUMBER_WORDS.get(w.lower())
+
+
+def _type_nnp_run(words: List[str], lowers: List[str], b: int, e: int,
+                  prev_word: str) -> str:
+    """Type a maximal NNP run [b, e) (the CRF-combiner analogue)."""
+    span_lower = " ".join(lowers[b:e])
+    if span_lower in LOCATIONS:
+        return "LOCATION"
+    if lowers[e - 1] in ORG_SUFFIXES or (e - b >= 2 and lowers[e - 2] in ORG_SUFFIXES):
+        return "ORGANIZATION"
+    if lowers[b] in MALE_NAMES or lowers[b] in FEMALE_NAMES:
+        return "PERSON"
+    if prev_word in PERSON_TITLES:
+        return "PERSON"
+    if any(lw in LOCATIONS for lw in lowers[b:e]) and e - b <= 2:
+        return "LOCATION"
+    if prev_word in ("in", "at", "near", "to", "from") and e - b == 1:
+        return "LOCATION"
+    if e - b == 2 and words[b][:1].isupper() and words[b + 1][:1].isupper():
+        # FirstName LastName shape with an unknown first name: PERSON if the
+        # surname looks personal (no org suffix), else ORGANIZATION
+        return "PERSON"
+    return "ORGANIZATION"
+
+
+def ner_sentence(words: List[str], tags: List[str],
+                 docdate: Optional[str] = None) -> Tuple[List[str], List[Tuple[int, int, str, str]]]:
+    """Pure kernel: one sentence → (per-token types, mentions).
+
+    Mentions are (begin, end, type, normalized) with sentence-local token
+    indices.
+    """
+    n = len(words)
+    lowers = [w.lower() for w in words]
+    types = ["O"] * n
+    mentions: List[Tuple[int, int, str, str]] = []
+    i = 0
+    while i < n:
+        w, lw, t = words[i], lowers[i], tags[i]
+        # ---- money: $ CD ----
+        if w in ("$", "US$", "C$", "€", "£", "¥") and i + 1 < n and _num_value(words[i + 1]) is not None:
+            v = _num_value(words[i + 1])
+            j = i + 2
+            mult = 1.0
+            if j < n and lowers[j] in ("million", "billion", "trillion", "thousand"):
+                mult = float(NUMBER_WORDS[lowers[j]])
+                j += 1
+            for k in range(i, j):
+                types[k] = "MONEY"
+            mentions.append((i, j, "MONEY", _fmt_num(v * mult)))
+            i = j
+            continue
+        # ---- percent: CD % ----
+        if _num_value(w) is not None and i + 1 < n and (words[i + 1] == "%" or lowers[i + 1] == "percent"):
+            types[i] = types[i + 1] = "PERCENT"
+            mentions.append((i, i + 2, "PERCENT", _fmt_num(_num_value(w)) + "%"))
+            i += 2
+            continue
+        # ---- dates: Month (D)(, Y) | Y | D Month Y ----
+        if lw in MONTHS and t == "NNP":
+            j = i + 1
+            day = year = None
+            if j < n and _NUM_RE.match(words[j]) and 1 <= float(words[j]) <= 31 and not _YEAR_RE.match(words[j]):
+                day = int(float(words[j]))
+                j += 1
+            if j < n and words[j] == ",":
+                j += 1
+            if j < n and _YEAR_RE.match(words[j]):
+                year = int(words[j])
+                j += 1
+            norm = _fmt_date(year, MONTHS[lw], day, docdate)
+            for k in range(i, j):
+                types[k] = "DATE"
+            mentions.append((i, j, "DATE", norm))
+            i = j
+            continue
+        if _YEAR_RE.match(w):
+            types[i] = "DATE"
+            mentions.append((i, i + 1, "DATE", w))
+            i += 1
+            continue
+        if lw in ("yesterday", "today", "tomorrow"):
+            types[i] = "DATE"
+            mentions.append((i, i + 1, "DATE", lw.upper()))
+            i += 1
+            continue
+        # ---- ordinals ----
+        m = _ORDNUM_RE.match(lw)
+        if m:
+            types[i] = "ORDINAL"
+            mentions.append((i, i + 1, "ORDINAL", m.group(1)))
+            i += 1
+            continue
+        if lw in ORDINAL_WORDS and t == "JJ":
+            types[i] = "ORDINAL"
+            mentions.append((i, i + 1, "ORDINAL", str(ORDINAL_WORDS[lw])))
+            i += 1
+            continue
+        # ---- plain numbers ----
+        if _num_value(w) is not None and t == "CD":
+            j = i + 1
+            v = _num_value(w)
+            while j < n and lowers[j] in ("hundred", "thousand", "million",
+                                          "billion", "trillion"):
+                v *= NUMBER_WORDS[lowers[j]]
+                j += 1
+            for k in range(i, j):
+                types[k] = "NUMBER"
+            mentions.append((i, j, "NUMBER", _fmt_num(v)))
+            i = j
+            continue
+        # ---- proper-noun runs ----
+        if t in ("NNP", "NNPS") and lw not in MONTHS:
+            # a leading title ("Dr.", "Sen.") stays outside the mention span
+            if lw in PERSON_TITLES and i + 1 < n and tags[i + 1] in ("NNP", "NNPS"):
+                i += 1
+                w, lw, t = words[i], lowers[i], tags[i]
+            j = i
+            while j < n and tags[j] in ("NNP", "NNPS") and lowers[j] not in MONTHS:
+                j += 1
+            prev_word = lowers[i - 1] if i > 0 else ""
+            etype = _type_nnp_run(words, lowers, i, j, prev_word)
+            for k in range(i, j):
+                types[k] = etype
+            mentions.append((i, j, etype, " ".join(words[i:j])))
+            i = j
+            continue
+        # ---- gazetteer overlay (TokensRegexNER semantics: only writes O) ----
+        g = GAZETTEER.get(lw)
+        if g and types[i] == "O":
+            types[i] = g
+            mentions.append((i, i + 1, g, words[i]))
+            i += 1
+            continue
+        i += 1
+    return types, mentions
+
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if v == int(v) else str(v)
+
+
+def _fmt_date(year, month, day, docdate: Optional[str]) -> str:
+    """TIMEX3-style value: YYYY-MM-DD with X padding for unknowns; an
+    absent year resolves against the docdate year (SUTime semantics)."""
+    if year is None and docdate:
+        year = int(docdate[:4])
+    y = f"{year:04d}" if year else "XXXX"
+    m = f"{month:02d}" if month else "XX"
+    if day:
+        return f"{y}-{m}-{day:02d}"
+    return f"{y}-{m}"
+
+
+class NerTagger:
+    """Actor-pool map_batches stage: + tok_ner, men_* columns.
+
+    Gazetteers/dictionaries bind once per actor (the CRF-weights slot)."""
+
+    def __init__(self):
+        self.gazetteer = GAZETTEER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ner_c, mb_c, me_c, ms_c, mn_c, mv_c = ([] for _ in range(6))
+        has_ts = "warc_ts" in batch.column_names
+        ts_col = batch.column("warc_ts").to_pylist() if has_ts else None
+        words_col = batch.column("tok_word").to_pylist()
+        tags_col = batch.column("tok_pos").to_pylist()
+        sb_col = batch.column("sent_begin").to_pylist()
+        se_col = batch.column("sent_end").to_pylist()
+        for r in range(batch.num_rows):
+            words, tags = words_col[r], tags_col[r]
+            docdate = None
+            if ts_col is not None and ts_col[r] is not None:
+                docdate = str(ts_col[r])[:10]
+            types: List[str] = ["O"] * len(words)
+            mb, me, ms, mn, mv = [], [], [], [], []
+            for si, (b, e) in enumerate(zip(sb_col[r], se_col[r])):
+                stypes, smentions = ner_sentence(words[b:e], tags[b:e], docdate)
+                types[b:e] = stypes
+                for (lb, le, ty, norm) in smentions:
+                    mb.append(b + lb)
+                    me.append(b + le)
+                    ms.append(si)
+                    mn.append(ty)
+                    mv.append(norm)
+            ner_c.append(types)
+            mb_c.append(mb); me_c.append(me); ms_c.append(ms)
+            mn_c.append(mn); mv_c.append(mv)
+        i32 = pa.list_(pa.int32())
+        s = pa.list_(pa.string())
+        return (batch
+                .append_column("tok_ner", pa.array(ner_c, type=s))
+                .append_column("men_begin", pa.array(mb_c, type=i32))
+                .append_column("men_end", pa.array(me_c, type=i32))
+                .append_column("men_sent", pa.array(ms_c, type=i32))
+                .append_column("men_ner", pa.array(mn_c, type=s))
+                .append_column("men_norm", pa.array(mv_c, type=s)))
+
+
+def ner_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant for small/test pipelines."""
+    return NerTagger()(batch)

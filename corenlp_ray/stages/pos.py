@@ -1,0 +1,163 @@
+"""POS tagging stage (the MaxentTagger analogue).
+
+The reference tags with a maximum-entropy cyclic-dependency-network model
+(/root/reference/src/edu/stanford/nlp/tagger/maxent/MaxentTagger.java:231,
+inference in tagger/maxent/TestSentence.java:325-341). With no network and
+no shipped model weights, this engine uses a deterministic
+lexicon + shape/suffix + contextual-rule tagger (a compact Brill-style
+cascade) over the PTB tagset. The stage SHAPE is the important parity: a
+stateful actor-pool ``map_batches`` class whose model resources load once
+per actor in ``__init__`` — swap in trained weights without touching the
+pipeline.
+
+Adds column: tok_pos list<string>.
+"""
+from __future__ import annotations
+
+import re
+from typing import List
+
+import pyarrow as pa
+
+from corenlp_ray.functions.lexicon import (
+    IRREGULAR_VERB_LEMMA, POS_LEXICON, S_SINGULAR, MONTHS, NUMBER_WORDS,
+    ORDINAL_WORDS,
+)
+
+_NUM_RE = re.compile(r"^[+-]?\d+(?:,\d{3})*(?:\.\d+)?$|^\.\d+$")
+_ORDNUM_RE = re.compile(r"^\d+(?:st|nd|rd|th)$")
+_PUNCT_TAGS = {
+    ".": ".", "!": ".", "?": ".", "...": ":", ",": ",", ":": ":", ";": ":",
+    "--": ":", "(": "-LRB-", ")": "-RRB-", "[": "-LRB-", "]": "-RRB-",
+    "{": "-LRB-", "}": "-RRB-", "$": "$", "#": "#", "``": "``", "''": "''",
+    '"': "``", "'": "''", "%": "NN", "&": "CC", "/": ":", "。": ".",
+}
+_VERBAL = {"VB", "VBP", "VBZ", "VBD", "VBN", "VBG"}
+
+
+def _base_tag(word: str, lower: str, sent_initial: bool) -> str:
+    if word in _PUNCT_TAGS:
+        return _PUNCT_TAGS[word]
+    if _NUM_RE.match(word):
+        return "CD"
+    if _ORDNUM_RE.match(lower):
+        return "JJ"
+    if lower in NUMBER_WORDS:
+        return "CD"
+    if lower in ORDINAL_WORDS:
+        return "JJ"
+    if lower in MONTHS:
+        return "NNP"
+    in_lex = POS_LEXICON.get(lower)
+    cap = word[:1].isupper()
+    if cap and not sent_initial:
+        # mid-sentence capitalization beats the lexicon → proper noun
+        return "NNP"
+    if in_lex:
+        return in_lex
+    if cap:
+        return "NNP"
+    # suffix heuristics (the tagger's unknown-word model)
+    if lower.endswith("ly"):
+        return "RB"
+    if lower.endswith("ing") and len(lower) > 4:
+        return "VBG"
+    if lower.endswith("ed") and len(lower) > 3:
+        return "VBD"
+    if lower.endswith(("tion", "sion", "ment", "ness", "ity", "ance",
+                       "ence", "ship", "hood", "ism", "ist", "ure", "age")):
+        return "NN"
+    if lower.endswith(("ous", "ful", "ive", "able", "ible", "ish", "less",
+                       "ic", "ical", "ary", "ian")):
+        return "JJ"
+    if lower.endswith("est") and len(lower) > 4:
+        return "JJS"
+    if lower in IRREGULAR_VERB_LEMMA:
+        return "VBD"
+    if lower.endswith("s") and not lower.endswith("ss") and len(lower) > 3 \
+            and lower not in S_SINGULAR:
+        return "NNS"
+    if not any(c.isalpha() for c in word):
+        return "SYM"
+    return "NN"
+
+
+def tag_sentence(words: List[str]) -> List[str]:
+    """Pure kernel: one sentence's words → PTB tags (deterministic)."""
+    n = len(words)
+    lowers = [w.lower() for w in words]
+    tags = []
+    for i, (w, lw) in enumerate(zip(words, lowers)):
+        # "sentence initial" for capitalization purposes: first alphabetic
+        # token, or token after an open quote/bracket at position 0/1
+        sent_initial = i == 0 or (i == 1 and words[0] in ('"', "``", "(", "'"))
+        tags.append(_base_tag(w, lw, sent_initial))
+    # contextual repair rules (ordered, Brill-style)
+    for i in range(n):
+        lw, t = lowers[i], tags[i]
+        prev_t = tags[i - 1] if i > 0 else "<S>"
+        prev_w = lowers[i - 1] if i > 0 else ""
+        # TO/MD + verb-capable word → base verb
+        if prev_t in ("TO", "MD") and t in ("NN", "NNS", "VBP", "VBZ", "VBD"):
+            base = POS_LEXICON.get(lw)
+            if base in _VERBAL or lw in ("work", "study", "live", "visit"):
+                tags[i] = "VB"
+        # plural/pronoun subject + base verb → present plural ("rabbits eat")
+        elif prev_t in ("NNS", "PRP") and t == "VB":
+            tags[i] = "VBP"
+        # DT/PRP$/JJ + verb tag → noun (e.g. "the work", "his study")
+        elif prev_t in ("DT", "PRP$", "JJ") and t in ("VB", "VBP"):
+            tags[i] = "NN"
+        elif prev_t in ("DT", "PRP$", "JJ") and t == "VBZ":
+            tags[i] = "NNS" if not lw.endswith("ss") else "NN"
+        # PRP + NN with verb reading → VBP ("they work")
+        elif prev_t == "PRP" and t == "NN" and POS_LEXICON.get(lw) in _VERBAL:
+            tags[i] = "VBP"
+        # "to" disambiguation: TO before verb/num stays TO, else IN
+        if lw == "to" and i + 1 < n:
+            nxt = tags[i + 1]
+            if nxt not in ("VB", "CD", "DT", "NNP"):
+                pass  # keep TO (PTB tags infinitival and prepositional 'to' TO)
+        # possessive clitic 's after noun → POS
+        if lw == "'s" and prev_t in ("NN", "NNS", "NNP", "NNPS"):
+            tags[i] = "POS"
+        # 's as copula after pronoun ("he's") stays VBZ
+        elif lw == "'s" and prev_t == "PRP":
+            tags[i] = "VBZ"
+        # past participle after be/have → VBN ("was born", "has acquired")
+        if t == "VBD" and prev_w in ("was", "were", "is", "are", "be",
+                                     "been", "has", "have", "had", "am"):
+            tags[i] = "VBN"
+    return tags
+
+
+class PosTagger:
+    """Actor-pool map_batches stage: + tok_pos.
+
+    Use: ds.map_batches(PosTagger, batch_format="pyarrow",
+                        concurrency=N, batch_size=B)
+    Model resources bind once per actor in __init__ (the actor-pool stage
+    pattern for all model stages; cf. SURVEY §7.3).
+    """
+
+    def __init__(self):
+        self.lexicon = POS_LEXICON  # binding point for trained weights
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        words_col = batch.column("tok_word").to_pylist()
+        sb_col = batch.column("sent_begin").to_pylist()
+        se_col = batch.column("sent_end").to_pylist()
+        for words, sbs, ses in zip(words_col, sb_col, se_col):
+            tags: List[str] = [""] * len(words)
+            for b, e in zip(sbs, ses):
+                for k, t in enumerate(tag_sentence(words[b:e])):
+                    tags[b + k] = t
+            out.append(tags)
+        return batch.append_column(
+            "tok_pos", pa.array(out, type=pa.list_(pa.string())))
+
+
+def pos_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant (same kernel) for small/test pipelines."""
+    return PosTagger()(batch)
