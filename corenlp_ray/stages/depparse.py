@@ -1,0 +1,337 @@
+"""Dependency parsing stage (the nndep DependencyParser analogue).
+
+The reference uses the Chen & Manning 2014 transition-based neural parser
+(/root/reference/src/edu/stanford/nlp/parser/nndep/DependencyParser.java:74,
+ArcStandard.java, Classifier.java) and derives enhanced graphs via
+UniversalEnglishGrammaticalStructure. With no shipped weights, this engine
+parses with a deterministic rule cascade producing Universal-Dependencies-
+style basic trees — implementing exactly the structures the downstream
+OpenIE/KBP pattern libraries consume (SURVEY §7.2 milestone 4: "subset
+actually consumed by the triple patterns"): noun-phrase internal structure
+(det/amod/compound/nummod/nmod:poss), verb groups (aux/aux:pass/cop),
+core arguments (nsubj/nsubj:pass/obj), obliques and noun modifiers with
+case (obl/nmod + case), coordination (conj/cc), infinitival xcomp + mark,
+advmod, punct.
+
+Head encoding: per-token head index, sentence-local, -1 = root (the same
+CoNLL-ish encoding the reference's own unit tests use for dep graphs,
+test/src/edu/stanford/nlp/naturalli/OpenIETest.java:37-77). The batch
+stage stores doc-level arrays: head indices are doc-level token indices,
+-1 for root.
+
+Adds columns: dep_head list<int32>, dep_label list<string>.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyarrow as pa
+
+_NOUNISH = {"NN", "NNS", "NNP", "NNPS", "PRP", "CD", "EX", "WP", "DT"}
+_NP_HEAD = {"NN", "NNS", "NNP", "NNPS", "PRP", "WP"}
+_VERB = {"VB", "VBP", "VBZ", "VBD", "VBN", "VBG"}
+_BE = {"be", "am", "is", "are", "was", "were", "been", "being", "'s", "'re", "'m"}
+_HAVE = {"have", "has", "had", "'ve"}
+_PUNCT = {".", ",", ":", "``", "''", "-LRB-", "-RRB-", "HYPH", "SYM", "$", "#"}
+
+
+def _noun_chunks(words: List[str], tags: List[str]) -> List[Tuple[int, int, int]]:
+    """Maximal base noun phrases → [(begin, end, head_idx)]. Head = last
+    nominal token. A POS ('s) token ends a chunk (possessor NP)."""
+    chunks = []
+    n = len(tags)
+    i = 0
+    while i < n:
+        t = tags[i]
+        if t in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD") and i + 1 < n and (
+                tags[i + 1] in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD")
+                or tags[i + 1] in _NP_HEAD):
+            b = i
+            j = i
+            while j < n and tags[j] in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD"):
+                j += 1
+            if j < n and tags[j] in _NP_HEAD:
+                while j < n and tags[j] in _NP_HEAD and tags[j] != "PRP":
+                    j += 1
+                if j < n and tags[j] == "PRP" and j == b:
+                    j += 1
+                chunks.append((b, j, j - 1))
+                i = j
+                continue
+            # determiner chunk with no head noun ("some" alone) — head = last
+            chunks.append((b, j, j - 1))
+            i = j
+        elif t in _NP_HEAD:
+            b = i
+            j = i
+            while j < n and tags[j] in _NP_HEAD and tags[j] != "PRP":
+                j += 1
+            if j == b and tags[b] == "PRP":
+                j = b + 1
+            chunks.append((b, j, j - 1))
+            i = j
+        elif t == "CD":
+            # standalone number/year is an NP of its own ("in 2004")
+            chunks.append((i, i + 1, i))
+            i += 1
+        else:
+            i += 1
+    return chunks
+
+
+def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[str]]:
+    """Pure kernel: one sentence → (heads, labels), sentence-local, -1=root."""
+    n = len(words)
+    heads = [-2] * n  # -2 = unattached
+    labels = [""] * n
+    lowers = [w.lower() for w in words]
+
+    def attach(child, head, label):
+        if heads[child] == -2 and child != head:
+            heads[child] = head
+            labels[child] = label
+
+    # ---- noun-phrase internal structure ----
+    chunks = _noun_chunks(words, tags)
+    chunk_head = {}
+    for b, e, h in chunks:
+        for k in range(b, e):
+            chunk_head[k] = h
+        for k in range(b, e):
+            if k == h:
+                continue
+            t = tags[k]
+            if t == "DT":
+                attach(k, h, "det")
+            elif t == "PRP$":
+                attach(k, h, "nmod:poss")
+            elif t in ("JJ", "JJR", "JJS"):
+                attach(k, h, "amod")
+            elif t == "CD":
+                attach(k, h, "nummod")
+            else:
+                attach(k, h, "compound")
+
+    heads_of_chunks = [h for _, _, h in chunks]
+
+    # ---- possessives: NP 's NP → possessor nmod:poss of possessed ----
+    for ci in range(len(chunks) - 1):
+        b, e, h = chunks[ci]
+        if e < n and tags[e] == "POS":
+            nb, ne, nh = chunks[ci + 1]
+            if nb == e + 1:
+                attach(h, nh, "nmod:poss")
+                attach(e, h, "case")
+
+    # ---- verb group / root selection ----
+    verb_idx = [i for i in range(n) if tags[i] in _VERB or tags[i] == "MD"]
+    root = -1
+    copula_pred = -1
+    main_verbs: List[int] = []
+    i = 0
+    processed = set()
+    for i in verb_idx:
+        if i in processed:
+            continue
+        # collect the verb chain starting here: MD/aux/be/have + ... + main
+        chain = [i]
+        j = i + 1
+        while j < n and (tags[j] in _VERB or tags[j] == "MD"
+                         or (tags[j] == "RB" and j + 1 < n and (tags[j + 1] in _VERB or tags[j + 1] == "MD"))):
+            if tags[j] == "RB":
+                j += 1
+                continue
+            chain.append(j)
+            j += 1
+        processed.update(chain)
+        main = chain[-1]
+        # copula detection: lone be-verb followed by predicate NP/ADJ
+        if len(chain) == 1 and lowers[main] in _BE:
+            # find predicate: next chunk head or adjective before sentence end
+            pred = -1
+            for k in range(main + 1, n):
+                if k in chunk_head:
+                    pred = chunk_head[k]
+                    break
+                if tags[k] in ("JJ", "VBN") and (k + 1 >= n or tags[k + 1] in _PUNCT or tags[k + 1] == "IN"):
+                    pred = k
+                    break
+                if tags[k] in _VERB:
+                    break
+            if pred >= 0:
+                attach(main, pred, "cop")
+                main_verbs.append(pred)
+                copula_pred = pred
+                continue
+        for c in chain[:-1]:
+            if tags[c] == "MD":
+                attach(c, main, "aux")
+            elif lowers[c] in _BE and tags[main] == "VBN":
+                attach(c, main, "aux:pass")
+            elif lowers[c] in _BE or lowers[c] in _HAVE or lowers[c] in ("do", "does", "did"):
+                attach(c, main, "aux")
+            else:
+                attach(c, main, "aux")
+        main_verbs.append(main)
+
+    if main_verbs:
+        root = main_verbs[0]
+    elif heads_of_chunks:
+        root = heads_of_chunks[0]
+    elif n:
+        root = 0
+    if root >= 0:
+        heads[root] = -1
+        labels[root] = "root"
+
+    # ---- conj between verbs: later main verbs conj of root ----
+    for v in main_verbs[1:]:
+        attach(v, root, "conj")
+
+    # ---- core arguments per main verb ----
+    for vi, v in enumerate(main_verbs):
+        passive = any(heads[k] == v and labels[k] == "aux:pass" for k in range(n))
+        # subject: nearest chunk head before v not already attached to a verb
+        subj = -1
+        for h in reversed(heads_of_chunks):
+            if h < v and (heads[h] == -2 or h == root and v != root):
+                if tags[h] == "DT":
+                    continue
+                subj = h
+                break
+        if subj >= 0 and heads[subj] == -2:
+            attach(subj, v, "nsubj:pass" if passive else "nsubj")
+        elif vi > 0 and subj == -1:
+            # shared subject across conj verbs: copy root's nsubj
+            for k in range(n):
+                if heads[k] == root and labels[k] in ("nsubj", "nsubj:pass"):
+                    subj = k
+                    break
+        # objects / obliques after v, up to next main verb
+        nxt = main_verbs[vi + 1] if vi + 1 < len(main_verbs) else n
+        k = v + 1
+        got_obj = False
+        stop = min(nxt, n)
+        while k < stop:
+            t = tags[k]
+            if t == "IN" or (t == "TO" and not (k + 1 < n and tags[k + 1] == "VB")):
+                # preposition introducing an oblique/nmod
+                ph = -1
+                for b, e, h in chunks:
+                    if b > k:
+                        ph = h
+                        break
+                if ph >= 0 and heads[ph] == -2:
+                    attach(k, ph, "case")
+                    # "of"-PPs are nominal modifiers of the preceding noun;
+                    # all other prepositions are verbal obliques (the subset
+                    # of enhanced++ prep semantics the triple patterns use)
+                    prev_tok = k - 1
+                    if lowers[k] == "of" and prev_tok in chunk_head \
+                            and chunk_head[prev_tok] != ph:
+                        attach(ph, chunk_head[prev_tok], "nmod")
+                    else:
+                        attach(ph, v, "obl")
+                    k = ph + 1
+                    continue
+            elif k in chunk_head and heads[chunk_head[k]] == -2 and not got_obj:
+                h = chunk_head[k]
+                if tags[h] != "DT" or words[h].lower() not in ("the", "a", "an"):
+                    attach(h, v, "obj")
+                    got_obj = True
+                    k = h + 1
+                    continue
+            elif t == "TO" and k + 1 < n and tags[k + 1] == "VB":
+                attach(k, k + 1, "mark")
+                attach(k + 1, v, "xcomp")
+                k += 2
+                continue
+            k += 1
+
+    # ---- conj between nouns: NP (, NP)* CC NP ----
+    for ci in range(len(chunks) - 1):
+        b, e, h = chunks[ci]
+        j = e
+        first = h
+        while j < n:
+            if tags[j] == "," and j + 1 in chunk_head:
+                nh = chunk_head[j + 1]
+                attach(j, nh, "punct")
+                attach(nh, first, "conj")
+                j = [c for c in chunks if c[2] == nh][0][1]
+            elif tags[j] == "CC" and j + 1 in chunk_head:
+                nh = chunk_head[j + 1]
+                attach(j, nh, "cc")
+                attach(nh, first, "conj")
+                break
+            else:
+                break
+
+    # ---- leftovers ----
+    for k in range(n):
+        if heads[k] != -2:
+            continue
+        t = tags[k]
+        if t in _PUNCT or words[k] in _PUNCT:
+            attach(k, root if root >= 0 else 0, "punct")
+        elif t == "RB":
+            # nearest verb to the left, else right, else root
+            tgt = -1
+            for d in range(1, n):
+                if k - d >= 0 and tags[k - d] in _VERB:
+                    tgt = k - d
+                    break
+                if k + d < n and tags[k + d] in _VERB:
+                    tgt = k + d
+                    break
+            attach(k, tgt if tgt >= 0 else root, "advmod")
+        elif t == "IN":
+            # stranded preposition: case of the following chunk head or mark
+            tgt = chunk_head.get(k + 1, root)
+            attach(k, tgt if tgt is not None else root, "case")
+        elif root >= 0 and k != root:
+            attach(k, root, "dep")
+        else:
+            heads[k] = -1
+            labels[k] = "root"
+
+    # safety: no self-loops / out-of-range
+    for k in range(n):
+        if heads[k] == k or heads[k] is None or heads[k] < -1 or heads[k] >= n:
+            heads[k] = root if (root >= 0 and k != root) else -1
+            labels[k] = labels[k] or "dep"
+    return heads, labels
+
+
+class DepParser:
+    """Actor-pool map_batches stage: + dep_head, dep_label (doc-level
+    indices, -1 = root). The weights slot is ``__init__`` (swap in a
+    trained scorer without touching the pipeline)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heads_c, labels_c = [], []
+        words_col = batch.column("tok_word").to_pylist()
+        tags_col = batch.column("tok_pos").to_pylist()
+        sb_col = batch.column("sent_begin").to_pylist()
+        se_col = batch.column("sent_end").to_pylist()
+        for words, tags, sbs, ses in zip(words_col, tags_col, sb_col, se_col):
+            heads = [-1] * len(words)
+            labels = ["dep"] * len(words)
+            for b, e in zip(sbs, ses):
+                hs, ls = parse_sentence(words[b:e], tags[b:e])
+                for k, (h, l) in enumerate(zip(hs, ls)):
+                    heads[b + k] = (b + h) if h >= 0 else -1
+                    labels[b + k] = l
+            heads_c.append(heads)
+            labels_c.append(labels)
+        return (batch
+                .append_column("dep_head", pa.array(heads_c, type=pa.list_(pa.int32())))
+                .append_column("dep_label", pa.array(labels_c, type=pa.list_(pa.string()))))
+
+
+def depparse_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant for small/test pipelines."""
+    return DepParser()(batch)

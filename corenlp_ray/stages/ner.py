@@ -231,6 +231,21 @@ class NerTagger:
                     ms.append(si)
                     mn.append(ty)
                     mv.append(norm)
+            # document-level annotation transfer (the reference's
+            # NERCombinerAnnotator.java:430-472 pass): a later single-token
+            # mention matching a token of an earlier PERSON mention is a
+            # surname reference → retype PERSON
+            person_toks = set()
+            for k in range(len(mb)):
+                if mn[k] == "PERSON":
+                    person_toks.update(
+                        words[t].lower() for t in range(mb[k], me[k]))
+            for k in range(len(mb)):
+                if mn[k] == "ORGANIZATION" and me[k] - mb[k] == 1 \
+                        and words[mb[k]].lower() in person_toks:
+                    mn[k] = "PERSON"
+                    for t in range(mb[k], me[k]):
+                        types[t] = "PERSON"
             ner_c.append(types)
             mb_c.append(mb); me_c.append(me); ms_c.append(ms)
             mn_c.append(mn); mv_c.append(mv)

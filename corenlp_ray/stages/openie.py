@@ -1,0 +1,252 @@
+"""OpenIE relation-triple extraction (the naturalli/OpenIE analogue).
+
+Reference shape: clause splitting + forward entailment + ~10 verbal and
+noun-based semgrex patterns mapping dependency fragments to
+(subject, relation, object) with optional pronoun canonicalization from
+coref (/root/reference/src/edu/stanford/nlp/naturalli/OpenIE.java:65,
+RelationTripleSegmenter.java:39-120, coref canonicalization
+OpenIE.java:393-432). Per-sentence and embarrassingly parallel →
+stateless map_batches; the pattern library is code (SURVEY §2.2 row 16).
+
+Patterns implemented over this engine's UD-style trees:
+  V1 subj–verb–obj            (cats, have, tails)
+  V2 subj–verb–obl(case)      (Smith, born in, Springfield)  [aux included]
+  V3 subj–verb–xcomp chain    (she, wants to buy, a car)
+  C1 copular predicate        (Johnson, is, chief executive officer)
+  C2 copular pred + of-nmod   (Johnson, is chief executive officer of, Initech)
+  N1 possessive               (IBM, has, research group)     [noun pattern]
+  N2 appositive               (Smith, is, the founder)
+
+Subject/object spans expand over det/amod/compound/nummod children;
+leading determiners are dropped (matching the reference's golden triples:
+"some cats have tails" → (cats, have, tails),
+OpenIEITest.java:45-124). Single-pronoun subjects/objects are replaced by
+their coref-chain representative when resolved (``canonicalizeCoref``).
+
+This stage EXPLODES docs → one row per triple:
+  triples(url, sent_idx, subj, pred, obj, subj_canonical, obj_canonical,
+          subj_ner, obj_ner, confidence, source)
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+_VERB = {"VB", "VBP", "VBZ", "VBD", "VBN", "VBG"}
+_MOD_LABELS = {"amod", "compound", "nummod", "flat", "nmod:poss", "case"}
+
+
+TRIPLES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("sent_idx", pa.int32()),
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("subj_canonical", pa.string()),
+    ("obj_canonical", pa.string()),
+    ("subj_ner", pa.string()),
+    ("obj_ner", pa.string()),
+    ("confidence", pa.float64()),
+    ("source", pa.string()),
+])
+
+
+def _children(heads: List[int], labels: List[str]) -> Dict[int, List[Tuple[int, str]]]:
+    ch: Dict[int, List[Tuple[int, str]]] = {}
+    for i, (h, l) in enumerate(zip(heads, labels)):
+        if h >= 0:
+            ch.setdefault(h, []).append((i, l))
+    return ch
+
+
+def _span_tokens(head: int, ch, words: List[str], drop_det: bool = True,
+                 include_of: bool = False) -> List[int]:
+    """Collect head + NP-internal modifiers, return sorted token indices."""
+    keep = [head]
+    stack = [head]
+    while stack:
+        h = stack.pop()
+        for c, l in ch.get(h, ()):
+            if l in _MOD_LABELS and l != "case":
+                keep.append(c)
+                stack.append(c)
+            elif l == "case" and h != head:
+                keep.append(c)
+            elif include_of and l == "nmod":
+                keep.append(c)
+                stack.append(c)
+                for cc, ll in ch.get(c, ()):
+                    if ll == "case":
+                        keep.append(cc)
+    keep.sort()
+    # contiguous window only (avoid swallowing far-away modifiers)
+    lo = min(keep)
+    hi = max(keep)
+    toks = [k for k in range(lo, hi + 1) if k in set(keep)]
+    return toks
+
+
+def _phrase(toks: List[int], words: List[str], tags: List[str],
+            drop_det: bool = True) -> str:
+    if drop_det:
+        while toks and tags[toks[0]] in ("DT", "PRP$"):
+            toks = toks[1:]
+    return " ".join(words[t] for t in toks)
+
+
+def extract_sentence_triples(
+    words: List[str], tags: List[str], lemmas: List[str],
+    heads: List[int], labels: List[str],
+    mentions: List[Tuple[int, int, str]],
+    pron_canon: Optional[Dict[int, str]] = None,
+) -> List[Tuple[str, str, str, str, str, str, str, float]]:
+    """Pure kernel: one sentence (sentence-local indices) →
+    [(subj, pred, obj, subj_canon, obj_canon, subj_ner, obj_ner, conf)]."""
+    pron_canon = pron_canon or {}
+    ch = _children(heads, labels)
+    n = len(words)
+
+    def ner_of(tok: int) -> str:
+        for b, e, t in mentions:
+            if b <= tok < e:
+                return t
+        return "O"
+
+    def canon_of(tok: int, surface: str) -> str:
+        if tok in pron_canon:
+            return pron_canon[tok]
+        for b, e, t in mentions:
+            if b <= tok < e and t in ("PERSON", "ORGANIZATION", "LOCATION"):
+                return " ".join(words[b:e])
+        return surface
+
+    out = []
+
+    def emit(s_tok, pred, o_tok, conf, s_surface=None, o_surface=None):
+        subj = s_surface if s_surface is not None else \
+            _phrase(_span_tokens(s_tok, ch, words), words, tags)
+        obj = o_surface if o_surface is not None else \
+            _phrase(_span_tokens(o_tok, ch, words), words, tags)
+        if not subj or not obj or not pred:
+            return
+        out.append((subj, pred, obj,
+                    canon_of(s_tok, subj), canon_of(o_tok, obj),
+                    ner_of(s_tok), ner_of(o_tok), conf))
+
+    for v in range(n):
+        kids = ch.get(v, ())
+        subj = next((c for c, l in kids if l in ("nsubj", "nsubj:pass")), None)
+        cop = next((c for c, l in kids if l == "cop"), None)
+        if subj is None:
+            continue
+        auxes = sorted(c for c, l in kids if l in ("aux", "aux:pass"))
+        if cop is not None:
+            # C1: copular predicate
+            pred_span = _span_tokens(v, ch, words)
+            emit(subj, lemmas[cop] if lemmas[cop] != "be" else "is", v, 1.0)
+            # C2: pred + of-nmod → relation through the predicate nominal
+            for c, l in kids:
+                if l == "nmod":
+                    case = next((cc for cc, ll in ch.get(c, ()) if ll == "case"), None)
+                    if case is not None and words[case].lower() == "of":
+                        rel = "is " + _phrase(pred_span, words, tags) + " of"
+                        emit(subj, rel, c, 0.95)
+            continue
+        if tags[v] in _VERB:
+            verb_words = [words[a] for a in auxes if words[a].lower() != "do"]
+            # V1: direct object
+            for c, l in kids:
+                if l == "obj":
+                    rel = " ".join(verb_words + [words[v]])
+                    emit(subj, rel, c, 1.0)
+            # V2: obliques with case
+            for c, l in kids:
+                if l == "obl":
+                    case = next((cc for cc, ll in ch.get(c, ()) if ll == "case"), None)
+                    if case is not None:
+                        objkids = [cc for cc, ll in ch.get(v, ()) if ll == "obj"]
+                        vw = verb_words + [words[v]]
+                        if objkids:
+                            # "founded Hooli in 2004" → (subj, founded ... in, 2004)
+                            vw = vw + [_phrase(_span_tokens(objkids[0], ch, words), words, tags)]
+                        rel = " ".join(vw + [words[case]])
+                        emit(subj, rel, c, 0.9)
+            # V3: xcomp chain (want to buy X)
+            for c, l in kids:
+                if l == "xcomp":
+                    mark = next((cc for cc, ll in ch.get(c, ()) if ll == "mark"), None)
+                    for cc, ll in ch.get(c, ()):
+                        if ll == "obj":
+                            rel_toks = [words[v]] + (["to"] if mark is not None else []) + [words[c]]
+                            emit(subj, " ".join(rel_toks), cc, 0.9)
+
+    # N1: possessive — X's Y → (X, has, Y)
+    for i in range(n):
+        for c, l in ch.get(i, ()):
+            if l == "nmod:poss" and tags[c] in ("NNP", "NNPS", "NN", "NNS"):
+                emit(c, "has", i, 0.9,
+                     s_surface=_phrase(_span_tokens(c, ch, words), words, tags),
+                     o_surface=_phrase(
+                         [t for t in _span_tokens(i, ch, words)
+                          if t != c and labels[t] != "case"],
+                         words, tags))
+
+    # N2: appositive — adjacent mentions "X , the Y"
+    for mi in range(len(mentions) - 1):
+        b1, e1, t1 = mentions[mi]
+        b2, e2, t2 = mentions[mi + 1]
+        if t1 in ("PERSON", "ORGANIZATION", "LOCATION") and e1 < n \
+                and words[e1] == "," and b2 == e1 + 1:
+            emit(b2 - 1, "is", b2, 0.85,
+                 s_surface=" ".join(words[b1:e1]),
+                 o_surface=" ".join(words[b2:e2]))
+
+    # dedup within sentence (HashSet semantics, OpenIE.java:494-495)
+    seen = set()
+    uniq = []
+    for t in out:
+        key = (t[0].lower(), t[1].lower(), t[2].lower())
+        if key not in seen:
+            seen.add(key)
+            uniq.append(t)
+    return uniq
+
+
+def openie_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage: docs → triples rows (source='openie').
+
+    Requires tok_*, dep_*, men_*, pron_* columns. Explodes rows; output
+    schema is TRIPLES_SCHEMA. Stateless, per-sentence parallel."""
+    cols = {name: batch.column(name).to_pylist() for name in (
+        "url", "tok_word", "tok_pos", "tok_lemma", "tok_sent",
+        "sent_begin", "sent_end", "dep_head", "dep_label",
+        "men_begin", "men_end", "men_ner", "pron_idx", "pron_canonical")}
+    rows: List[dict] = []
+    for r in range(batch.num_rows):
+        url = cols["url"][r]
+        words, tags = cols["tok_word"][r], cols["tok_pos"][r]
+        lemmas = cols["tok_lemma"][r]
+        heads, labels = cols["dep_head"][r], cols["dep_label"][r]
+        pron = dict(zip(cols["pron_idx"][r], cols["pron_canonical"][r]))
+        mens = list(zip(cols["men_begin"][r], cols["men_end"][r],
+                        cols["men_ner"][r]))
+        for si, (b, e) in enumerate(zip(cols["sent_begin"][r],
+                                        cols["sent_end"][r])):
+            l_words = words[b:e]
+            l_tags = tags[b:e]
+            l_lemmas = lemmas[b:e]
+            l_heads = [(h - b) if h >= 0 else -1 for h in heads[b:e]]
+            l_labels = labels[b:e]
+            l_mens = [(mb - b, me - b, t) for mb, me, t in mens
+                      if b <= mb and me <= e]
+            l_pron = {k - b: v for k, v in pron.items() if b <= k < e}
+            for (s, p, o, sc, oc, sn, on, conf) in extract_sentence_triples(
+                    l_words, l_tags, l_lemmas, l_heads, l_labels,
+                    l_mens, l_pron):
+                rows.append({"url": url, "sent_idx": si, "subj": s,
+                             "pred": p, "obj": o, "subj_canonical": sc,
+                             "obj_canonical": oc, "subj_ner": sn,
+                             "obj_ner": on, "confidence": conf,
+                             "source": "openie"})
+    return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
