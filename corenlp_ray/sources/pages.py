@@ -57,7 +57,8 @@ TEMPLATES: List[Tuple[str, List[Tuple[str, str, str]]]] = [
     ("{P} works for {O}.", [("P", "per:employee_of", "O")]),
     ("{P} is the chief executive officer of {O}.",
      [("P", "per:title", "chief executive officer"),
-      ("P", "per:employee_of", "O")]),
+      ("P", "per:employee_of", "O"),
+      ("O", "org:top_members_employees", "P")]),
     ("{O} is headquartered in {C}.", [("O", "org:city_of_headquarters", "C")]),
     ("{P} founded {O} in {Y}.",
      [("O", "org:founded_by", "P"), ("O", "org:date_founded", "Y")]),
@@ -118,8 +119,13 @@ def gen_page(doc_id: int, filler: str = "") -> Tuple[str, List[Tuple[str, str, s
             subj = slots.get(s_slot, s_slot)
             obj = slots.get(o_slot, o_slot)
             gold.append((subj, rel, obj))
-    # one OpenIE-only sentence
-    sentences.append(rng.choice(OPENIE_SENTENCES).format(**slots))
+    # one OpenIE-only sentence (the acquisition template also implies KBP
+    # parent/subsidiary relations — keep gold consistent with extraction)
+    oie = rng.choice(OPENIE_SENTENCES)
+    sentences.append(oie.format(**slots))
+    if oie.startswith("{O} acquired"):
+        gold.append((slots["O2"], "org:parents", slots["O"]))
+        gold.append((slots["O"], "org:subsidiaries", slots["O2"]))
     # optional coref follow-up right after a person-subject sentence
     if rng.random() < 0.5:
         he_she = "He" if int(slots["_P_idx"]) % 2 == 0 else "She"
@@ -127,6 +133,10 @@ def gen_page(doc_id: int, filler: str = "") -> Tuple[str, List[Tuple[str, str, s
         follow = follow.replace("He ", he_she + " ").replace("She ", he_she + " ")
         sentences.append("{} visited {} last year. {}".format(
             slots["P"], slots["C"], follow))
+        if "works for" in follow:
+            gold.append((slots["P"], "per:employee_of", slots["O2"]))
+        elif "lives in" in follow:
+            gold.append((slots["P"], "per:cities_of_residence", slots["C"]))
     paras = [" ".join(sentences)]
     if filler:
         paras.append(filler)

@@ -1,0 +1,332 @@
+"""KBP relation extraction (the KBPAnnotator analogue).
+
+Reference shape: for each sentence, all ordered pairs of entity mentions
+type-gated by ``RelationType.plausiblyHasRelation``, run through an
+ensemble of tokensregex/semgrex pattern banks + a statistical extractor,
+with canonical mentions from coref and per-sentence dedup keeping max
+confidence (/root/reference/src/edu/stanford/nlp/pipeline/
+KBPAnnotator.java:36,109-132,402-480,556-654; relation inventory
+ie/KBPRelationExtractor.java:121-170). This engine implements the pattern
+banks as a dependency/lemma rule library (the semgrex-analogue DSL is
+plain predicates over the dep columns); the stage is an actor-pool class
+(pattern banks bind once per actor — the LR-weights slot).
+
+Relations emitted (TAC-KBP inventory subset):
+  per:title per:employee_of per:city_of_birth per:date_of_birth
+  per:city_of_death per:date_of_death per:cities_of_residence per:spouse
+  per:schools_attended org:city_of_headquarters org:founded_by
+  org:date_founded org:parents org:subsidiaries org:top_members_employees
+
+Subjects/objects are canonical-mention surfaces (coref representative),
+dates are normalized TIMEX-style values. Per-sentence dedup keeps the
+max-confidence instance per (subj, rel, obj) — KBPAnnotator.java:631-649
+semantics (the cross-document dedup happens later in the canonicalization
+shuffle, SURVEY §2.4).
+
+Output: triples rows with source='kbp' (same TRIPLES_SCHEMA as openie).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from corenlp_ray.stages.openie import TRIPLES_SCHEMA
+
+_TITLE_NOUNS = {
+    "officer", "ceo", "president", "director", "chairman", "chairwoman",
+    "head", "chief", "founder", "executive", "manager", "secretary",
+    "minister", "professor", "scientist", "engineer", "analyst",
+    "spokesman", "spokeswoman", "editor", "author",
+}
+_SPOUSE_NOUNS = {"wife", "husband", "spouse"}
+
+# sentence-length guard, the reference's kbp.maxlen (KBPAnnotator.java:87)
+KBP_MAXLEN = 100
+
+
+class Mention:
+    __slots__ = ("b", "e", "type", "norm", "canonical")
+
+    def __init__(self, b, e, type_, norm, canonical):
+        self.b, self.e, self.type, self.norm = b, e, type_, norm
+        self.canonical = canonical
+
+
+def kbp_sentence(
+    words: List[str], tags: List[str], lemmas: List[str],
+    heads: List[int], labels: List[str], mentions: List[Mention],
+    pron_canon: Optional[Dict[int, str]] = None,
+) -> List[Tuple[str, str, str, str, str, float]]:
+    """Pure kernel → [(subj, rel, obj, subj_ner, obj_ner, conf)]."""
+    if len(words) > KBP_MAXLEN:
+        return []
+    pron_canon = pron_canon or {}
+    n = len(words)
+    ch: Dict[int, List[Tuple[int, str]]] = {}
+    for i, (h, l) in enumerate(zip(heads, labels)):
+        if h >= 0:
+            ch.setdefault(h, []).append((i, l))
+
+    def men_at(tok: int, types=None) -> Optional[Mention]:
+        for m in mentions:
+            if m.b <= tok < m.e and (types is None or m.type in types):
+                return m
+        return None
+
+    def subj_entity(v: int, types) -> Optional[Tuple[str, str]]:
+        """Resolve nsubj/nsubj:pass of v to a canonical entity of a type in
+        ``types`` (accepting resolved pronouns)."""
+        for c, l in ch.get(v, ()):
+            if l in ("nsubj", "nsubj:pass"):
+                m = men_at(c, types)
+                if m:
+                    return m.canonical, m.type
+                if c in pron_canon and tags[c] in ("PRP",):
+                    # pronoun subject resolved by coref: assume PERSON for
+                    # he/she, ORGANIZATION for it
+                    ty = "PERSON" if words[c].lower() in (
+                        "he", "she", "him", "her") else "ORGANIZATION"
+                    if ty in types:
+                        return pron_canon[c], ty
+        return None
+
+    def obls(v: int, cases) -> List[Mention]:
+        out = []
+        for c, l in ch.get(v, ()):
+            if l == "obl":
+                case = next((cc for cc, ll in ch.get(c, ()) if ll == "case"),
+                            None)
+                if case is not None and words[case].lower() in cases:
+                    m = men_at(c)
+                    if m:
+                        out.append(m)
+        return out
+
+    def objs(v: int) -> List[Mention]:
+        out = []
+        for c, l in ch.get(v, ()):
+            if l == "obj":
+                m = men_at(c)
+                if m:
+                    out.append(m)
+        return out
+
+    rel_out: List[Tuple[str, str, str, str, str, float]] = []
+
+    def emit(subj, rel, obj, sner, oner, conf):
+        if subj and obj and subj != obj:
+            rel_out.append((subj, rel, obj, sner, oner, conf))
+
+    for v in range(n):
+        lem = lemmas[v]
+        if not tags[v].startswith("V"):
+            # copular predicate patterns (root nominals with cop child)
+            if any(l == "cop" for _, l in ch.get(v, ())):
+                _copular_patterns(v, words, tags, ch, men_at, subj_entity,
+                                  emit)
+            continue
+        # ---- verbal patterns ----
+        if lem == "bear" or words[v].lower() == "born":
+            se = subj_entity(v, ("PERSON",))
+            if se:
+                for m in obls(v, ("in", "at")):
+                    if m.type == "LOCATION":
+                        emit(se[0], "per:city_of_birth", m.canonical,
+                             "PERSON", "LOCATION", 0.99)
+                    elif m.type == "DATE":
+                        emit(se[0], "per:date_of_birth", m.norm,
+                             "PERSON", "DATE", 0.99)
+                for m in obls(v, ("on",)):
+                    if m.type == "DATE":
+                        emit(se[0], "per:date_of_birth", m.norm,
+                             "PERSON", "DATE", 0.99)
+        elif lem == "die":
+            se = subj_entity(v, ("PERSON",))
+            if se:
+                for m in obls(v, ("in", "at")):
+                    if m.type == "LOCATION":
+                        emit(se[0], "per:city_of_death", m.canonical,
+                             "PERSON", "LOCATION", 0.99)
+                    elif m.type == "DATE":
+                        emit(se[0], "per:date_of_death", m.norm,
+                             "PERSON", "DATE", 0.98)
+                for m in obls(v, ("on",)):
+                    if m.type == "DATE":
+                        emit(se[0], "per:date_of_death", m.norm,
+                             "PERSON", "DATE", 0.98)
+        elif lem == "work":
+            se = subj_entity(v, ("PERSON",))
+            if se:
+                for m in obls(v, ("for", "at")):
+                    if m.type == "ORGANIZATION":
+                        emit(se[0], "per:employee_of", m.canonical,
+                             "PERSON", "ORGANIZATION", 0.95)
+        elif lem in ("live", "reside"):
+            se = subj_entity(v, ("PERSON",))
+            if se:
+                for m in obls(v, ("in",)):
+                    if m.type == "LOCATION":
+                        emit(se[0], "per:cities_of_residence", m.canonical,
+                             "PERSON", "LOCATION", 0.95)
+        elif lem == "marry" or words[v].lower() == "married":
+            se = subj_entity(v, ("PERSON",))
+            if se:
+                for m in obls(v, ("to",)):
+                    if m.type == "PERSON":
+                        emit(se[0], "per:spouse", m.canonical,
+                             "PERSON", "PERSON", 0.98)
+                        emit(m.canonical, "per:spouse", se[0],
+                             "PERSON", "PERSON", 0.98)
+                for m in objs(v):
+                    if m.type == "PERSON":
+                        emit(se[0], "per:spouse", m.canonical,
+                             "PERSON", "PERSON", 0.9)
+        elif lem in ("found", "find", "establish", "start") and tags[v] in ("VBD", "VBN"):
+            se = subj_entity(v, ("PERSON", "ORGANIZATION"))
+            if se:
+                for m in objs(v):
+                    if m.type == "ORGANIZATION":
+                        emit(m.canonical, "org:founded_by", se[0],
+                             "ORGANIZATION", se[1], 0.97)
+                        for d in obls(v, ("in", "on")):
+                            if d.type == "DATE":
+                                emit(m.canonical, "org:date_founded", d.norm,
+                                     "ORGANIZATION", "DATE", 0.97)
+        elif lem in ("headquarter", "base", "locate") or words[v].lower() in (
+                "headquartered", "based", "located"):
+            se = subj_entity(v, ("ORGANIZATION",))
+            if se:
+                for m in obls(v, ("in", "at")):
+                    if m.type == "LOCATION":
+                        emit(se[0], "org:city_of_headquarters", m.canonical,
+                             "ORGANIZATION", "LOCATION", 0.98)
+        elif lem == "graduate":
+            se = subj_entity(v, ("PERSON",))
+            if se:
+                for m in obls(v, ("from",)):
+                    if m.type == "ORGANIZATION":
+                        emit(se[0], "per:schools_attended", m.canonical,
+                             "PERSON", "ORGANIZATION", 0.97)
+        elif lem in ("acquire", "buy", "purchase"):
+            se = subj_entity(v, ("ORGANIZATION",))
+            if se:
+                for m in objs(v):
+                    if m.type == "ORGANIZATION":
+                        emit(m.canonical, "org:parents", se[0],
+                             "ORGANIZATION", "ORGANIZATION", 0.9)
+                        emit(se[0], "org:subsidiaries", m.canonical,
+                             "ORGANIZATION", "ORGANIZATION", 0.9)
+        elif lem in ("join",):
+            se = subj_entity(v, ("PERSON",))
+            if se:
+                for m in objs(v):
+                    if m.type == "ORGANIZATION":
+                        emit(se[0], "per:employee_of", m.canonical,
+                             "PERSON", "ORGANIZATION", 0.9)
+
+    # ---- possessive spouse: "X's wife, Y" ----
+    for i in range(n):
+        if lemmas[i] in _SPOUSE_NOUNS:
+            poss = next((c for c, l in ch.get(i, ()) if l == "nmod:poss"),
+                        None)
+            if poss is None:
+                continue
+            pm = men_at(poss, ("PERSON",))
+            if not pm:
+                continue
+            # appositive or adjacent PERSON after the noun
+            for m in mentions:
+                if m.type == "PERSON" and i < m.b <= i + 2:
+                    emit(pm.canonical, "per:spouse", m.canonical,
+                         "PERSON", "PERSON", 0.95)
+                    emit(m.canonical, "per:spouse", pm.canonical,
+                         "PERSON", "PERSON", 0.95)
+                    break
+
+    # per-sentence dedup, keep max confidence (KBPAnnotator.java:631-649)
+    best: Dict[Tuple[str, str, str], Tuple[str, str, str, str, str, float]] = {}
+    for t in rel_out:
+        key = (t[0], t[1], t[2])
+        if key not in best or t[5] > best[key][5]:
+            best[key] = t
+    return list(best.values())
+
+
+def _copular_patterns(v, words, tags, ch, men_at, subj_entity, emit):
+    """'X is the <title> of ORG' → per:title + per:employee_of +
+    org:top_members_employees; 'X is a subsidiary of Y' → org:parents."""
+    lw = words[v].lower()
+    se_p = subj_entity(v, ("PERSON",))
+    se_o = subj_entity(v, ("ORGANIZATION",))
+    # collect the full title phrase (compound/amod chain on the predicate)
+    mods = sorted([c for c, l in ch.get(v, ())
+                   if l in ("compound", "amod")] + [v])
+    title_phrase = " ".join(words[t] for t in mods)
+    nmod_of = None
+    for c, l in ch.get(v, ()):
+        if l == "nmod":
+            case = next((cc for cc, ll in ch.get(c, ()) if ll == "case"), None)
+            if case is not None and words[case].lower() == "of":
+                nmod_of = c
+    if lw in _TITLE_NOUNS and se_p:
+        emit(se_p[0], "per:title", title_phrase, "PERSON", "TITLE", 0.97)
+        if nmod_of is not None:
+            m = men_at(nmod_of, ("ORGANIZATION",))
+            if m:
+                emit(se_p[0], "per:employee_of", m.canonical,
+                     "PERSON", "ORGANIZATION", 0.97)
+                emit(m.canonical, "org:top_members_employees", se_p[0],
+                     "ORGANIZATION", "PERSON", 0.97)
+    if lw == "subsidiary" and se_o and nmod_of is not None:
+        m = men_at(nmod_of, ("ORGANIZATION",))
+        if m:
+            emit(se_o[0], "org:parents", m.canonical,
+                 "ORGANIZATION", "ORGANIZATION", 0.97)
+            emit(m.canonical, "org:subsidiaries", se_o[0],
+                 "ORGANIZATION", "ORGANIZATION", 0.97)
+
+
+class KbpExtractor:
+    """Actor-pool map_batches stage: docs → triples rows (source='kbp')."""
+
+    def __init__(self):
+        self.title_nouns = _TITLE_NOUNS  # pattern-bank binding point
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {name: batch.column(name).to_pylist() for name in (
+            "url", "tok_word", "tok_pos", "tok_lemma", "sent_begin",
+            "sent_end", "dep_head", "dep_label", "men_begin", "men_end",
+            "men_ner", "men_norm", "men_canonical", "pron_idx",
+            "pron_canonical")}
+        rows: List[dict] = []
+        for r in range(len(cols["url"])):
+            url = cols["url"][r]
+            words, tags = cols["tok_word"][r], cols["tok_pos"][r]
+            lemmas = cols["tok_lemma"][r]
+            heads, labels = cols["dep_head"][r], cols["dep_label"][r]
+            pron = dict(zip(cols["pron_idx"][r], cols["pron_canonical"][r]))
+            mens = [Mention(b, e, t, nv, cv) for b, e, t, nv, cv in zip(
+                cols["men_begin"][r], cols["men_end"][r], cols["men_ner"][r],
+                cols["men_norm"][r], cols["men_canonical"][r])]
+            for si, (b, e) in enumerate(zip(cols["sent_begin"][r],
+                                            cols["sent_end"][r])):
+                l_heads = [(h - b) if h >= 0 else -1 for h in heads[b:e]]
+                l_mens = [Mention(m.b - b, m.e - b, m.type, m.norm,
+                                  m.canonical)
+                          for m in mens if b <= m.b and m.e <= e]
+                l_pron = {k - b: v for k, v in pron.items() if b <= k < e}
+                for (s, rel, o, sner, oner, conf) in kbp_sentence(
+                        words[b:e], tags[b:e], lemmas[b:e], l_heads,
+                        labels[b:e], l_mens, l_pron):
+                    rows.append({
+                        "url": url, "sent_idx": si, "subj": s, "pred": rel,
+                        "obj": o, "subj_canonical": s, "obj_canonical": o,
+                        "subj_ner": sner, "obj_ner": oner,
+                        "confidence": conf, "source": "kbp"})
+        return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
+
+
+def kbp_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant for small/test pipelines."""
+    return KbpExtractor()(batch)

@@ -42,6 +42,8 @@ def _strip_s(w: str) -> str:
 
 
 def _strip_ed(w: str) -> str:
+    if w.endswith("ied") and len(w) <= 4:
+        return w[:-1]  # died→die, lied→lie
     if w.endswith("ied") and len(w) > 4:
         return w[:-3] + "y"
     if w.endswith("eed"):
