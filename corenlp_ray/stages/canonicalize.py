@@ -1,0 +1,228 @@
+"""Entity canonicalization + triple dedup + KG materialization (the wide,
+shuffling steps — SURVEY §2.4).
+
+The reference has no cross-document step (documents never meet); this is
+the part the north_rule adds: a groupby-aggregate canonicalization shuffle
+(surface-form clustering + alias resolution) materializing a deduplicated
+(subj, pred, obj) triple store partitioned by subject hash.
+
+Scale design (what holds at 10^12 documents):
+  * ALL aggregations are two-phase: a vectorized per-batch partial
+    aggregate (combiner) inside ``map_batches`` collapses each batch to
+    ≤1 row per key BEFORE the shuffle, so a hot key ("Obama") contributes
+    one row per batch, not one per occurrence — this is the salt: the
+    batch id is an implicit salt and the partial aggregate is the salted
+    first phase; the final ``groupby`` only sees pre-collapsed rows.
+  * The alias map (normalized surface → canonical surface) is built the
+    same two-phase way, then BROADCAST via ``ray.put`` once and read in
+    every task — never re-shipped per batch, never a shuffle join. At
+    dictionary sizes beyond object-store reach, swap in the bucketed
+    hash-join (hash-partition both sides on norm-key buckets); the
+    broadcast path is correct for vocabulary ≪ corpus, which is the
+    regime here (entity vocabulary grows sublinearly in documents).
+  * Output is hash(subj)-bucketed partitioned Parquet (resumable layout:
+    one directory per bucket).
+  * Determinism: canonical pick = (max support, then lexicographic);
+    bucket = crc32 (process-stable, unlike Python ``hash``).
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List
+
+import pandas as pd
+import pyarrow as pa
+
+from corenlp_ray.functions.lexicon import PERSON_TITLES
+
+_DET = {"the", "a", "an", "this", "that", "these", "those"}
+
+KG_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("confidence", pa.float64()),
+    ("support_count", pa.int64()),
+    ("example_urls", pa.list_(pa.string())),
+    ("subj_bucket", pa.int32()),
+])
+
+
+def normalize_surface(s: str) -> str:
+    """Normalized surface form — the canonicalization shuffle key."""
+    toks = s.lower().replace(",", " ").split()
+    while toks and (toks[0] in _DET or toks[0] in PERSON_TITLES):
+        toks = toks[1:]
+    return " ".join(t.strip(".,;:!?\"'") or t for t in toks)
+
+
+def subj_bucket(s: str, num_buckets: int) -> int:
+    return zlib.crc32(s.encode("utf-8")) % num_buckets
+
+
+# ------------------------------------------------------------- alias map ----
+
+def _surface_partial_counts(batch: pa.Table) -> pa.Table:
+    """Phase-1 combiner: triples batch → ≤1 row per (norm, surface) with a
+    partial count. Runs before the shuffle; defuses hot keys."""
+    counts: Dict[tuple, int] = {}
+    for col in ("subj_canonical", "obj_canonical"):
+        for s in batch.column(col).to_pylist():
+            if not s:
+                continue
+            key = (normalize_surface(s), s)
+            if key[0]:
+                counts[key] = counts.get(key, 0) + 1
+    norms, surfaces, cnts = [], [], []
+    for (n, s), c in counts.items():
+        norms.append(n)
+        surfaces.append(s)
+        cnts.append(c)
+    return pa.Table.from_pydict(
+        {"norm": norms, "surface": surfaces, "n": cnts},
+        schema=pa.schema([("norm", pa.string()), ("surface", pa.string()),
+                          ("n", pa.int64())]))
+
+
+def _pick_canonical(group: pd.DataFrame) -> pd.DataFrame:
+    """Phase-2: per normalized form, canonical = most-supported surface
+    (ties → lexicographically smallest → deterministic)."""
+    g = (group.groupby("surface", as_index=False)["n"].sum()
+         .sort_values(["n", "surface"], ascending=[False, True]))
+    return pd.DataFrame({"norm": [group["norm"].iloc[0]],
+                         "canonical": [g["surface"].iloc[0]]})
+
+
+def build_alias_map(triples_ds) -> Dict[str, str]:
+    """Cross-document surface-form clustering → {norm: canonical}.
+
+    Two-phase aggregate: vectorized per-batch partials → small groupby.
+    The result is the broadcast side of the canonicalization join; its
+    size is the entity vocabulary, not the corpus.
+    """
+    partials = triples_ds.map_batches(_surface_partial_counts,
+                                      batch_format="pyarrow")
+    final = partials.groupby("norm").map_groups(_pick_canonical,
+                                                batch_format="pandas")
+    out: Dict[str, str] = {}
+    # the alias table is a small aggregate → driver materialization is safe
+    for b in final.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for n, c in zip(b.column("norm").to_pylist(),
+                        b.column("canonical").to_pylist()):
+            out[n] = c
+    return out
+
+
+class ResolveAliases:
+    """map_batches stage: rewrite subj/obj to canonical cluster surfaces.
+
+    ``alias_ref`` is a ``ray.ObjectRef`` from ``ray.put(alias_map)`` —
+    fetched ONCE per actor (zero-copy from the local object store), never
+    shipped per batch."""
+
+    def __init__(self, alias_ref):
+        import ray
+
+        self.aliases: Dict[str, str] = ray.get(alias_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subs, objs = [], []
+        al = self.aliases
+        for s in batch.column("subj_canonical").to_pylist():
+            subs.append(al.get(normalize_surface(s or ""), s) or s)
+        for o in batch.column("obj_canonical").to_pylist():
+            objs.append(al.get(normalize_surface(o or ""), o) or o)
+        return (batch
+                .set_column(batch.schema.get_field_index("subj_canonical"),
+                            "subj_canonical", pa.array(subs, type=pa.string()))
+                .set_column(batch.schema.get_field_index("obj_canonical"),
+                            "obj_canonical", pa.array(objs, type=pa.string())))
+
+
+# ----------------------------------------------------------- triple dedup ----
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("confidence", pa.float64()), ("support_count", pa.int64()),
+    ("example_urls", pa.list_(pa.string())),
+])
+
+_MAX_EXAMPLES = 3
+
+
+def _triple_partial_agg(batch: pa.Table) -> pa.Table:
+    """Phase-1 combiner for triple dedup: batch → ≤1 row per (s,p,o) with
+    max confidence, partial support count, capped example urls."""
+    acc: Dict[tuple, list] = {}
+    urls = batch.column("url").to_pylist()
+    subs = batch.column("subj_canonical").to_pylist()
+    preds = batch.column("pred").to_pylist()
+    objs = batch.column("obj_canonical").to_pylist()
+    confs = batch.column("confidence").to_pylist()
+    for u, s, p, o, c in zip(urls, subs, preds, objs, confs):
+        key = (s, p, o)
+        if key in acc:
+            a = acc[key]
+            a[0] = max(a[0], c)
+            a[1] += 1
+            if len(a[2]) < _MAX_EXAMPLES and u not in a[2]:
+                a[2].append(u)
+        else:
+            acc[key] = [c, 1, [u]]
+    rows = [{"subj": k[0], "pred": k[1], "obj": k[2], "confidence": a[0],
+             "support_count": a[1], "example_urls": a[2]}
+            for k, a in acc.items()]
+    return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+
+def _merge_triple_group(group: pd.DataFrame) -> pd.DataFrame:
+    urls: List[str] = []
+    for lst in group["example_urls"]:
+        for u in list(lst):
+            if u not in urls:
+                urls.append(u)
+            if len(urls) >= _MAX_EXAMPLES:
+                break
+        if len(urls) >= _MAX_EXAMPLES:
+            break
+    return pd.DataFrame({
+        "subj": [group["subj"].iloc[0]],
+        "pred": [group["pred"].iloc[0]],
+        "obj": [group["obj"].iloc[0]],
+        "confidence": [float(group["confidence"].max())],
+        "support_count": [int(group["support_count"].sum())],
+        "example_urls": [sorted(urls)],
+    })
+
+
+def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    b = [subj_bucket(s, num_buckets)
+         for s in batch.column("subj").to_pylist()]
+    return batch.append_column("subj_bucket", pa.array(b, type=pa.int32()))
+
+
+def build_kg(triples_ds, alias_map=None, num_buckets: int = 16):
+    """triples Dataset → deduplicated KG Dataset partitioned by subj hash.
+
+    Pipeline: [resolve aliases via broadcast] → per-batch partial dedup →
+    groupby(s,p,o) merge (max conf, total support) → bucket column.
+    """
+    import ray
+
+    ds = triples_ds
+    if alias_map is not None:
+        ref = ray.put(alias_map)
+        ds = ds.map_batches(ResolveAliases, batch_format="pyarrow",
+                            concurrency=(1, 8),
+                            fn_constructor_args=(ref,))
+    partial = ds.map_batches(_triple_partial_agg, batch_format="pyarrow")
+    merged = partial.groupby(["subj", "pred", "obj"]).map_groups(
+        _merge_triple_group, batch_format="pandas")
+    return merged.map_batches(
+        lambda b: _add_bucket(b, num_buckets), batch_format="pyarrow")
+
+
+def write_kg(kg_ds, path: str):
+    """Materialize the triple store: hash(subj)-bucketed Parquet layout
+    (one directory per bucket → resumable / skippable partitions)."""
+    kg_ds.write_parquet(path, partition_cols=["subj_bucket"])
