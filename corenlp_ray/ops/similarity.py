@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, zero-copy ``ray.get`` in every
+task), per-batch local top-k, tiny global merge. Scale path: IVF-style
+coarse quantization — k-means-lite centroids (seeded, deterministic),
+assign per batch, search only matching partitions.
+"""
+from __future__ import annotations
+
+import heapq
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+_TOPK_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("vec_id", pa.int64()),
+    ("cosine", pa.float64()),
+])
+
+
+def _as_matrix(batch: pa.Table) -> np.ndarray:
+    return np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1)
+    n[n == 0] = 1.0
+    return M / n[:, None]
+
+
+class _BatchTopK:
+    """map_batches stage: per-batch exact cosine top-k against the
+    broadcast query matrix (fetched once per actor)."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        q = ray.get(query_ref)
+        self.Q = _normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.qids: List[int] = list(q["ids"])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        V = _as_matrix(batch)
+        ids = batch.column("vec_id").to_pylist()
+        if V.size == 0:
+            return pa.Table.from_pydict(
+                {"query_id": [], "vec_id": [], "cosine": []},
+                schema=_TOPK_SCHEMA)
+        S = _normalize(V) @ self.Q.T  # (n_batch, n_queries)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        k = min(self.k, S.shape[0])
+        for qi, qid in enumerate(self.qids):
+            col = S[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for i in idx:
+                rows["query_id"].append(qid)
+                rows["vec_id"].append(ids[i])
+                rows["cosine"].append(float(col[i]))
+        return pa.Table.from_pydict(rows, schema=_TOPK_SCHEMA)
+
+
+def brute_force_topk(embeds_ds, query_vecs, query_ids=None, k: int = 10):
+    """Exact cosine top-k for each query vector.
+
+    Per-batch local top-k (distributed) → global merge on the driver over
+    ≤ k·n_batches·n_queries rows (tiny). Deterministic tie-break:
+    (-cosine, vec_id)."""
+    import ray
+
+    Q = np.asarray(query_vecs, dtype=np.float64)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
+    ref = ray.put({"vecs": Q, "ids": qids})
+    local = embeds_ds.map_batches(_BatchTopK, batch_format="pyarrow",
+                                  concurrency=(1, 8),
+                                  fn_constructor_args=(ref, k))
+    # global merge: k smallest of (-cosine, vec_id) per query
+    heaps = {q: [] for q in qids}
+    for b in local.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for q, v, c in zip(b.column("query_id").to_pylist(),
+                           b.column("vec_id").to_pylist(),
+                           b.column("cosine").to_pylist()):
+            heaps[q].append((-c, v))
+    rows = {"query_id": [], "vec_id": [], "cosine": [], "rank": []}
+    for q in qids:
+        for r, (negc, v) in enumerate(heapq.nsmallest(k, heaps[q])):
+            rows["query_id"].append(q)
+            rows["vec_id"].append(v)
+            rows["cosine"].append(-negc)
+            rows["rank"].append(r + 1)
+    return pa.Table.from_pydict(rows, schema=pa.schema([
+        ("query_id", pa.int64()), ("vec_id", pa.int64()),
+        ("cosine", pa.float64()), ("rank", pa.int32())]))
+
+
+# ----------------------------------------------------------- IVF variant ----
+
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 5,
+                 seed: int = 13) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    C = sample[idx].copy()
+    for _ in range(iters):
+        S = _normalize(sample) @ _normalize(C).T
+        assign = S.argmax(axis=1)
+        for c in range(len(C)):
+            m = sample[assign == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    return C
+
+
+def ivf_topk(embeds_ds, query_vecs, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, sample_size: int = 2048, seed: int = 13):
+    """IVF-bucketed approximate top-k: train centroids on a seeded sample,
+    assign rows per batch, search only the n_probe closest partitions per
+    query. The shuffle-free scale path for ANN (partition pruning instead
+    of full scans)."""
+    import ray
+
+    sample = embeds_ds.random_sample(
+        min(1.0, sample_size / max(embeds_ds.count(), 1)), seed=seed)
+    SM = np.array(sample.to_pandas()["embedding"].tolist(), dtype=np.float64)
+    C = _kmeans_lite(SM, n_centroids, seed=seed)
+    Q = np.asarray(query_vecs, dtype=np.float64)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    probe = np.argsort(-(_normalize(Q) @ _normalize(C).T), axis=1)[:, :n_probe]
+    allowed = set(int(c) for row in probe for c in row)
+    c_ref = ray.put((C, allowed))
+
+    def filter_assign(batch: pa.Table) -> pa.Table:
+        Cm, ok = ray.get(c_ref)
+        V = _as_matrix(batch)
+        if V.size == 0:
+            return batch.slice(0, 0)
+        assign = (_normalize(V) @ _normalize(Cm).T).argmax(axis=1)
+        mask = pa.array([int(a) in ok for a in assign])
+        return batch.filter(mask)
+
+    pruned = embeds_ds.map_batches(filter_assign, batch_format="pyarrow")
+    return brute_force_topk(pruned, Q, k=k)

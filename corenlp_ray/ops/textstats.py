@@ -1,0 +1,169 @@
+"""Text-analysis operators over a document table: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Every operator here is a vectorizable ``map_batches`` transform (or a
+two-phase aggregate) over ``documents(doc_id, text, lang, source,
+n_chars)``-shaped tables. The SQL-oracle contract (driver correctness
+gate): each function's docstring pins the exact semantics so the DuckDB
+oracle in ``__ray_entry__.oracle_sql`` computes the identical values —
+identical splitting regexes, identical tie-breaks, integer arithmetic
+where possible.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+from corenlp_ray.functions.lexicon import EN_STOPWORDS
+
+_WS_RE = re.compile(r"\s+")
+_NON_ALPHA_RE = re.compile(r"[^a-z]+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_DIGIT_RE = re.compile(r"[0-9]")
+
+# small per-language stopword sets for the n-gram/stopword language-ID
+# heuristic (deterministic; no model download)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "des", "une", "dans"},
+    "es": {"el", "la", "los", "las", "es", "y", "en", "por", "para", "una"},
+}
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """+ n_tokens: whitespace token count; 0 for blank/empty text.
+
+    Oracle: CASE WHEN trim(text)='' THEN 0 ELSE
+    len(regexp_split_to_array(trim(text), '\\s+')) END."""
+    out = []
+    for t in batch.column("text").to_pylist():
+        t = (t or "").strip()
+        out.append(0 if not t else len(_WS_RE.split(t)))
+    return batch.append_column("n_tokens", pa.array(out, type=pa.int64()))
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """+ quality columns (all derivable in SQL with the same regexes):
+      n_alpha  — count of [A-Za-z] chars
+      n_digit  — count of [0-9] chars
+      alpha_ratio = n_alpha / max(n_chars_actual, 1)  (float64)
+      mean_token_len = n_chars_of_tokens / n_tokens   (float64, 0 if none)
+    """
+    n_alpha, n_digit, alpha_ratio, mean_tok = [], [], [], []
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        a = len(_ALPHA_RE.findall(t))
+        d = len(_DIGIT_RE.findall(t))
+        n_alpha.append(a)
+        n_digit.append(d)
+        alpha_ratio.append(a / max(len(t), 1))
+        st = t.strip()
+        toks = _WS_RE.split(st) if st else []
+        mean_tok.append(sum(len(x) for x in toks) / len(toks) if toks else 0.0)
+    return (batch
+            .append_column("n_alpha", pa.array(n_alpha, type=pa.int64()))
+            .append_column("n_digit", pa.array(n_digit, type=pa.int64()))
+            .append_column("alpha_ratio", pa.array(alpha_ratio, type=pa.float64()))
+            .append_column("mean_token_len", pa.array(mean_tok, type=pa.float64())))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """+ text_hash: md5 hex of the exact text (the exact-dedup key).
+    Oracle: md5(text)."""
+    out = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+           for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("text_hash", pa.array(out, type=pa.string()))
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """+ lang_pred: stopword-marker language ID (en/de/fr/es/unk).
+
+    Deterministic scoring: count marker hits per language over lowercase
+    [^a-z]+-split tokens; best count wins, ties broken by language code
+    order; <2 hits → 'unk'. (Rows-only oracle: heuristic, not SQL.)"""
+    out = []
+    for t in batch.column("text").to_pylist():
+        toks = [x for x in _NON_ALPHA_RE.split((t or "").lower()) if x]
+        best_lang, best_n = "unk", 1
+        for lang in sorted(_LANG_MARKERS):
+            n = sum(1 for x in toks if x in _LANG_MARKERS[lang])
+            if n > best_n:
+                best_lang, best_n = lang, n
+        out.append(best_lang)
+    return batch.append_column("lang_pred", pa.array(out, type=pa.string()))
+
+
+def rolling_fingerprints_batch(batch: pa.Table, window: int = 8,
+                               base: int = 257, mod: int = (1 << 61) - 1) -> pa.Table:
+    """+ fp_min/fp_max: min/max of rolling polynomial hashes over byte
+    windows — the winnowing-style document fingerprint. Deterministic
+    integer arithmetic (rows-only oracle)."""
+    mins, maxs = [], []
+    for t in batch.column("text").to_pylist():
+        bs = (t or "").encode("utf-8")
+        if len(bs) < window:
+            h = 0
+            for c in bs:
+                h = (h * base + c) % mod
+            mins.append(h)
+            maxs.append(h)
+            continue
+        h = 0
+        pw = pow(base, window - 1, mod)
+        lo = hi = None
+        for i, c in enumerate(bs):
+            h = (h * base + c) % mod
+            if i >= window:
+                h = (h - bs[i - window] * pw * base) % mod
+            if i >= window - 1:
+                lo = h if lo is None else min(lo, h)
+                hi = h if hi is None else max(hi, h)
+        mins.append(lo)
+        maxs.append(hi)
+    return (batch
+            .append_column("fp_min", pa.array(mins, type=pa.int64()))
+            .append_column("fp_max", pa.array(maxs, type=pa.int64())))
+
+
+def _token_partial_counts(batch: pa.Table) -> pa.Table:
+    """Phase-1 combiner for corpus token frequencies: batch → ≤1 row per
+    token (lowercase, [^a-z]+ split, non-empty)."""
+    counts: Dict[str, int] = {}
+    for t in batch.column("text").to_pylist():
+        for tok in _NON_ALPHA_RE.split((t or "").lower()):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+    return pa.Table.from_pydict(
+        {"token": list(counts.keys()),
+         "n": list(counts.values())},
+        schema=pa.schema([("token", pa.string()), ("n", pa.int64())]))
+
+
+def top_tokens(docs_ds, k: int = 100):
+    """Corpus top-k token frequencies: two-phase count (per-batch combiner
+    → groupby sum) → sort (n desc, token asc) → limit k.
+
+    Oracle: unnest + GROUP BY + ORDER BY count DESC, token ASC LIMIT k."""
+    from ray.data.aggregate import Sum
+
+    partial = docs_ds.map_batches(_token_partial_counts,
+                                  batch_format="pyarrow")
+    totals = partial.groupby("token").aggregate(Sum("n", alias_name="cnt"))
+    return totals.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def stopword_ratio_batch(batch: pa.Table) -> pa.Table:
+    """+ stop_ratio: EN-stopword fraction of lowercase alpha tokens
+    (float64; 0.0 when no tokens)."""
+    out = []
+    for t in batch.column("text").to_pylist():
+        toks = [x for x in _NON_ALPHA_RE.split((t or "").lower()) if x]
+        out.append(sum(1 for x in toks if x in EN_STOPWORDS) / len(toks)
+                   if toks else 0.0)
+    return batch.append_column("stop_ratio",
+                               pa.array(out, type=pa.float64()))
