@@ -1,18 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in corenlp_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+  * ``entry()``      — flagship KG pipeline on /root/testdata/sf0.001.
+  * ``queries()``    — one callable(sf_dir) per implemented operator
+                       (SURVEY.md §2 inventory + training-data ops).
+  * ``oracle_sql()`` — DuckDB oracles for the SQL-expressible subset;
+                       the rest get the driver's rows-only check and are
+                       golden-tested in tests/.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
@@ -20,25 +17,21 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesized Common-Crawl-style pages (derived
+    1:1 from the sf0.001 documents table) → annotation chain → OpenIE+KBP
+    triples → canonicalization shuffle → deduplicated KG."""
+    from corenlp_ray.pipelines.queries import q_kg_triples
+
+    return q_kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from corenlp_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from corenlp_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,115 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ..., "pages_per_sec": ...}
+
+``--scaling`` runs the headline twice in fresh processes (num_cpus=8 then
+32) on the same input and reports both throughputs + scaling efficiency
+(the in-sandbox evidence for the north_rule's N→4N criterion).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "kg_triples",        # headline: the flagship KG pipeline
+    "dedup_exact",
+    "minhash_dedup",
+    "top_tokens",
+    "ann_topk",
+    "event_windows",
+]
+
+
+def consume(result):
+    """Drive a lazy Dataset to completion; return row count."""
+    if hasattr(result, "iter_batches"):
+        n = 0
+        for b in result.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from corenlp_ray.pipelines.queries import QUERIES
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "events", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    timings = {}
+    counts = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        counts[name] = consume(QUERIES[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    n_pages = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    headline = timings["kg_triples"]
+    out = {
+        "metric": "kg_pipeline_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg_rows": counts["kg_triples"],
+        "pages_per_sec": round(n_pages / headline, 2),
+        "triples_per_sec": round(counts["kg_triples"] / headline, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -49,20 +49,28 @@ def annotate_pages(pages_ds, distributed: bool = True):
     return apply(pages_ds, ANNOTATE_STAGES, distributed=distributed)
 
 
-def extract_triples(docs_ds, distributed: bool = True):
-    """annotated docs → triples Dataset (openie ∪ kbp).
+class TripleExtractor:
+    """Fused openie+kbp extraction in ONE pass over the annotated docs
+    (a union of two branches would re-execute the whole upstream
+    annotation chain once per branch — the lazy-Dataset double-consume
+    trap). Actor-pool stage: the KBP pattern banks bind once."""
 
-    The doc stream is consumed twice (two extractors over the same
-    annotated docs); at scale, annotate once and let both branches share
-    the upstream via the streaming executor."""
-    openie = docs_ds.map_batches(openie_batch, batch_format="pyarrow")
+    def __init__(self):
+        self.kbp = KbpExtractor()
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        return pa.concat_tables([openie_batch(batch), self.kbp(batch)])
+
+
+def extract_triples(docs_ds, distributed: bool = True):
+    """annotated docs → triples Dataset (openie ∪ kbp, single pass)."""
     if distributed:
-        kbp = docs_ds.map_batches(KbpExtractor, batch_format="pyarrow",
-                                  concurrency=(1, 8), batch_size=128)
-    else:
-        inst = KbpExtractor()
-        kbp = docs_ds.map_batches(lambda b: inst(b), batch_format="pyarrow")
-    return openie.union(kbp)
+        return docs_ds.map_batches(TripleExtractor, batch_format="pyarrow",
+                                   concurrency=(1, 8), batch_size=128)
+    inst = TripleExtractor()
+    return docs_ds.map_batches(lambda b: inst(b), batch_format="pyarrow")
 
 
 def kg_pipeline(pages_ds, num_buckets: int = 16, canonicalize: bool = True,

@@ -1,0 +1,336 @@
+"""The driver-facing query catalog: one named pipeline per implemented
+operator (SURVEY §2 coverage), each a callable(sf_dir) → Dataset/Table.
+
+Queries with DuckDB-expressible semantics carry an oracle in ORACLE_SQL
+(column names match EXACTLY — the driver hash-compares values after
+sorting columns by name). Non-SQL-expressible pipelines (the annotation
+chain, LSH dedup, IVF ANN) are rows-only checked by the driver and
+golden-tested in tests/.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return tbl.set_column(
+        tbl.schema.get_field_index(col), col,
+        pc.round(tbl.column(col), ndigits=digits))
+
+
+# --------------------------------------------------------- SQL-oracled ----
+
+def q_token_count(sf_dir: str):
+    from corenlp_ray.ops.textstats import token_count_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(token_count_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_tokens"]))
+
+
+def q_doc_quality(sf_dir: str):
+    from corenlp_ray.ops.textstats import quality_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(quality_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_alpha", "n_digit"]))
+
+
+def q_dedup_exact(sf_dir: str):
+    from corenlp_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_top_tokens(sf_dir: str):
+    from corenlp_ray.ops.textstats import top_tokens
+
+    return top_tokens(_docs(sf_dir, ["doc_id", "text"]), k=100)
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (_docs(sf_dir, ["doc_id", "lang"])
+            .groupby("lang").aggregate(Count(alias_name="n_docs")))
+
+
+def q_event_windows(sf_dir: str):
+    import ray.data as rd
+
+    from corenlp_ray.ops.windows import tumbling_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = tumbling_window(ev, "hour")
+    return out.map_batches(lambda b: _round_col(b, "sum_value"),
+                           batch_format="pyarrow")
+
+
+def q_session_windows(sf_dir: str):
+    import ray.data as rd
+
+    from corenlp_ray.ops.windows import session_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return session_windows(ev, gap_minutes=30)
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from corenlp_ray.ops.similarity import brute_force_topk
+
+    # deterministic query vector: the embedding of the smallest vec_id
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    import numpy as np
+
+    ids = head.column("vec_id").to_numpy()
+    qvec = np.asarray(head.column("embedding")[int(ids.argmin())].as_py(),
+                      dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvec, k=10)
+    out = out.select(["vec_id", "cosine"])
+    return _round_col(out, "cosine")
+
+
+ORACLE_SQL = {
+    "token_count": (
+        "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents"),
+    "doc_quality": (
+        "SELECT doc_id, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit "
+        "FROM documents"),
+    "dedup_exact": (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, "
+        "count(*) AS dup_count FROM documents GROUP BY md5(text)"),
+    "top_tokens": (
+        "SELECT t AS token, count(*) AS cnt FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text), '[^a-z]+')) AS t "
+        "FROM documents) WHERE t <> '' "
+        "GROUP BY t ORDER BY cnt DESC, token ASC LIMIT 100"),
+    "lang_counts": (
+        "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"),
+    "event_windows": (
+        "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"),
+    "session_windows": (
+        "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, sum(brk) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS sid FROM o) "
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+        "count(*) AS n_events FROM s GROUP BY user_id, sid"),
+    "ann_topk": (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings "
+        "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
+        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qe), 6)"
+        " AS cosine FROM embeddings e, q "
+        "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id "
+        "LIMIT 10"),
+}
+
+
+# ------------------------------------------- rows-only (non-SQL) queries ----
+
+def _pages(sf_dir: str):
+    from corenlp_ray.sources.pages import read_pages
+
+    return read_pages(sf_dir)
+
+
+def _annotated(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from corenlp_ray.pipelines.kg import annotate_pages
+
+    pages = _pages(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow")
+    return annotate_pages(pages)
+
+
+def q_extract_text(sf_dir: str):
+    """HTML→text invariant surface: url + extracted text + match flag."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.stages.extract import extract_text_batch
+
+    def project(b: pa.Table) -> pa.Table:
+        ok = pc.equal(b.column("text"), b.column("text_extracted"))
+        return pa.Table.from_pydict({
+            "url": b.column("url"),
+            "n_chars": pc.utf8_length(b.column("text_extracted")),
+            "byte_identical": ok})
+
+    return _pages(sf_dir).map_batches(extract_text_batch,
+                                      batch_format="pyarrow") \
+        .map_batches(project, batch_format="pyarrow")
+
+
+def q_tokenize(sf_dir: str):
+    from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict({
+            "url": b.column("url"),
+            "n_tokens": pc.list_value_length(b.column("tok_word")),
+            "n_sentences": pc.list_value_length(b.column("sent_begin"))})
+
+    return _pages(sf_dir).map_batches(tokenize_ssplit_batch,
+                                      batch_format="pyarrow") \
+        .map_batches(project, batch_format="pyarrow")
+
+
+def q_entity_mentions(sf_dir: str):
+    def explode(b: pa.Table) -> pa.Table:
+        rows = {"url": [], "surface": [], "ner": [], "normalized": []}
+        for r in range(b.num_rows):
+            url = b.column("url")[r].as_py()
+            words = b.column("tok_word")[r].as_py()
+            for mb, me, ty, nv in zip(b.column("men_begin")[r].as_py(),
+                                      b.column("men_end")[r].as_py(),
+                                      b.column("men_ner")[r].as_py(),
+                                      b.column("men_norm")[r].as_py()):
+                rows["url"].append(url)
+                rows["surface"].append(" ".join(words[mb:me]))
+                rows["ner"].append(ty)
+                rows["normalized"].append(nv)
+        return pa.Table.from_pydict(rows)
+
+    return _annotated(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+def q_openie_triples(sf_dir: str):
+    from corenlp_ray.stages.openie import openie_batch
+
+    return _annotated(sf_dir).map_batches(openie_batch,
+                                          batch_format="pyarrow")
+
+
+def q_kbp_triples(sf_dir: str):
+    from corenlp_ray.stages.kbp import kbp_batch
+
+    return _annotated(sf_dir).map_batches(kbp_batch, batch_format="pyarrow")
+
+
+def q_kg_triples(sf_dir: str):
+    """The flagship: pages → annotate → openie∪kbp → canonicalize → KG."""
+    from corenlp_ray.pipelines.kg import kg_pipeline
+
+    kg = kg_pipeline(_pages(sf_dir), num_buckets=16)
+    return kg.drop_columns(["example_url"])
+
+
+def q_minhash_dedup(sf_dir: str):
+    from corenlp_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from corenlp_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from corenlp_ray.ops.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.99)
+    return out.map_batches(lambda b: _round_col(b, "cosine"),
+                           batch_format="pyarrow")
+
+
+def q_ivf_ann(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from corenlp_ray.ops.similarity import ivf_topk
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids = head.column("vec_id").to_numpy()
+    qvec = np.asarray(head.column("embedding")[int(ids.argmin())].as_py(),
+                      dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return _round_col(ivf_topk(ds, qvec, k=10), "cosine")
+
+
+def q_langid(sf_dir: str):
+    from corenlp_ray.ops.textstats import langid_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(langid_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "lang_pred"]))
+
+
+def q_fingerprints(sf_dir: str):
+    from corenlp_ray.ops.textstats import (fingerprint_batch,
+                                           rolling_fingerprints_batch)
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(fingerprint_batch, batch_format="pyarrow")
+            .map_batches(rolling_fingerprints_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "text_hash", "fp_min", "fp_max"]))
+
+
+def q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from corenlp_ray.ops.multimodal import decode_pipeline, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(64, seed=1))
+    return decode_pipeline(ds, fake=True).drop_columns(["payload"])
+
+
+QUERIES = {
+    # SQL-oracled
+    "token_count": q_token_count,
+    "doc_quality": q_doc_quality,
+    "dedup_exact": q_dedup_exact,
+    "top_tokens": q_top_tokens,
+    "lang_counts": q_lang_counts,
+    "event_windows": q_event_windows,
+    "session_windows": q_session_windows,
+    "ann_topk": q_ann_topk,
+    # rows-only
+    "extract_text": q_extract_text,
+    "tokenize": q_tokenize,
+    "entity_mentions": q_entity_mentions,
+    "openie_triples": q_openie_triples,
+    "kbp_triples": q_kbp_triples,
+    "kg_triples": q_kg_triples,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "ivf_ann": q_ivf_ann,
+    "langid": q_langid,
+    "fingerprints": q_fingerprints,
+    "multimodal": q_multimodal,
+}

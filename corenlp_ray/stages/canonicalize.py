@@ -43,7 +43,7 @@ KG_SCHEMA = pa.schema([
     ("obj", pa.string()),
     ("confidence", pa.float64()),
     ("support_count", pa.int64()),
-    ("example_urls", pa.list_(pa.string())),
+    ("example_url", pa.string()),   # deterministic lineage sample (min url)
     ("subj_bucket", pa.int32()),
 ])
 
@@ -84,33 +84,31 @@ def _surface_partial_counts(batch: pa.Table) -> pa.Table:
                           ("n", pa.int64())]))
 
 
-def _pick_canonical(group: pd.DataFrame) -> pd.DataFrame:
-    """Phase-2: per normalized form, canonical = most-supported surface
-    (ties → lexicographically smallest → deterministic)."""
-    g = (group.groupby("surface", as_index=False)["n"].sum()
-         .sort_values(["n", "surface"], ascending=[False, True]))
-    return pd.DataFrame({"norm": [group["norm"].iloc[0]],
-                         "canonical": [g["surface"].iloc[0]]})
-
-
 def build_alias_map(triples_ds) -> Dict[str, str]:
     """Cross-document surface-form clustering → {norm: canonical}.
 
-    Two-phase aggregate: vectorized per-batch partials → small groupby.
-    The result is the broadcast side of the canonicalization join; its
-    size is the entity vocabulary, not the corpus.
+    Two-phase aggregate: vectorized per-batch partials → native hash
+    aggregate (Sum) over (norm, surface) — no per-group Python. The
+    canonical pick (max support, ties lexicographic) runs on the driver
+    over the AGGREGATED vocabulary table, which is entity-vocabulary-
+    sized (≪ corpus; it is about to become a broadcast dict anyway).
     """
+    from ray.data.aggregate import Sum
+
     partials = triples_ds.map_batches(_surface_partial_counts,
                                       batch_format="pyarrow")
-    final = partials.groupby("norm").map_groups(_pick_canonical,
-                                                batch_format="pandas")
-    out: Dict[str, str] = {}
-    # the alias table is a small aggregate → driver materialization is safe
-    for b in final.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for n, c in zip(b.column("norm").to_pylist(),
-                        b.column("canonical").to_pylist()):
-            out[n] = c
-    return out
+    totals = partials.groupby(["norm", "surface"]).aggregate(
+        Sum("n", alias_name="n"))
+    best: Dict[str, tuple] = {}
+    for b in totals.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for n, s, c in zip(b.column("norm").to_pylist(),
+                           b.column("surface").to_pylist(),
+                           b.column("n").to_pylist()):
+            cur = best.get(n)
+            # max support; ties → lexicographically smallest surface
+            if cur is None or (-c, s) < cur:
+                best[n] = (-c, s)
+    return {n: s for n, (_, s) in best.items()}
 
 
 class ResolveAliases:
@@ -144,15 +142,13 @@ class ResolveAliases:
 _PARTIAL_SCHEMA = pa.schema([
     ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
     ("confidence", pa.float64()), ("support_count", pa.int64()),
-    ("example_urls", pa.list_(pa.string())),
+    ("example_url", pa.string()),
 ])
-
-_MAX_EXAMPLES = 3
 
 
 def _triple_partial_agg(batch: pa.Table) -> pa.Table:
     """Phase-1 combiner for triple dedup: batch → ≤1 row per (s,p,o) with
-    max confidence, partial support count, capped example urls."""
+    max confidence, partial support count, min example url."""
     acc: Dict[tuple, list] = {}
     urls = batch.column("url").to_pylist()
     subs = batch.column("subj_canonical").to_pylist()
@@ -165,34 +161,13 @@ def _triple_partial_agg(batch: pa.Table) -> pa.Table:
             a = acc[key]
             a[0] = max(a[0], c)
             a[1] += 1
-            if len(a[2]) < _MAX_EXAMPLES and u not in a[2]:
-                a[2].append(u)
+            a[2] = min(a[2], u)
         else:
-            acc[key] = [c, 1, [u]]
+            acc[key] = [c, 1, u]
     rows = [{"subj": k[0], "pred": k[1], "obj": k[2], "confidence": a[0],
-             "support_count": a[1], "example_urls": a[2]}
+             "support_count": a[1], "example_url": a[2]}
             for k, a in acc.items()]
     return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
-
-
-def _merge_triple_group(group: pd.DataFrame) -> pd.DataFrame:
-    urls: List[str] = []
-    for lst in group["example_urls"]:
-        for u in list(lst):
-            if u not in urls:
-                urls.append(u)
-            if len(urls) >= _MAX_EXAMPLES:
-                break
-        if len(urls) >= _MAX_EXAMPLES:
-            break
-    return pd.DataFrame({
-        "subj": [group["subj"].iloc[0]],
-        "pred": [group["pred"].iloc[0]],
-        "obj": [group["obj"].iloc[0]],
-        "confidence": [float(group["confidence"].max())],
-        "support_count": [int(group["support_count"].sum())],
-        "example_urls": [sorted(urls)],
-    })
 
 
 def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
@@ -204,10 +179,12 @@ def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
 def build_kg(triples_ds, alias_map=None, num_buckets: int = 16):
     """triples Dataset → deduplicated KG Dataset partitioned by subj hash.
 
-    Pipeline: [resolve aliases via broadcast] → per-batch partial dedup →
-    groupby(s,p,o) merge (max conf, total support) → bucket column.
+    Pipeline: [resolve aliases via broadcast] → per-batch partial dedup
+    (combiner) → NATIVE hash aggregate on (subj, pred, obj) — Max/Sum/Min
+    over pre-collapsed rows, no per-group Python — → bucket column.
     """
     import ray
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = triples_ds
     if alias_map is not None:
@@ -216,8 +193,10 @@ def build_kg(triples_ds, alias_map=None, num_buckets: int = 16):
                             concurrency=(1, 8),
                             fn_constructor_args=(ref,))
     partial = ds.map_batches(_triple_partial_agg, batch_format="pyarrow")
-    merged = partial.groupby(["subj", "pred", "obj"]).map_groups(
-        _merge_triple_group, batch_format="pandas")
+    merged = partial.groupby(["subj", "pred", "obj"]).aggregate(
+        Max("confidence", alias_name="confidence"),
+        Sum("support_count", alias_name="support_count"),
+        Min("example_url", alias_name="example_url"))
     return merged.map_batches(
         lambda b: _add_bucket(b, num_buckets), batch_format="pyarrow")
 

@@ -54,7 +54,7 @@ def kg_result(ray_session, tmp_path_factory):
 def test_kg_schema_and_rows(kg_result):
     names = set(kg_result.column_names)
     assert {"subj", "pred", "obj", "confidence", "support_count",
-            "example_urls", "subj_bucket"} <= names
+            "example_url", "subj_bucket"} <= names
     assert kg_result.num_rows > 0
 
 
