@@ -26,17 +26,39 @@ from corenlp_ray.stages.openie import openie_batch
 from corenlp_ray.stages.pos import PosTagger
 from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
 
+def _ncpus() -> int:
+    import ray
+
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+_N_MODEL_POOLS = 4  # pos, ner, depparse, triple-extract
+
+
+def _pool() -> dict:
+    """Actor-pool sizing for model stages: the four model pools split the
+    cluster evenly, leaving a task-stage share (FIXED size, not
+    autoscaling — autoscaling pools ramp from 1 actor and never reach
+    width within a stage's lifetime, which flattens N→4N scaling).
+    Small batches keep the pools' queues balanced."""
+    n = _ncpus()
+    per_pool = max(1, (n - max(2, n // 8)) // _N_MODEL_POOLS)
+    return {"concurrency": per_pool, "batch_size": 32, "num_cpus": 1}
+
+
 # ---- the annotator registry (names mirror the reference's canon) ----
 register(Stage("cleanxml", (), ("text_extracted",), extract_text_batch))
 register(Stage("tokenize", (), ("tok_word", "tok_sent", "sent_begin"),
                tokenize_ssplit_batch))
-register(Stage("pos", ("tok_word",), ("tok_pos",), PosTagger,
-               {"concurrency": (1, 8), "batch_size": 128}))
+register(Stage("pos", ("tok_word",), ("tok_pos",), PosTagger, _pool))
 register(Stage("lemma", ("tok_pos",), ("tok_lemma",), lemma_batch))
 register(Stage("ner", ("tok_pos",), ("tok_ner", "men_begin"), NerTagger,
-               {"concurrency": (1, 8), "batch_size": 128}))
+               _pool))
 register(Stage("depparse", ("tok_pos",), ("dep_head", "dep_label"), DepParser,
-               {"concurrency": (1, 8), "batch_size": 128}))
+               _pool))
 register(Stage("coref", ("men_begin", "tok_pos"),
                ("men_chain", "men_canonical", "pron_idx"), coref_batch))
 
@@ -68,14 +90,107 @@ def extract_triples(docs_ds, distributed: bool = True):
     """annotated docs → triples Dataset (openie ∪ kbp, single pass)."""
     if distributed:
         return docs_ds.map_batches(TripleExtractor, batch_format="pyarrow",
-                                   concurrency=(1, 8), batch_size=128)
+                                   **_pool())
     inst = TripleExtractor()
     return docs_ds.map_batches(lambda b: inst(b), batch_format="pyarrow")
 
 
+class FusedDocAnnotator:
+    """The whole per-document chain (extract → tokenize → pos → lemma →
+    ner → depparse → coref → openie+kbp) in ONE actor-pool stage.
+
+    This is the flagship execution shape: the chain is per-row pure, so
+    fusing it removes inter-pool block transfers and — decisively — the
+    pool-balance problem (four sequential pools bottleneck on the
+    heaviest stage; one pool self-balances). It mirrors the reference's
+    own execution: one in-process annotator pipeline per document
+    (AnnotationPipeline.java:66-83), here replicated per actor. The
+    staged path (annotate_pages + extract_triples) remains for partial
+    pipelines and demand-driven outputs; kernels are IDENTICAL, so both
+    paths produce identical triples (tested)."""
+
+    def __init__(self):
+        self.pos = PosTagger()
+        self.ner = NerTagger()
+        self.dep = DepParser()
+        self.triples = TripleExtractor()
+
+    def __call__(self, batch):
+        b = extract_text_batch(batch)
+        b = tokenize_ssplit_batch(b)
+        b = self.pos(b)
+        b = lemma_batch(b)
+        b = self.ner(b)
+        b = self.dep(b)
+        b = coref_batch(b)
+        return self.triples(b)
+
+
+def pages_to_triples(pages_ds, distributed: bool = True):
+    """pages → triples via the fused annotator pool (one actor per CPU,
+    minus a driver/IO share)."""
+    if distributed:
+        n = _ncpus()
+        return pages_ds.map_batches(
+            FusedDocAnnotator, batch_format="pyarrow", batch_size=16,
+            concurrency=max(2, n - 1), num_cpus=1)
+    inst = FusedDocAnnotator()
+    return pages_ds.map_batches(lambda b: inst(b), batch_format="pyarrow")
+
+
+class DocsToTriples(FusedDocAnnotator):
+    """documents rows → synthesized pages → triples, all inside ONE actor
+    pool — page synthesis and the lang filter run on the pool too, so no
+    task stage competes with the reserved actors for CPUs (explicit
+    fusion instead of relying on the planner's operator-fusion
+    heuristics)."""
+
+    def __init__(self, pages_per_doc: int = 1, lang_filter: str = "en"):
+        super().__init__()
+        self.pages_per_doc = pages_per_doc
+        self.lang_filter = lang_filter
+
+    def __call__(self, batch):
+        import pyarrow.compute as pc
+
+        from corenlp_ray.sources.pages import _docs_to_pages
+
+        pages = _docs_to_pages(batch, self.pages_per_doc)
+        if self.lang_filter:
+            pages = pages.filter(
+                pc.equal(pages.column("lang"), self.lang_filter))
+        return super().__call__(pages)
+
+
+def documents_to_triples(sf_dir: str, pages_per_doc: int | None = None,
+                         lang_filter: str = "en"):
+    """The flagship front half: documents.parquet → triples Dataset, one
+    fused actor pool, read split for sub-second task granularity."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if pages_per_doc is None:
+        pages_per_doc = int(os.environ.get("GRAFT_PAGES_PER_DOC", "1"))
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n = _ncpus()
+    # granularity: ~4 tasks per actor balances the pool without drowning
+    # the scheduler in per-task dispatch overhead
+    blocks = max(8, min(n_docs, 4 * n))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"],
+                           override_num_blocks=blocks)
+    return docs.map_batches(
+        DocsToTriples, batch_format="pyarrow",
+        concurrency=max(2, n - 1), num_cpus=1,
+        fn_constructor_kwargs={"pages_per_doc": pages_per_doc,
+                               "lang_filter": lang_filter})
+
+
 def kg_pipeline(pages_ds, num_buckets: int = 16, canonicalize: bool = True,
                 lang_filter: str = "en", distributed: bool = True,
-                checkpoint_dir: str | None = None):
+                checkpoint_dir: str | None = None, fused: bool = True):
     """Full pipeline: pages → KG Dataset (not yet written).
 
     English-only (documented limitation, SURVEY §2.2 row 26): non-en rows
@@ -92,8 +207,11 @@ def kg_pipeline(pages_ds, num_buckets: int = 16, canonicalize: bool = True,
         pages_ds = pages_ds.map_batches(
             lambda b: b.filter(pc.equal(b.column("lang"), lang_filter)),
             batch_format="pyarrow")
-    docs = annotate_pages(pages_ds, distributed=distributed)
-    triples = extract_triples(docs, distributed=distributed)
+    if fused:
+        triples = pages_to_triples(pages_ds, distributed=distributed)
+    else:
+        docs = annotate_pages(pages_ds, distributed=distributed)
+        triples = extract_triples(docs, distributed=distributed)
     if canonicalize:
         if checkpoint_dir:
             import ray.data as rd
@@ -101,10 +219,31 @@ def kg_pipeline(pages_ds, num_buckets: int = 16, canonicalize: bool = True,
             triples.write_parquet(checkpoint_dir)
             triples = rd.read_parquet(checkpoint_dir)
         else:
-            triples = triples.materialize()
+            # coalesce the ~hundreds of annotation-task micro-blocks before
+            # the wide phases — groupby fan-out scales with block count,
+            # and triples rows are tiny relative to the pages they came from
+            triples = triples.repartition(_ncpus()).materialize()
         alias = build_alias_map(triples)
     else:
         alias = None
+    return build_kg(triples, alias_map=alias, num_buckets=num_buckets)
+
+
+def kg_from_documents(sf_dir: str, num_buckets: int = 16,
+                      pages_per_doc: int | None = None,
+                      checkpoint_dir: str | None = None):
+    """Flagship end-to-end: documents.parquet → KG Dataset via the fused
+    pool + canonicalization shuffle (triples pinned at the stage
+    boundary)."""
+    import ray.data as rd
+
+    triples = documents_to_triples(sf_dir, pages_per_doc=pages_per_doc)
+    if checkpoint_dir:
+        triples.write_parquet(checkpoint_dir)
+        triples = rd.read_parquet(checkpoint_dir)
+    else:
+        triples = triples.repartition(_ncpus()).materialize()
+    alias = build_alias_map(triples)
     return build_kg(triples, alias_map=alias, num_buckets=num_buckets)
 
 

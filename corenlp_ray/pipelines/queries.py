@@ -235,9 +235,9 @@ def q_kbp_triples(sf_dir: str):
 
 def q_kg_triples(sf_dir: str):
     """The flagship: pages → annotate → openie∪kbp → canonicalize → KG."""
-    from corenlp_ray.pipelines.kg import kg_pipeline
+    from corenlp_ray.pipelines.kg import kg_from_documents
 
-    kg = kg_pipeline(_pages(sf_dir), num_buckets=16)
+    kg = kg_from_documents(sf_dir, num_buckets=16)
     return kg.drop_columns(["example_url"])
 
 

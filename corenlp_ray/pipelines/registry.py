@@ -26,8 +26,10 @@ class Stage:
     requires: tuple
     provides: tuple
     fn: Union[Callable, type]
-    # map_batches kwargs for the distributed path (actor pools etc.)
-    compute: dict = field(default_factory=dict)
+    # map_batches kwargs for the distributed path (actor pools etc.);
+    # a dict, or a zero-arg callable evaluated at apply time (lets pool
+    # sizes adapt to the cluster CPU count)
+    compute: Union[dict, Callable[[], dict]] = field(default_factory=dict)
 
 
 _REGISTRY: Dict[str, Stage] = {}
@@ -79,7 +81,8 @@ def apply(ds, names: Sequence[str], distributed: bool = True):
     distributed=False forces plain task stages with the stateless variants
     (useful under tight CPU budgets / unit tests)."""
     for st in build(names):
-        kwargs = dict(st.compute) if distributed else {}
+        kwargs = (st.compute() if callable(st.compute) else dict(st.compute)) \
+            if distributed else {}
         fn = st.fn
         if not distributed and isinstance(fn, type):
             inst = fn()

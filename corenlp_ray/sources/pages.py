@@ -211,28 +211,47 @@ def synth_pages_table(n: int = 50, seed: int = 0, with_gold: bool = False):
     return (tbl, golds) if with_gold else tbl
 
 
-def _docs_to_pages(batch: pa.Table) -> pa.Table:
+def _docs_to_pages(batch: pa.Table, pages_per_doc: int = 1) -> pa.Table:
     rows = []
     ids = batch.column("doc_id").to_pylist()
     langs = batch.column("lang").to_pylist()
     texts = batch.column("text").to_pylist()
     for doc_id, lang, filler in zip(ids, langs, texts):
-        r = make_page(int(doc_id), lang=lang, filler=filler or "")
-        r.pop("_gold")
-        rows.append(r)
+        for k in range(pages_per_doc):
+            r = make_page(int(doc_id) * pages_per_doc + k, lang=lang,
+                          filler=filler or "")
+            r.pop("_gold")
+            rows.append(r)
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def read_pages(sf_dir: str):
+def read_pages(sf_dir: str, pages_per_doc: int | None = None):
     """Ray Dataset of pages, derived deterministically from the driver's
-    ``documents`` table (1 row per document; volume scales with sf).
-    Streaming map_batches — nothing materializes on the driver."""
+    ``documents`` table (volume scales with sf). Streaming map_batches —
+    nothing materializes on the driver.
+
+    ``pages_per_doc`` (or $GRAFT_PAGES_PER_DOC, default 1) multiplies
+    corpus volume deterministically — the bench knob for measuring at
+    compute-dominated scale on a fixed sf directory."""
+    import os
+
     import ray.data as rd
 
+    if pages_per_doc is None:
+        pages_per_doc = int(os.environ.get("GRAFT_PAGES_PER_DOC", "1"))
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # task granularity: ~16 docs per block so downstream (fused) actor
+    # pools get many sub-second tasks to balance, independent of the
+    # parquet file's native row-group count
+    blocks = max(32, min(4096, n_docs // 16))
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "lang", "text"])
-    return docs.map_batches(_docs_to_pages, batch_format="pyarrow",
-                            batch_size=256)
+                           columns=["doc_id", "lang", "text"],
+                           override_num_blocks=blocks)
+    return docs.map_batches(
+        lambda b: _docs_to_pages(b, pages_per_doc),
+        batch_format="pyarrow", batch_size=64)
 
 
 def gold_triples_for_doc(doc_id: int) -> List[Tuple[str, str, str]]:

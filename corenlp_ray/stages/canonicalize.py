@@ -116,12 +116,14 @@ class ResolveAliases:
 
     ``alias_ref`` is a ``ray.ObjectRef`` from ``ray.put(alias_map)`` —
     fetched ONCE per actor (zero-copy from the local object store), never
-    shipped per batch."""
+    shipped per batch. With ``combine=True`` the per-batch dedup combiner
+    runs in the same stage (resolve + partial-aggregate in one pass)."""
 
-    def __init__(self, alias_ref):
+    def __init__(self, alias_ref, combine: bool = False):
         import ray
 
         self.aliases: Dict[str, str] = ray.get(alias_ref)
+        self.combine = combine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         subs, objs = [], []
@@ -130,11 +132,12 @@ class ResolveAliases:
             subs.append(al.get(normalize_surface(s or ""), s) or s)
         for o in batch.column("obj_canonical").to_pylist():
             objs.append(al.get(normalize_surface(o or ""), o) or o)
-        return (batch
-                .set_column(batch.schema.get_field_index("subj_canonical"),
-                            "subj_canonical", pa.array(subs, type=pa.string()))
-                .set_column(batch.schema.get_field_index("obj_canonical"),
-                            "obj_canonical", pa.array(objs, type=pa.string())))
+        out = (batch
+               .set_column(batch.schema.get_field_index("subj_canonical"),
+                           "subj_canonical", pa.array(subs, type=pa.string()))
+               .set_column(batch.schema.get_field_index("obj_canonical"),
+                           "obj_canonical", pa.array(objs, type=pa.string())))
+        return _triple_partial_agg(out) if self.combine else out
 
 
 # ----------------------------------------------------------- triple dedup ----
@@ -186,13 +189,17 @@ def build_kg(triples_ds, alias_map=None, num_buckets: int = 16):
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
-    ds = triples_ds
     if alias_map is not None:
         ref = ray.put(alias_map)
-        ds = ds.map_batches(ResolveAliases, batch_format="pyarrow",
-                            concurrency=(1, 8),
-                            fn_constructor_args=(ref,))
-    partial = ds.map_batches(_triple_partial_agg, batch_format="pyarrow")
+        ncpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        # resolve + combine fused into one actor-pool pass
+        partial = triples_ds.map_batches(
+            ResolveAliases, batch_format="pyarrow",
+            concurrency=max(2, ncpus // 8),
+            fn_constructor_args=(ref, True))
+    else:
+        partial = triples_ds.map_batches(_triple_partial_agg,
+                                         batch_format="pyarrow")
     merged = partial.groupby(["subj", "pred", "obj"]).aggregate(
         Max("confidence", alias_name="confidence"),
         Sum("support_count", alias_name="support_count"),
