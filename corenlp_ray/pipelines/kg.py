@@ -62,6 +62,21 @@ register(Stage("depparse", ("tok_pos",), ("dep_head", "dep_label"), DepParser,
 register(Stage("coref", ("men_begin", "tok_pos"),
                ("men_chain", "men_canonical", "pron_idx"), coref_batch))
 
+# optional annotators (not in the flagship chain; demand-driven)
+from corenlp_ray.stages.entitylink import entitylink_batch  # noqa: E402
+from corenlp_ray.stages.misc_annotators import (  # noqa: E402
+    gender_batch, quote_batch, truecase_batch)
+from corenlp_ray.stages.natlog import natlog_batch  # noqa: E402
+
+register(Stage("natlog", ("dep_head",), ("tok_polarity",), natlog_batch))
+register(Stage("entitylink", ("men_begin",), ("men_link",),
+               entitylink_batch))
+register(Stage("gender", ("men_begin",), ("men_gender",), gender_batch))
+register(Stage("truecase", ("tok_word",), ("tok_truecase",),
+               truecase_batch))
+register(Stage("quote", ("tok_lemma", "men_begin"),
+               ("quo_begin", "quo_text", "quo_speaker"), quote_batch))
+
 ANNOTATE_STAGES = ("cleanxml", "tokenize", "pos", "lemma", "ner",
                    "depparse", "coref")
 

@@ -241,6 +241,52 @@ def q_kg_triples(sf_dir: str):
     return kg.drop_columns(["example_url"])
 
 
+def q_entity_linking(sf_dir: str):
+    from corenlp_ray.stages.entitylink import entitylink_batch
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows = {"url": [], "surface": [], "ner": [], "link": []}
+        for r in range(b.num_rows):
+            url = b.column("url")[r].as_py()
+            words = b.column("tok_word")[r].as_py()
+            for mb, me, ty, lk in zip(b.column("men_begin")[r].as_py(),
+                                      b.column("men_end")[r].as_py(),
+                                      b.column("men_ner")[r].as_py(),
+                                      b.column("men_link")[r].as_py()):
+                rows["url"].append(url)
+                rows["surface"].append(" ".join(words[mb:me]))
+                rows["ner"].append(ty)
+                rows["link"].append(lk)
+        return pa.Table.from_pydict(rows)
+
+    return (_annotated(sf_dir)
+            .map_batches(entitylink_batch, batch_format="pyarrow")
+            .map_batches(explode, batch_format="pyarrow"))
+
+
+def q_quotes(sf_dir: str):
+    from corenlp_ray.stages.lemma import lemma_batch
+    from corenlp_ray.stages.misc_annotators import quote_batch
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows = {"url": [], "quote": [], "speaker": []}
+        for r in range(b.num_rows):
+            url = b.column("url")[r].as_py()
+            for qt, qs in zip(b.column("quo_text")[r].as_py(),
+                              b.column("quo_speaker")[r].as_py()):
+                rows["url"].append(url)
+                rows["quote"].append(qt)
+                rows["speaker"].append(qs)
+        return pa.Table.from_pydict(
+            rows, schema=pa.schema([("url", pa.string()),
+                                    ("quote", pa.string()),
+                                    ("speaker", pa.string())]))
+
+    return (_annotated(sf_dir)
+            .map_batches(quote_batch, batch_format="pyarrow")
+            .map_batches(explode, batch_format="pyarrow"))
+
+
 def q_minhash_dedup(sf_dir: str):
     from corenlp_ray.ops.dedup import minhash_dedup
 
@@ -323,6 +369,8 @@ QUERIES = {
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
     "entity_mentions": q_entity_mentions,
+    "entity_linking": q_entity_linking,
+    "quotes": q_quotes,
     "openie_triples": q_openie_triples,
     "kbp_triples": q_kbp_triples,
     "kg_triples": q_kg_triples,

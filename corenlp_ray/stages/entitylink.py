@@ -1,0 +1,99 @@
+"""Entity linking (the WikidictAnnotator analogue).
+
+The reference maps mention surface forms to Wikipedia titles through a
+21M-entry TSV dictionary (text → link → score), with DATE/NUMBER
+mentions taking their normalized value instead
+(/root/reference/src/edu/stanford/nlp/pipeline/WikidictAnnotator.java:
+31,57,144-179; dict path DefaultPaths.java:66).
+
+This engine ships a small deterministic dictionary (the v1 path per
+SURVEY §2.2 row 18) + a deterministic title-casing fallback. The SCALE
+path is the broadcast pattern already used for the alias map: ``ray.put``
+the dict once, fetch per actor; beyond object-store reach, a bucketed
+hash-join of (mention surface) against a dict Dataset on normalized
+form. The stage is an actor-pool class with the dict bound in
+``__init__`` (the 21M-entry slot).
+
+Adds: men_link list<string> (aligned with men_*).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import pyarrow as pa
+
+from corenlp_ray.stages.canonicalize import normalize_surface
+
+# curated head of the dictionary (scores omitted: deterministic 1.0 tier)
+WIKIDICT: Dict[str, str] = {
+    "u.s.": "United_States", "usa": "United_States",
+    "united states": "United_States", "u.k.": "United_Kingdom",
+    "uk": "United_Kingdom", "united kingdom": "United_Kingdom",
+    "america": "United_States", "england": "England", "france": "France",
+    "germany": "Germany", "china": "China", "japan": "Japan",
+    "india": "India", "russia": "Russia", "new york": "New_York_City",
+    "london": "London", "paris": "Paris", "berlin": "Berlin",
+    "tokyo": "Tokyo", "washington": "Washington,_D.C.",
+    "ibm": "IBM", "stanford university": "Stanford_University",
+}
+
+
+def link_of(surface: str, ner: str, normalized: str) -> Optional[str]:
+    """Pure kernel: one mention → link value (WikidictAnnotator.link
+    semantics: numeric/date mentions link to their normalized value;
+    entities to a dictionary title; else a deterministic title form)."""
+    if ner in ("DATE", "NUMBER", "MONEY", "PERCENT", "ORDINAL", "DURATION"):
+        return normalized or None
+    # dictionary lookup keeps internal punctuation ("u.s."); the
+    # canonicalization key strips it — try both
+    toks = surface.lower().split()
+    while toks and toks[0] in ("the", "a", "an"):
+        toks = toks[1:]
+    raw_key = " ".join(toks)
+    key = normalize_surface(surface)
+    if not key and not raw_key:
+        return None
+    hit = WIKIDICT.get(raw_key) or WIKIDICT.get(key)
+    if hit:
+        return hit
+    if ner in ("PERSON", "ORGANIZATION", "LOCATION", "MISC"):
+        # deterministic fallback title: Title_Case_With_Underscores
+        return "_".join(w.capitalize() for w in key.split())
+    return None
+
+
+class EntityLinker:
+    """Actor-pool map_batches stage: + men_link (requires men_*).
+
+    ``dict_ref``: optional ray.ObjectRef of a large dict to broadcast;
+    defaults to the embedded WIKIDICT."""
+
+    def __init__(self, dict_ref=None):
+        if dict_ref is not None:
+            import ray
+
+            self.wikidict = ray.get(dict_ref)
+        else:
+            self.wikidict = WIKIDICT
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        words_col = batch.column("tok_word").to_pylist()
+        mb_col = batch.column("men_begin").to_pylist()
+        me_col = batch.column("men_end").to_pylist()
+        mn_col = batch.column("men_ner").to_pylist()
+        mv_col = batch.column("men_norm").to_pylist()
+        for r in range(batch.num_rows):
+            words = words_col[r]
+            links = []
+            for b, e, t, nv in zip(mb_col[r], me_col[r], mn_col[r],
+                                   mv_col[r]):
+                links.append(link_of(" ".join(words[b:e]), t, nv) or "")
+            out.append(links)
+        return batch.append_column(
+            "men_link", pa.array(out, type=pa.list_(pa.string())))
+
+
+def entitylink_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant."""
+    return EntityLinker()(batch)

@@ -1,0 +1,166 @@
+"""Small annotators: gender, truecase, quote detection + attribution.
+
+Reference analogues:
+  * gender — first-name lookup (/root/reference/src/edu/stanford/nlp/
+    pipeline/GenderAnnotator.java:19).
+  * truecase — CRF-based truecasing for caseless text
+    (pipeline/TrueCaseAnnotator.java:21); this engine uses the
+    deterministic lexicon path: sentence-initial capitalization + known
+    proper-noun/gazetteer/acronym restoration.
+  * quote — quote detection with nesting + speaker attribution sieves
+    (pipeline/QuoteAnnotator.java:78, QuoteAttributionAnnotator.java:60);
+    this engine implements paired-quote span extraction and the
+    nearest-speaker-with-speech-verb attribution sieve.
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+from corenlp_ray.functions.lexicon import (FEMALE_NAMES, LOCATIONS,
+                                           MALE_NAMES, ORG_SUFFIXES)
+
+# ------------------------------------------------------------------ gender ----
+
+def gender_of(first_name: str) -> str:
+    lw = first_name.lower()
+    if lw in MALE_NAMES:
+        return "MALE"
+    if lw in FEMALE_NAMES:
+        return "FEMALE"
+    return "UNKNOWN"
+
+
+def gender_batch(batch: pa.Table) -> pa.Table:
+    """+ men_gender (aligned with men_*): PERSON mentions get first-name
+    gender, others UNKNOWN."""
+    out = []
+    words_col = batch.column("tok_word").to_pylist()
+    mb_col = batch.column("men_begin").to_pylist()
+    mn_col = batch.column("men_ner").to_pylist()
+    for r in range(batch.num_rows):
+        words = words_col[r]
+        out.append([gender_of(words[b]) if t == "PERSON" else "UNKNOWN"
+                    for b, t in zip(mb_col[r], mn_col[r])])
+    return batch.append_column("men_gender",
+                               pa.array(out, type=pa.list_(pa.string())))
+
+
+# ---------------------------------------------------------------- truecase ----
+
+_PROPER = {w for w in (list(MALE_NAMES) + list(FEMALE_NAMES))}
+_PROPER |= {c.lower() for c in LOCATIONS}
+_ACRONYM_RE = re.compile(r"^[a-z]{2,5}$")
+KNOWN_ACRONYMS = {"ibm", "nasa", "fbi", "cia", "un", "eu", "gdp", "ceo",
+                  "usa", "uk", "tv", "ai", "it"}
+
+
+def truecase_word(lw: str, sent_initial: bool) -> str:
+    """Pure kernel: lowercase word → truecased form."""
+    if lw in KNOWN_ACRONYMS:
+        return lw.upper()
+    if lw in _PROPER:
+        return lw.capitalize()
+    parts = lw.split(" ")
+    if len(parts) > 1:
+        return " ".join(truecase_word(p, False) for p in parts)
+    if sent_initial:
+        return lw[:1].upper() + lw[1:]
+    return lw
+
+
+def truecase_batch(batch: pa.Table) -> pa.Table:
+    """+ tok_truecase: restored casing for caseless text (requires tok_*;
+    applies only the deterministic lexicon rules)."""
+    out = []
+    words_col = batch.column("tok_word").to_pylist()
+    sb_col = batch.column("sent_begin").to_pylist()
+    for r in range(batch.num_rows):
+        words = words_col[r]
+        initials = set(sb_col[r])
+        out.append([truecase_word(w.lower(), i in initials)
+                    for i, w in enumerate(words)])
+    return batch.append_column("tok_truecase",
+                               pa.array(out, type=pa.list_(pa.string())))
+
+
+# ------------------------------------------------------------------- quote ----
+
+_SPEECH_VERBS = {"say", "tell", "ask", "reply", "add", "note", "claim",
+                 "state", "announce", "declare", "explain", "warn",
+                 "write", "argue", "insist", "report"}
+_OPEN_Q = {'"', "``", "“", "«"}
+_CLOSE_Q = {'"', "''", "”", "»"}
+
+
+def find_quotes(words: List[str]) -> List[Tuple[int, int]]:
+    """Pure kernel: token spans (begin, end) of quoted content (exclusive
+    of the quote marks). Straight quotes toggle; curly/PTB pairs nest."""
+    spans = []
+    stack = []
+    for i, w in enumerate(words):
+        if w in ("``", "“", "«"):
+            stack.append(i)
+        elif w in ("''", "”", "»") and stack:
+            b = stack.pop()
+            spans.append((b + 1, i))
+        elif w == '"':
+            if stack and words[stack[-1]] == '"':
+                b = stack.pop()
+                spans.append((b + 1, i))
+            else:
+                stack.append(i)
+    return sorted(spans)
+
+
+def attribute_quote(span: Tuple[int, int], words: List[str],
+                    lemmas: List[str],
+                    mentions: List[Tuple[int, int, str]]) -> Optional[str]:
+    """Nearest-speaker sieve: a PERSON mention adjacent to a speech verb
+    outside the quote, preferring after-quote ("..." said X) then
+    before-quote (X said "...")."""
+    b, e = span
+
+    def near_speech_verb(idx: int) -> bool:
+        lo, hi = max(0, idx - 3), min(len(words), idx + 4)
+        return any(lemmas[k] in _SPEECH_VERBS for k in range(lo, hi))
+
+    after = [m for m in mentions if m[2] == "PERSON" and m[0] >= e]
+    for m in after[:2]:
+        if near_speech_verb(m[0]):
+            return " ".join(words[m[0]:m[1]])
+    before = [m for m in mentions if m[2] == "PERSON" and m[1] <= b]
+    for m in reversed(before[-2:]):
+        if near_speech_verb(m[0]):
+            return " ".join(words[m[0]:m[1]])
+    return None
+
+
+def quote_batch(batch: pa.Table) -> pa.Table:
+    """+ quo_begin/quo_end/quo_text/quo_speaker parallel lists per doc
+    (requires tok_*, tok_lemma, men_*)."""
+    qb_c, qe_c, qt_c, qs_c = [], [], [], []
+    words_col = batch.column("tok_word").to_pylist()
+    lem_col = batch.column("tok_lemma").to_pylist()
+    mb_col = batch.column("men_begin").to_pylist()
+    me_col = batch.column("men_end").to_pylist()
+    mn_col = batch.column("men_ner").to_pylist()
+    for r in range(batch.num_rows):
+        words, lemmas = words_col[r], lem_col[r]
+        mens = list(zip(mb_col[r], me_col[r], mn_col[r]))
+        qb, qe, qt, qs = [], [], [], []
+        for span in find_quotes(words):
+            qb.append(span[0])
+            qe.append(span[1])
+            qt.append(" ".join(words[span[0]:span[1]]))
+            qs.append(attribute_quote(span, words, lemmas, mens) or "")
+        qb_c.append(qb); qe_c.append(qe); qt_c.append(qt); qs_c.append(qs)
+    i32 = pa.list_(pa.int32())
+    s = pa.list_(pa.string())
+    return (batch
+            .append_column("quo_begin", pa.array(qb_c, type=i32))
+            .append_column("quo_end", pa.array(qe_c, type=i32))
+            .append_column("quo_text", pa.array(qt_c, type=s))
+            .append_column("quo_speaker", pa.array(qs_c, type=s)))
