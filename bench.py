@@ -67,9 +67,12 @@ def run_bench() -> dict:
     ray.data.range(NUM_CPUS * 4).map_batches(
         lambda b: b, batch_format="pyarrow", batch_size=1).count()
 
+    only = os.environ.get("GRAFT_BENCH_ONLY")
+    bench_queries = [q for q in BENCH_QUERIES
+                     if not only or q in only.split(",")]
     timings = {}
     counts = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         t0 = time.time()
         counts[name] = consume(QUERIES[name](SF_DIR))
         timings[name] = round(time.time() - t0, 3)
@@ -114,7 +117,8 @@ def _mp_burn(k):
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY="kg_triples")
         env.setdefault("GRAFT_PAGES_PER_DOC", "16")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

@@ -1,0 +1,245 @@
+"""Mini rule engines — the user-extension surface (SURVEY §2.6).
+
+Two pattern languages, both loadable from data files, mirroring the
+reference's rule-engines-as-data design:
+
+  * TokenPattern — a TokensRegex-style token-sequence language
+    (/root/reference/src/edu/stanford/nlp/ling/tokensregex/
+    TokenSequencePattern.java:140). Patterns are sequences of token
+    constraints with quantifiers:
+        [word:/regex/] [pos:NNP]+ [ner:PERSON]? [lemma:run] []
+    Attributes: word, lower, lemma, pos, ner. ``[]`` matches any token.
+    Quantifiers: + * ? {m,n}.
+
+  * DepPattern — a semgrex-style dependency pattern
+    (/root/reference/src/edu/stanford/nlp/semgraph/semgrex/
+    SemgrexPattern.java:239):
+        {pos:/VB.*/}=verb >nsubj {ner:PERSON}=subj >obj {}=obj
+    One governor node with ``>label {constraint}=name`` child clauses
+    (the fragment the KBP/OpenIE banks actually use).
+
+Both compile once (load-time) and match per sentence — pure kernels
+pluggable into any map_batches stage; ``TokensRegexNERStage`` shows the
+gazetteer-overlay use (TokensRegexNERAnnotator semantics: priority,
+only-overwrite-O)."""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+_ATTRS = ("word", "lower", "lemma", "pos", "ner")
+
+_TOK_RE = re.compile(
+    r"\[\s*(?:(\w+)\s*:\s*(?:/((?:[^/\\]|\\.)*)/|([^\]\s]+)))?\s*\]"
+    r"(\+|\*|\?|\{(\d+),(\d+)\})?")
+
+
+class _Constraint:
+    def __init__(self, attr: Optional[str], regex: Optional[str],
+                 literal: Optional[str], min_n: int, max_n: int):
+        self.attr = attr
+        self.rx = re.compile(regex + r"\Z") if regex is not None else None
+        self.literal = literal
+        self.min_n = min_n
+        self.max_n = max_n
+
+    def ok(self, tok: Dict[str, str]) -> bool:
+        if self.attr is None:
+            return True
+        v = tok.get(self.attr, "")
+        if self.rx is not None:
+            return bool(self.rx.match(v))
+        return v == self.literal
+
+
+class TokenPattern:
+    """Compiled token-sequence pattern; greedy with backtracking."""
+
+    def __init__(self, pattern: str):
+        self.src = pattern
+        self.steps: List[_Constraint] = []
+        pos = 0
+        for m in _TOK_RE.finditer(pattern):
+            if pattern[pos:m.start()].strip():
+                raise ValueError(
+                    f"unparsed pattern text {pattern[pos:m.start()]!r}")
+            pos = m.end()
+            attr, rx, lit, quant, lo, hi = m.groups()
+            if attr is not None and attr not in _ATTRS:
+                raise ValueError(f"unknown attribute {attr!r}")
+            if quant == "+":
+                mn, mx = 1, 10**6
+            elif quant == "*":
+                mn, mx = 0, 10**6
+            elif quant == "?":
+                mn, mx = 0, 1
+            elif quant:
+                mn, mx = int(lo), int(hi)
+            else:
+                mn, mx = 1, 1
+            self.steps.append(_Constraint(attr, rx, lit, mn, mx))
+        if pattern[pos:].strip():
+            raise ValueError(f"unparsed pattern tail {pattern[pos:]!r}")
+
+    def match_at(self, toks: Sequence[Dict[str, str]], start: int) -> Optional[int]:
+        """Return end index (exclusive) of a match starting at start."""
+        def rec(si: int, ti: int) -> Optional[int]:
+            if si == len(self.steps):
+                return ti
+            st = self.steps[si]
+            # count maximal run
+            run = 0
+            while ti + run < len(toks) and run < st.max_n \
+                    and st.ok(toks[ti + run]):
+                run += 1
+            for take in range(run, st.min_n - 1, -1):  # greedy, backtrack
+                out = rec(si + 1, ti + take)
+                if out is not None:
+                    return out
+            return None
+
+        return rec(0, start)
+
+    def find_all(self, toks: Sequence[Dict[str, str]]) -> List[Tuple[int, int]]:
+        """Non-overlapping leftmost-longest matches → [(begin, end)]."""
+        out = []
+        i = 0
+        while i < len(toks):
+            e = self.match_at(toks, i)
+            if e is not None and e > i:
+                out.append((i, e))
+                i = e
+            else:
+                i += 1
+        return out
+
+
+def toks_of(words, lemmas=None, tags=None, ners=None) -> List[Dict[str, str]]:
+    n = len(words)
+    lemmas = lemmas or [""] * n
+    tags = tags or [""] * n
+    ners = ners or [""] * n
+    return [{"word": w, "lower": w.lower(), "lemma": l, "pos": p, "ner": e}
+            for w, l, p, e in zip(words, lemmas, tags, ners)]
+
+
+# ------------------------------------------------------------ dep pattern ----
+
+_NODE_RE = re.compile(
+    r"\{\s*(?:(\w+)\s*:\s*(?:/((?:[^/\\]|\\.)*)/|([^}\s]+)))?\s*\}"
+    r"(?:=(\w+))?")
+_EDGE_RE = re.compile(r">(\S+)")
+
+
+class DepPattern:
+    """Semgrex-style governor-with-children pattern."""
+
+    def __init__(self, pattern: str):
+        self.src = pattern
+        s = pattern.strip()
+        m = _NODE_RE.match(s)
+        if not m:
+            raise ValueError(f"bad dep pattern {pattern!r}")
+        self.gov = self._node(m)
+        self.gov_name = m.group(4) or "gov"
+        s = s[m.end():]
+        self.children: List[Tuple[str, _Constraint, str]] = []
+        while s.strip():
+            em = _EDGE_RE.match(s.strip())
+            if not em:
+                raise ValueError(f"expected >label in {s!r}")
+            rest = s.strip()[em.end():].strip()
+            nm = _NODE_RE.match(rest)
+            if not nm:
+                raise ValueError(f"expected node after >{em.group(1)}")
+            self.children.append(
+                (em.group(1), self._node(nm),
+                 nm.group(4) or f"c{len(self.children)}"))
+            s = rest[nm.end():]
+
+    @staticmethod
+    def _node(m) -> _Constraint:
+        attr, rx, lit, _name = m.groups()
+        if attr is not None and attr not in _ATTRS:
+            raise ValueError(f"unknown attribute {attr!r}")
+        return _Constraint(attr, rx, lit, 1, 1)
+
+    def match(self, toks: Sequence[Dict[str, str]], heads: Sequence[int],
+              labels: Sequence[str]) -> List[Dict[str, int]]:
+        """All bindings {name: token_index} (sentence-local heads)."""
+        kids: Dict[int, List[int]] = {}
+        for i, h in enumerate(heads):
+            if h >= 0:
+                kids.setdefault(h, []).append(i)
+        out = []
+        for g in range(len(toks)):
+            if not self.gov.ok(toks[g]):
+                continue
+            bind_sets = [[]]
+            ok = True
+            for (lab, cons, name) in self.children:
+                cands = [c for c in kids.get(g, ())
+                         if labels[c] == lab and cons.ok(toks[c])]
+                if not cands:
+                    ok = False
+                    break
+                bind_sets = [bs + [(name, c)] for bs in bind_sets
+                             for c in cands]
+            if ok:
+                for bs in bind_sets:
+                    out.append({self.gov_name: g, **dict(bs)})
+        return out
+
+
+# ------------------------------------------------- TokensRegexNER overlay ----
+
+class TokensRegexNERStage:
+    """Gazetteer overlay stage from mapping entries
+    ``(pattern, type, priority)`` — TokensRegexNERAnnotator semantics:
+    longest/priority wins, only overwrites 'O' tokens. Entries compile
+    once per actor (__init__)."""
+
+    def __init__(self, entries: Sequence[Tuple[str, str, float]]):
+        self.rules = sorted(
+            ((TokenPattern(p), t, pr) for p, t, pr in entries),
+            key=lambda r: -r[2])
+
+    def apply(self, words, lemmas, tags, ners) -> List[str]:
+        toks = toks_of(words, lemmas, tags, ners)
+        out = list(ners)
+        for pat, typ, _pr in self.rules:
+            for b, e in pat.find_all(toks):
+                if all(out[k] == "O" for k in range(b, e)):
+                    for k in range(b, e):
+                        out[k] = typ
+        return out
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        ner_c = []
+        words_col = batch.column("tok_word").to_pylist()
+        lem_col = batch.column("tok_lemma").to_pylist()
+        pos_col = batch.column("tok_pos").to_pylist()
+        ner_col = batch.column("tok_ner").to_pylist()
+        for words, lemmas, tags, ners in zip(words_col, lem_col, pos_col,
+                                             ner_col):
+            ner_c.append(self.apply(words, lemmas, tags, ners))
+        idx = batch.schema.get_field_index("tok_ner")
+        return batch.set_column(idx, "tok_ner",
+                                pa.array(ner_c, type=pa.list_(pa.string())))
+
+
+def load_mapping_file(path: str) -> List[Tuple[str, str, float]]:
+    """TSV mapping file: pattern \\t TYPE [\\t priority] — the
+    TokensRegexNER file format (header comments with #)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            pr = float(parts[2]) if len(parts) > 2 else 0.0
+            out.append((parts[0], parts[1], pr))
+    return out
