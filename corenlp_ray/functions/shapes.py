@@ -1,0 +1,87 @@
+"""Per-token string kernels (SURVEY §2.5): word shapes, Americanize,
+lowercase — the process/ string-function library analogues.
+
+Word shape follows the reference's "chris2" style at reduced scope
+(/root/reference/src/edu/stanford/nlp/process/WordShapeClassifier.java):
+character classes X/x/d/punct, runs collapsed, head/tail preserved —
+the feature CRF-style NER models key on. ``Americanize`` maps common
+British spellings (process/Americanize.java).
+"""
+from __future__ import annotations
+
+import re
+from typing import List
+
+import pyarrow as pa
+
+
+def word_shape(w: str, max_len: int = 4) -> str:
+    """Collapse a token to its shape: Xx, xxx, dd, Xx-Xx …
+    Runs longer than max_len collapse with their distinct classes kept
+    (the chris2 collapsing idea)."""
+    classes = []
+    for ch in w:
+        if ch.isupper():
+            classes.append("X")
+        elif ch.islower():
+            classes.append("x")
+        elif ch.isdigit():
+            classes.append("d")
+        else:
+            classes.append(ch)
+    if len(classes) <= max_len:
+        return "".join(classes)
+    head = classes[:2]
+    tail = classes[-2:]
+    mid = sorted(set(classes[2:-2]))
+    return "".join(head) + "".join(mid) + "".join(tail)
+
+
+_BRITISH = {
+    "colour": "color", "colours": "colors", "flavour": "flavor",
+    "behaviour": "behavior", "behaviours": "behaviors",
+    "honour": "honor", "labour": "labor", "neighbour": "neighbor",
+    "neighbours": "neighbors", "organise": "organize",
+    "organised": "organized", "organisation": "organization",
+    "organisations": "organizations", "realise": "realize",
+    "realised": "realized", "recognise": "recognize", "centre": "center",
+    "centres": "centers", "theatre": "theater", "metre": "meter",
+    "litre": "liter", "defence": "defense", "offence": "offense",
+    "licence": "license", "practise": "practice", "analyse": "analyze",
+    "analysed": "analyzed", "catalogue": "catalog", "dialogue": "dialog",
+    "travelling": "traveling", "travelled": "traveled",
+    "cancelled": "canceled", "programme": "program",
+    "programmes": "programs", "grey": "gray",
+}
+_OUR_RE = re.compile(r"(.{3,})our(s?)$")
+_ISE_RE = re.compile(r"(.{3,})is(e[sd]?|ing|ation)$")
+
+
+def americanize(w: str) -> str:
+    """British → American spelling (dictionary + -our/-ise rules)."""
+    lw = w.lower()
+    hit = _BRITISH.get(lw)
+    if hit is None:
+        m = _OUR_RE.match(lw)
+        if m and lw not in ("four", "your", "hour", "tour", "pour", "sour"):
+            hit = m.group(1) + "or" + m.group(2)
+        else:
+            m = _ISE_RE.match(lw)
+            if m:
+                hit = m.group(1) + "iz" + m.group(2)
+    if hit is None:
+        return w
+    if w.isupper():
+        return hit.upper()
+    if w[:1].isupper():
+        return hit.capitalize()
+    return hit
+
+
+def shape_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage: + tok_shape (requires tok_word)."""
+    out: List[List[str]] = []
+    for words in batch.column("tok_word").to_pylist():
+        out.append([word_shape(w) for w in words])
+    return batch.append_column("tok_shape",
+                               pa.array(out, type=pa.list_(pa.string())))
