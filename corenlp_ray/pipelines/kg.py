@@ -146,9 +146,11 @@ def pages_to_triples(pages_ds, distributed: bool = True):
     minus a driver/IO share)."""
     if distributed:
         n = _ncpus()
+        # n-1 actors, floor 1: the pool must never reserve EVERY cpu or
+        # the upstream read tasks starve and the pipeline wedges
         return pages_ds.map_batches(
             FusedDocAnnotator, batch_format="pyarrow", batch_size=16,
-            concurrency=max(2, n - 1), num_cpus=1)
+            concurrency=max(1, n - 1), num_cpus=1)
     inst = FusedDocAnnotator()
     return pages_ds.map_batches(lambda b: inst(b), batch_format="pyarrow")
 
@@ -198,7 +200,7 @@ def documents_to_triples(sf_dir: str, pages_per_doc: int | None = None,
                            override_num_blocks=blocks)
     return docs.map_batches(
         DocsToTriples, batch_format="pyarrow",
-        concurrency=max(2, n - 1), num_cpus=1,
+        concurrency=max(1, n - 1), num_cpus=1,
         fn_constructor_kwargs={"pages_per_doc": pages_per_doc,
                                "lang_filter": lang_filter})
 

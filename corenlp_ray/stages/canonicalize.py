@@ -195,7 +195,7 @@ def build_kg(triples_ds, alias_map=None, num_buckets: int = 16):
         # resolve + combine fused into one actor-pool pass
         partial = triples_ds.map_batches(
             ResolveAliases, batch_format="pyarrow",
-            concurrency=max(2, ncpus // 8),
+            concurrency=max(1, min(ncpus - 1, ncpus // 8 + 1)),
             fn_constructor_args=(ref, True))
     else:
         partial = triples_ds.map_batches(_triple_partial_agg,

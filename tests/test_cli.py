@@ -1,0 +1,39 @@
+"""CLI driver (python -m corenlp_ray) — the ray job submit surface."""
+import json
+import subprocess
+import sys
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "corenlp_ray", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+             "HOME": "/root", "RAY_ADDRESS": "local"})
+
+
+def test_cli_kg_and_resume(tmp_path):
+    out = str(tmp_path / "kg")
+    r = run_cli("kg", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+                "--num-buckets", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["written"] == 4
+    r2 = run_cli("kg", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+                 "--num-buckets", "4")
+    res2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert res2 == {"job": "kg", "out": out, "written": 0, "skipped": 4}
+
+
+def test_cli_query(tmp_path):
+    r = run_cli("query", "--name", "lang_counts", "--sf-dir",
+                "/root/testdata/sf0.001", "--limit", "10")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.strip().splitlines()]
+    assert any(row["lang"] == "en" for row in rows)
+
+
+def test_cli_unknown_query():
+    r = run_cli("query", "--name", "nope", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr
