@@ -79,6 +79,7 @@ OPENIE_SENTENCES = [
     "{O} acquired {O2}.",
     "{P}'s research group studies {T}.",
     "The quick brown fox jumped over the lazy dog.",
+    '"We will win this year," said {P2}.',
 ]
 
 # Coref exercise: pronoun in a follow-up sentence refers to {P}.
