@@ -177,7 +177,10 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
     if main_verbs:
         root = main_verbs[0]
     elif heads_of_chunks:
-        root = heads_of_chunks[0]
+        # verbless fragment: root = first chunk head that is not already
+        # attached (e.g. a possessor NP points at its possessee)
+        root = next((h for h in heads_of_chunks if heads[h] == -2),
+                    heads_of_chunks[0])
     elif n:
         root = 0
     if root >= 0:

@@ -139,12 +139,25 @@ def extract_sentence_triples(
         subj = next((c for c, l in kids if l in ("nsubj", "nsubj:pass")), None)
         cop = next((c for c, l in kids if l == "cop"), None)
         if subj is None:
+            # E1: existential — "There are cats with tails" →
+            # (cats, is with, tails); subject slot filled by the pivot NP
+            if cop is not None and any(tags[k] == "EX" for k in range(n)):
+                for c, l in kids:
+                    if l in ("obl", "nmod"):
+                        case = next((cc for cc, ll in ch.get(c, ())
+                                     if ll == "case"), None)
+                        if case is not None:
+                            emit(v, "is " + words[case].lower(), c, 0.9)
             continue
         auxes = sorted(c for c, l in kids if l in ("aux", "aux:pass"))
         if cop is not None:
-            # C1: copular predicate
+            # C1: copular predicate — full span plus the forward-entailment
+            # shortened variant (head only), mirroring the reference's
+            # ForwardEntailer-shortened extraction set
             pred_span = _span_tokens(v, ch, words)
             emit(subj, lemmas[cop] if lemmas[cop] != "be" else "is", v, 1.0)
+            if len(pred_span) > 1:
+                emit(subj, "is", v, 0.9, o_surface=words[v])
             # C2: pred + of-nmod → relation through the predicate nominal
             for c, l in kids:
                 if l == "nmod":
@@ -152,6 +165,8 @@ def extract_sentence_triples(
                     if case is not None and words[case].lower() == "of":
                         rel = "is " + _phrase(pred_span, words, tags) + " of"
                         emit(subj, rel, c, 0.95)
+                        if len(pred_span) > 1:
+                            emit(subj, "is " + words[v] + " of", c, 0.9)
             continue
         if tags[v] in _VERB:
             verb_words = [words[a] for a in auxes if words[a].lower() != "do"]

@@ -1,0 +1,69 @@
+"""Regression suite against the reference's OWN OpenIE golden triples
+(/root/reference/itest/src/edu/stanford/nlp/naturalli/OpenIEITest.java:
+45-260 and test/.../RelationTripleSegmenterTest). Containment assertions:
+for each reference sentence, the KEY reference triples must appear in
+our extraction set (the reference's full sets additionally contain
+entailment-shortened variants; band scored below)."""
+import pytest
+
+from corenlp_ray.stages.depparse import parse_sentence
+from corenlp_ray.stages.lemma import lemma_of
+from corenlp_ray.stages.ner import ner_sentence
+from corenlp_ray.stages.openie import extract_sentence_triples
+from corenlp_ray.stages.pos import tag_sentence
+from corenlp_ray.stages.tokenize import tokenize
+
+
+def triples(text):
+    words = [t[0] for t in tokenize(text)]
+    tags = tag_sentence(words)
+    lemmas = [lemma_of(w, t) for w, t in zip(words, tags)]
+    types, mentions = ner_sentence(words, tags)
+    heads, labels = parse_sentence(words, tags)
+    mens = [(b, e, t) for b, e, t, _ in mentions]
+    got = extract_sentence_triples(words, tags, lemmas, heads, labels, mens)
+    return {(s.lower(), p.lower(), o.lower()) for s, p, o, *_ in got}
+
+
+# (sentence, [key golden triples]) — drawn from OpenIEITest goldens
+GOLDENS = [
+    ("some cats have tails", [("cats", "have", "tails")]),
+    ("All rabbits eat vegetables.", [("rabbits", "eat", "vegetables")]),
+    ("IBM's research group.", [("ibm", "has", "research group")]),
+    ("There are cats with tails.", [("cats", "is with", "tails")]),
+    ("Barack Hussein Obama is the President of the United States.",
+     [("barack hussein obama", "is", "president"),
+      ("barack hussein obama", "is president of", "united states")]),
+    ("George Boyd joined on loan from Peterborough United.",
+     [("george boyd", "joined on", "loan")]),
+    ("He defeated Republican nominee John McCain.",
+     [("he", "defeated", "republican nominee john mccain")]),
+    ("He was inaugurated as president.",
+     [("he", "was inaugurated as", "president")]),
+    ("He worked as a civil rights attorney.",
+     [("he", "worked as", "civil rights attorney")]),
+    ("He taught constitutional law.",
+     [("he", "taught", "constitutional law")]),
+    ("Obama was born in Hawaii.", [("obama", "was born in", "hawaii")]),
+    ("Mary is beautiful.", [("mary", "is", "beautiful")]),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS,
+                         ids=[g[0][:40] for g in GOLDENS])
+def test_reference_golden_contained(text, expected):
+    got = triples(text)
+    for t in expected:
+        assert t in got, f"missing {t}; got {sorted(got)}"
+
+
+def test_recall_band_over_suite():
+    """Recall of key reference triples across the whole suite ≥ 0.95
+    (the OpenIE-regression leg of the P/R gate)."""
+    total = hits = 0
+    for text, expected in GOLDENS:
+        got = triples(text)
+        for t in expected:
+            total += 1
+            hits += t in got
+    assert hits / total >= 0.95, f"recall {hits}/{total}"
