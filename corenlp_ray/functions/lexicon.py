@@ -100,6 +100,9 @@ OPEN_CLASS = {
     "cats": "NNS", "tails": "NNS", "rabbits": "NNS", "vegetables": "NNS",
     "dogs": "NNS", "men": "NNS", "women": "NNS", "children": "NNS",
     "years": "NNS", "companies": "NNS", "groups": "NNS",
+    "shares": "NNS", "prices": "NNS", "stocks": "NNS", "profits": "NNS",
+    "sales": "NNS", "results": "NNS", "officials": "NNS",
+    "investors": "NNS", "markets": "NNS", "analysts": "NNS",
     "robotics": "NN", "biology": "NN", "linguistics": "NN",
     "astronomy": "NN", "economics": "NN", "home": "NN", "bone": "NN",
     "bones": "NNS",
@@ -207,6 +210,8 @@ ORG_SUFFIXES = {
     "technologies", "university", "institute", "association", "agency",
     "bank", "airlines", "motors", "labs", "laboratories", "partners",
     "company", "corporation", "foundation", "press", "times", "journal",
+    "union", "committee", "council", "commission", "ministry", "party",
+    "league", "federation", "department", "bureau", "fund", "trust",
 }
 
 PERSON_TITLES = {

@@ -53,6 +53,8 @@ def _type_nnp_run(words: List[str], lowers: List[str], b: int, e: int,
     span_lower = " ".join(lowers[b:e])
     if span_lower in LOCATIONS:
         return "LOCATION"
+    if span_lower in GAZETTEER:
+        return GAZETTEER[span_lower]
     if lowers[e - 1] in ORG_SUFFIXES or (e - b >= 2 and lowers[e - 2] in ORG_SUFFIXES):
         return "ORGANIZATION"
     if lowers[b] in MALE_NAMES or lowers[b] in FEMALE_NAMES:

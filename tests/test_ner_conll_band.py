@@ -1,0 +1,84 @@
+"""CoNLL-2003-style NER span-F1 band check — mirrors the reference's
+banded NER benchmark method (itest/.../NERBenchmarkSlowITest.java:170-210,
+band helper BenchmarkingHelper.java:24-55). Fixture sentences follow
+FIXTURES F4: tokenized sentences + gold typed spans over
+PER/ORG/LOC/MISC + DATE/NUMBER normalization cases."""
+from corenlp_ray.stages.ner import ner_sentence
+from corenlp_ray.stages.pos import tag_sentence
+from corenlp_ray.stages.tokenize import tokenize
+
+# (text, [(surface, TYPE)])
+GOLD = [
+    ("Peter Blackburn rejected the proposal.",
+     [("Peter Blackburn", "PERSON")]),
+    ("The European Union lifted a ban on British beef.",
+     [("European Union", "ORGANIZATION"), ("British", "MISC")]),
+    ("Germany imported 47,600 sheep from Britain last year.",
+     [("Germany", "LOCATION"), ("47,600", "NUMBER"),
+      ("Britain", "LOCATION")]),
+    ("John Smith works at Acme Corp. in Springfield.",
+     [("John Smith", "PERSON"), ("Acme Corp.", "ORGANIZATION"),
+      ("Springfield", "LOCATION")]),
+    ("The meeting is scheduled for March 15, 2024.",
+     [("March 15 , 2024", "DATE")]),
+    ("Shares fell 4.5% to $23.50 on Friday.",
+     [("4.5 %", "PERCENT"), ("$ 23.50", "MONEY"), ("Friday", "DATE")]),
+    ("Mary Johnson flew from Boston to Paris.",
+     [("Mary Johnson", "PERSON"), ("Boston", "LOCATION"),
+      ("Paris", "LOCATION")]),
+    ("Stark Industries acquired Cyberdyne Systems in 2011.",
+     [("Stark Industries", "ORGANIZATION"),
+      ("Cyberdyne Systems", "ORGANIZATION"), ("2011", "DATE")]),
+    ("President Obama visited Berlin on Tuesday.",
+     [("Obama", "PERSON"), ("Berlin", "LOCATION"), ("Tuesday", "DATE")]),
+    ("Dr. Susan Clark teaches at Stanford University.",
+     [("Susan Clark", "PERSON"), ("Stanford University", "ORGANIZATION")]),
+    ("The company paid $3 million for the land.",
+     [("$ 3 million", "MONEY")]),
+    ("Robert Brown was the third runner.",
+     [("Robert Brown", "PERSON"), ("third", "ORDINAL")]),
+    ("Linda Martinez moved to Dover in October 1999.",
+     [("Linda Martinez", "PERSON"), ("Dover", "LOCATION"),
+      ("October 1999", "DATE")]),
+    ("Hooli hired twenty engineers.",
+     [("Hooli", "ORGANIZATION"), ("twenty", "NUMBER")]),
+    ("William Lewis met Barbara Taylor in Chicago.",
+     [("William Lewis", "PERSON"), ("Barbara Taylor", "PERSON"),
+      ("Chicago", "LOCATION")]),
+]
+
+
+def predict(text):
+    words = [t[0] for t in tokenize(text)]
+    tags = tag_sentence(words)
+    _, mentions = ner_sentence(words, tags)
+    return {(" ".join(words[b:e]), t) for b, e, t, _ in mentions}
+
+
+def prf():
+    tp = fp = fn = 0
+    errors = []
+    for text, gold in GOLD:
+        got = predict(text)
+        gold_set = set(gold)
+        tp += len(got & gold_set)
+        for x in got - gold_set:
+            fp += 1
+            errors.append(("FP", text, x))
+        for x in gold_set - got:
+            fn += 1
+            errors.append(("FN", text, x))
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    f1 = 2 * p * r / max(p + r, 1e-9)
+    return p, r, f1, errors
+
+
+def test_ner_f1_band():
+    p, r, f1, errors = prf()
+    assert f1 >= 0.90, f"F1={f1:.3f} P={p:.3f} R={r:.3f}; errors={errors[:10]}"
+
+
+def test_ner_recall_band():
+    p, r, f1, errors = prf()
+    assert r >= 0.90, f"R={r:.3f}; misses={[e for e in errors if e[0]=='FN'][:10]}"
