@@ -54,25 +54,28 @@ def _shingles(text: str, k: int = 3) -> List[str]:
 
 def _perm_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    # odd multipliers → bijective multiply-shift hashing mod 2^64
+    a = (rng.randint(1, 1 << 62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
     return a, b
 
 
 def minhash_signature(text: str, num_perm: int = 64, k: int = 3,
                       _cache={}) -> np.ndarray:
-    """num_perm-wide MinHash signature via (a*h+b) mod p universal hashes
-    over 64-bit shingle hashes. Deterministic."""
+    """num_perm-wide MinHash signature via multiply-shift universal hashes
+    (a*h+b mod 2^64, numpy uint64 overflow — fully vectorized) over
+    md5-derived 64-bit shingle hashes. Deterministic across
+    runs/processes."""
     if num_perm not in _cache:
         _cache[num_perm] = _perm_params(num_perm)
     a, b = _cache[num_perm]
     sh = _shingles(text, k)
     if not sh:
         return np.zeros(num_perm, dtype=np.uint64)
-    H = np.array([_base_hash64(s) for s in sh], dtype=object)
-    # (num_perm, n_shingles) universal-hash matrix → row-wise min
-    M = (a[:, None] * H[None, :] + b[:, None]) % _MERSENNE
-    return np.array([int(min(row)) for row in M], dtype=np.uint64)
+    H = np.array([_base_hash64(s) for s in sh], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        M = a[:, None] * H[None, :] + b[:, None]  # uint64 wraparound
+    return M.min(axis=1)
 
 
 def _minhash_bands_batch(batch: pa.Table, num_perm: int, bands: int,
@@ -96,6 +99,43 @@ def _minhash_bands_batch(batch: pa.Table, num_perm: int, bands: int,
                           ("doc_id", pa.int64())]))
 
 
+def _npartitions() -> int:
+    try:
+        import ray
+
+        return max(8, 4 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 16
+
+
+def _add_partition(batch: pa.Table, cols, npart: int) -> pa.Table:
+    import zlib
+
+    keys = zip(*(batch.column(c).to_pylist() for c in cols))
+    part = [zlib.crc32("|".join(map(str, k)).encode()) % npart for k in keys]
+    return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+
+def partitioned_group_apply(ds, key_cols, inner, npart=None):
+    """Scale-shaped groupby for MANY tiny groups: hash-partition the key
+    space into ~4×CPU coarse partitions (one Ray group each), then a
+    vectorized pandas groupby INSIDE each partition. Avoids
+    per-tiny-group Python dispatch (the map_groups-per-bucket trap)."""
+    npart = npart or _npartitions()
+    parted = ds.map_batches(lambda b: _add_partition(b, key_cols, npart),
+                            batch_format="pyarrow")
+
+    def run(part_df: pd.DataFrame) -> pd.DataFrame:
+        out = [inner(g) for _, g in part_df.groupby(list(key_cols),
+                                                    sort=False)]
+        out = [o for o in out if len(o)]
+        if not out:
+            return inner(part_df.iloc[0:0])
+        return pd.concat(out, ignore_index=True)
+
+    return parted.groupby("_part").map_groups(run, batch_format="pandas")
+
+
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     ids = sorted(set(group["doc_id"].tolist()))[:_MAX_BUCKET]
     a, b = [], []
@@ -110,13 +150,13 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                       k: int = 3):
     """docs → distinct LSH candidate pairs (doc_a < doc_b).
 
-    shingle→minhash per batch → band explode → groupby(band_id, band_hash)
-    → within-bucket pairs (hot-bucket capped) → distinct."""
+    shingle→minhash per batch → band explode → partitioned bucket
+    groupby → within-bucket pairs (hot-bucket capped) → distinct."""
     exploded = docs_ds.map_batches(
         lambda b: _minhash_bands_batch(b, num_perm, bands, k),
         batch_format="pyarrow")
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
+    pairs = partitioned_group_apply(
+        exploded, ("band_id", "band_hash"), _bucket_pairs)
     from ray.data.aggregate import Count
 
     return (pairs.groupby(["doc_a", "doc_b"])
@@ -245,16 +285,36 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
             .append_column("sh_block3", pa.array(b3, type=pa.int32())))
 
 
+def _simhash_explode(batch: pa.Table) -> pa.Table:
+    """docs batch → (block_id, block_val, doc_id, simhash) rows (4/doc)."""
+    sh = simhash_batch(batch)
+    bid, bval, did, h = [], [], [], []
+    ids = sh.column("doc_id").to_pylist()
+    hs = sh.column("simhash").to_pylist()
+    blocks = [sh.column(f"sh_block{i}").to_pylist() for i in range(4)]
+    for r in range(len(ids)):
+        for i in range(4):
+            bid.append(i)
+            bval.append(blocks[i][r])
+            did.append(ids[r])
+            h.append(hs[r])
+    return pa.Table.from_pydict(
+        {"block_id": bid, "block_val": bval, "doc_id": did, "simhash": h},
+        schema=pa.schema([("block_id", pa.int32()),
+                          ("block_val", pa.int32()),
+                          ("doc_id", pa.int64()),
+                          ("simhash", pa.int64())]))
+
+
 def simhash_pairs(docs_ds, max_hamming: int = 3):
-    """SimHash near-dup pairs: 4-block bucketing → within-bucket Hamming
-    verify (pure batch compute; 4 small shuffles)."""
-    sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow") \
-                .select_columns(["doc_id", "simhash", "sh_block0",
-                                 "sh_block1", "sh_block2", "sh_block3"])
+    """SimHash near-dup pairs: explode the 4 16-bit blocks → ONE
+    partitioned bucket groupby → within-bucket Hamming verify → min per
+    pair (near-dups with Hamming ≤ 3 share at least one block)."""
+    exploded = docs_ds.map_batches(_simhash_explode, batch_format="pyarrow")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = {"doc_a": [], "doc_b": [], "hamming": []}
-        recs = sorted(zip(group["doc_id"], group["simhash"]))[:_MAX_BUCKET]
+        recs = sorted(set(zip(group["doc_id"], group["simhash"])))[:_MAX_BUCKET]
         for i in range(len(recs)):
             for j in range(i + 1, len(recs)):
                 x = (recs[i][1] ^ recs[j][1]) & ((1 << 64) - 1)
@@ -265,13 +325,11 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                     rows["hamming"].append(d)
         return pd.DataFrame(rows)
 
-    parts = [sh.groupby(f"sh_block{i}").map_groups(verify,
-                                                   batch_format="pandas")
-             for i in range(4)]
-    allp = parts[0].union(*parts[1:])
+    pairs = partitioned_group_apply(exploded, ("block_id", "block_val"),
+                                    verify)
     from ray.data.aggregate import Min
 
-    return allp.groupby(["doc_a", "doc_b"]).aggregate(
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
 
@@ -314,6 +372,8 @@ def embedding_neardup_pairs(embeds_ds, threshold: float = 0.95,
                               ("vec", pa.list_(pa.float64()))]))
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         ids = group["vec_id"].tolist()[:_MAX_BUCKET]
         V = np.array(group["vec"].tolist()[:_MAX_BUCKET], dtype=np.float64)
         norms = np.linalg.norm(V, axis=1)
@@ -331,8 +391,7 @@ def embedding_neardup_pairs(embeds_ds, threshold: float = 0.95,
         return pd.DataFrame(rows)
 
     buckets = embeds_ds.map_batches(bucketize, batch_format="pyarrow")
-    pairs = buckets.groupby("bucket").map_groups(verify,
-                                                 batch_format="pandas")
+    pairs = partitioned_group_apply(buckets, ("bucket",), verify)
     from ray.data.aggregate import Max
 
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(
