@@ -1,0 +1,126 @@
+"""Distributed join operators (the engine's relational layer).
+
+Three shapes, matching the guide's decision table:
+
+  * ``broadcast_join`` — small side pinned once via ``ray.put``, pandas
+    merge per batch. No shuffle. (Dimension tables, dictionaries — the
+    wikidict path.)
+  * ``bucketed_hash_join`` — both sides large: tag rows with a side
+    marker, co-partition both sides on crc32(key) buckets, merge inside
+    each bucket with pandas. Explicit partitioned hash join; salt knob
+    for hot keys is the partition count.
+  * ``asof_join`` — ordered semantics: co-partition by key, sort by
+    timestamp inside partitions, ``pd.merge_asof`` per key group.
+
+All deterministic; oracle-SQL checkable (see pipelines/queries.py).
+"""
+from __future__ import annotations
+
+import zlib
+from typing import List, Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _npart() -> int:
+    try:
+        import ray
+
+        return max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 16
+
+
+def broadcast_join(left_ds, right: pa.Table, on: Sequence[str] | str,
+                   how: str = "inner"):
+    """Join a Dataset against a small in-memory table (broadcast once)."""
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(right.to_pandas())
+
+    class Joiner:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas().merge(self.right, on=on, how=how)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    return left_ds.map_batches(Joiner, batch_format="pyarrow",
+                               concurrency=(1, 4))
+
+
+def _tag_and_bucket(batch: pa.Table, side: int, on: List[str],
+                    npart: int) -> pa.Table:
+    keys = zip(*(batch.column(c).to_pylist() for c in on))
+    part = [zlib.crc32("|".join(map(str, k)).encode()) % npart
+            for k in keys]
+    return (batch
+            .append_column("_side", pa.array([side] * batch.num_rows,
+                                             type=pa.int8()))
+            .append_column("_part", pa.array(part, type=pa.int32())))
+
+
+def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
+                       how: str = "inner", npart: int | None = None):
+    """Partitioned hash join of two Datasets on equality keys.
+
+    Implementation: tag each side, co-partition on crc32(key) % npart,
+    one Ray group per partition, pandas merge inside. Key skew is
+    bounded by the per-partition data volume; raise npart (or pre-salt
+    hot keys into the key) for pathological skew."""
+    on = [on] if isinstance(on, str) else list(on)
+    npart = npart or _npart()
+    lt = left_ds.map_batches(
+        lambda b: _tag_and_bucket(b, 0, on, npart), batch_format="pyarrow")
+    rt = right_ds.map_batches(
+        lambda b: _tag_and_bucket(b, 1, on, npart), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        lhs = part[part["_side"] == 0].dropna(axis=1, how="all")
+        rhs = part[part["_side"] == 1].dropna(axis=1, how="all")
+        lhs = lhs.drop(columns=["_side", "_part"])
+        rhs = rhs.drop(columns=["_side", "_part"])
+        if lhs.empty or rhs.empty:
+            if how == "inner":
+                return lhs.merge(rhs, on=on, how="inner")  # empty, schema ok
+        return lhs.merge(rhs, on=on, how=how)
+
+    return both.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, key: str, ts: str,
+              direction: str = "backward", npart: int | None = None):
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts (direction='backward') sharing ``key``.
+
+    Co-partition by key hash, then per-key ``pd.merge_asof`` over
+    ts-sorted groups (ordering state stays inside the partition)."""
+    npart = npart or _npart()
+    lt = left_ds.map_batches(
+        lambda b: _tag_and_bucket(b, 0, [key], npart),
+        batch_format="pyarrow")
+    rt = right_ds.map_batches(
+        lambda b: _tag_and_bucket(b, 1, [key], npart),
+        batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        lhs = part[part["_side"] == 0].dropna(axis=1, how="all") \
+            .drop(columns=["_side", "_part"]).sort_values(ts)
+        rhs = part[part["_side"] == 1].dropna(axis=1, how="all") \
+            .drop(columns=["_side", "_part"]).sort_values(ts)
+        if lhs.empty:
+            return lhs
+        if rhs.empty:
+            return lhs.iloc[0:0]
+        out = pd.merge_asof(lhs, rhs, on=ts, by=key, direction=direction,
+                            suffixes=("", "_r"))
+        return out.dropna(subset=[c for c in out.columns
+                                  if c.endswith("_r")][:1]) \
+            if direction == "backward" else out
+
+    return both.groupby("_part").map_groups(merge, batch_format="pandas")

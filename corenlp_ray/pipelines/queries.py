@@ -148,6 +148,80 @@ ORACLE_SQL = {
 }
 
 
+def q_customer_orders(sf_dir: str):
+    """Broadcast join (orders ⋈ customer dimension) + grouped aggregate."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from corenlp_ray.ops.joins import broadcast_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    cust = cust.rename_columns(["o_custkey", "c_name"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    out = joined.groupby("c_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_spent"))
+    return out.map_batches(lambda b: _round_col(b, "total_spent", 4),
+                           batch_format="pyarrow")
+
+
+def q_lineitem_status_revenue(sf_dir: str):
+    """Bucketed hash join (lineitem ⋈ orders, both large) + aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["l_orderkey", "o_orderstatus"]), batch_format="pyarrow")
+    joined = bucketed_hash_join(li, orders, on="l_orderkey")
+    out = joined.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_extendedprice", alias_name="revenue"))
+    return out.map_batches(lambda b: _round_col(b, "revenue", 4),
+                           batch_format="pyarrow")
+
+
+def q_asof_events(sf_dir: str):
+    """As-of join: each event paired with the latest same-or-earlier
+    event value of the same user (ordered-log semantics)."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    vals = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value"])
+    return asof_join(ev, vals, key="user_id", ts="ts")
+
+
+ORACLE_SQL_JOINS = {
+    "customer_orders": (
+        "SELECT c_name, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 4) AS total_spent FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_name"),
+    "lineitem_status_revenue": (
+        "SELECT o_orderstatus, count(*) AS n_items, "
+        "round(sum(l_extendedprice), 4) AS revenue FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
+    "asof_events": (
+        "SELECT e.user_id, e.ts, e.event_id, c.value FROM events e "
+        "LEFT JOIN LATERAL (SELECT value FROM events c WHERE "
+        "c.user_id = e.user_id AND c.ts <= e.ts ORDER BY c.ts DESC "
+        "LIMIT 1) c ON true"),
+}
+ORACLE_SQL.update(ORACLE_SQL_JOINS)
+
+
 # ------------------------------------------- rows-only (non-SQL) queries ----
 
 def _pages(sf_dir: str):
@@ -365,6 +439,9 @@ QUERIES = {
     "event_windows": q_event_windows,
     "session_windows": q_session_windows,
     "ann_topk": q_ann_topk,
+    "customer_orders": q_customer_orders,
+    "lineitem_status_revenue": q_lineitem_status_revenue,
+    "asof_events": q_asof_events,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

@@ -1,0 +1,81 @@
+"""Join operators vs DuckDB oracles on the TPC-H-ish tables."""
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from corenlp_ray.ops.joins import asof_join, broadcast_join, bucketed_hash_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["orders", "customer", "lineitem", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def norm(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_broadcast_join_orders_customer(ray_session, duck):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    cust = cust.rename_columns(["o_custkey", "c_name"])
+    got = broadcast_join(orders, cust, on="o_custkey").to_pandas()
+    want = duck.execute(
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey").fetchdf()
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+    pd.testing.assert_frame_equal(norm(got, cols), norm(want, cols),
+                                  check_dtype=False)
+
+
+def test_bucketed_hash_join_lineitem_orders(ray_session, duck):
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"]) \
+        .map_batches(lambda b: b.rename_columns(["l_orderkey",
+                                                 "o_orderstatus"]),
+                     batch_format="pyarrow")
+    got = bucketed_hash_join(li, orders, on="l_orderkey").to_pandas()
+    want = duck.execute(
+        "SELECT l_orderkey, l_quantity, o_orderstatus FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey").fetchdf()
+    cols = ["l_orderkey", "l_quantity", "o_orderstatus"]
+    pd.testing.assert_frame_equal(norm(got, cols), norm(want, cols),
+                                  check_dtype=False)
+
+
+def test_asof_join_events(ray_session, duck):
+    import ray.data as rd
+
+    # as-of: for each event, the latest PRIOR (or same-ts) 'click' event
+    # value for the same user
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    clicks = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+    got = asof_join(ev, clicks, key="user_id", ts="ts").to_pandas()
+    want = duck.execute("""
+        SELECT e.user_id, e.ts, e.event_id, c.value
+        FROM events e
+        LEFT JOIN LATERAL (
+          SELECT value FROM events c
+          WHERE c.user_id = e.user_id AND c.ts <= e.ts
+          ORDER BY c.ts DESC LIMIT 1) c ON true
+    """).fetchdf()
+    cols = ["user_id", "ts", "event_id", "value"]
+    pd.testing.assert_frame_equal(norm(got, cols), norm(want, cols),
+                                  check_dtype=False)
