@@ -120,6 +120,23 @@ def resolve_coref(
         else:
             by_head[key] = i
 
+    # Sieve 4b: acronym match (the AcronymMatcher pass,
+    # util/AcronymMatcher.java:17 — +20% KBP recall per the reference's
+    # own comment): an all-caps single-token mention equals the initials
+    # of a multi-token ORGANIZATION mention
+    initials: Dict[str, int] = {}
+    for i in entity_like:
+        toks = [t for t in surfaces[i].split()
+                if t[:1].isalpha()]
+        if len(toks) >= 2 and men[i][2] == "ORGANIZATION":
+            acro = "".join(t[0].upper() for t in toks)
+            initials.setdefault(acro, i)
+    for i in entity_like:
+        s = surfaces[i]
+        if " " not in s and s.isupper() and 2 <= len(s) <= 6 \
+                and s in initials and initials[s] != i:
+            uf.union(initials[s], i)
+
     # Sieve 5: pronoun match
     pron_idx: List[int] = []
     pron_canon_mention: List[int] = []

@@ -225,6 +225,62 @@ def kbp_sentence(
                         emit(se[0], "per:employee_of", m.canonical,
                              "PERSON", "ORGANIZATION", 0.9)
 
+    # ---- mention-adjacency patterns (tokensregex-bank analogues) ----
+    for mi, m in enumerate(mentions):
+        # per:age — "X, 45," / "X, 45 years old"
+        if m.type == "PERSON" and m.e + 1 < n and words[m.e] == ",":
+            nxt = men_at(m.e + 1)
+            if nxt and nxt.type == "NUMBER" \
+                    and (nxt.e < n and (words[nxt.e] == "," or
+                                        lemmas[min(nxt.e, n - 1)] == "year")):
+                try:
+                    age = float(nxt.norm)
+                except ValueError:
+                    age = -1
+                if 5 <= age <= 120:
+                    emit(m.canonical, "per:age", nxt.norm,
+                         "PERSON", "NUMBER", 0.95)
+        # per:origin — nationality adjective immediately before a PERSON
+        if m.type == "PERSON" and m.b > 0 and tags[m.b - 1] in ("JJ", "NNP"):
+            prev = men_at(m.b - 1)
+            if prev and prev.type == "MISC":
+                emit(m.canonical, "per:origin", prev.canonical,
+                     "PERSON", "NATIONALITY", 0.9)
+        # org:alternate_names — "Full Org Name ( ACRO )"
+        if m.type == "ORGANIZATION" and m.e < n and words[m.e] == "(":
+            nxt = men_at(m.e + 1)
+            close = m.e + 2
+            if nxt and close < n and words[close] == ")" \
+                    and nxt.e - nxt.b == 1:
+                acro = words[nxt.b]
+                toks = [t for t in words[m.b:m.e] if t[:1].isalpha()]
+                if acro.isupper() and len(toks) >= 2 and \
+                        acro == "".join(t[0].upper() for t in toks):
+                    emit(m.canonical, "org:alternate_names", acro,
+                         "ORGANIZATION", "ORGANIZATION", 0.95)
+                    emit(acro, "org:alternate_names", m.canonical,
+                         "ORGANIZATION", "ORGANIZATION", 0.95)
+        # per:title + per:employee_of — appositive "X, TITLE of ORG"
+        if m.type == "PERSON" and m.e < n and words[m.e] == ",":
+            j = m.e + 1
+            if j < n and tags[j] == "DT":
+                j += 1
+            t_start = j
+            while j < n and (tags[j].startswith("NN") or tags[j] == "JJ") \
+                    and lemmas[j] not in ("of",):
+                j += 1
+            if j > t_start and lemmas[j - 1].lower() in _TITLE_NOUNS:
+                title = " ".join(words[t_start:j])
+                emit(m.canonical, "per:title", title, "PERSON", "TITLE",
+                     0.93)
+                if j < n and words[j].lower() == "of":
+                    org = men_at(j + 1, ("ORGANIZATION",))
+                    if org:
+                        emit(m.canonical, "per:employee_of", org.canonical,
+                             "PERSON", "ORGANIZATION", 0.93)
+                        emit(org.canonical, "org:top_members_employees",
+                             m.canonical, "ORGANIZATION", "PERSON", 0.93)
+
     # ---- possessive spouse: "X's wife, Y" ----
     for i in range(n):
         if lemmas[i] in _SPOUSE_NOUNS:

@@ -164,6 +164,14 @@ def ner_sentence(words: List[str], tags: List[str],
             if lw in PERSON_TITLES and i + 1 < n and tags[i + 1] in ("NNP", "NNPS"):
                 i += 1
                 w, lw, t = words[i], lowers[i], tags[i]
+            # a leading nationality adjective ("American John Smith") is
+            # its own MISC mention, not part of the name run
+            if GAZETTEER.get(lw) == "MISC" and i + 1 < n \
+                    and tags[i + 1] in ("NNP", "NNPS"):
+                types[i] = "MISC"
+                mentions.append((i, i + 1, "MISC", words[i]))
+                i += 1
+                w, lw, t = words[i], lowers[i], tags[i]
             j = i
             while j < n and tags[j] in ("NNP", "NNPS") and lowers[j] not in MONTHS:
                 j += 1

@@ -135,3 +135,10 @@ def test_openie_batch_on_pages():
     assert set(trip.column_names) >= {"url", "subj", "pred", "obj",
                                       "confidence", "source"}
     assert all(s == "openie" for s in trip.column("source").to_pylist())
+
+
+def test_coref_acronym_sieve():
+    out = doc_mentions(
+        "International Business Machines reported profits. IBM hired workers.")
+    canon = out.column("men_canonical")[0].as_py()
+    assert canon.count("International Business Machines") >= 2

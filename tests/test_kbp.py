@@ -106,3 +106,26 @@ def test_pr_on_template_bank():
     rec = tp / max(1, len(gold_cmp))
     assert prec >= 0.95, f"precision {prec:.3f}; spurious: {sorted(got - gold_cmp)[:8]}"
     assert rec >= 0.95, f"recall {rec:.3f}; missed: {sorted(gold_cmp - got)[:8]}"
+
+
+def test_age():
+    t = kbp_for_text("Robert Brown, 45, attended the meeting.")
+    assert ("Robert Brown", "per:age", "45") in t
+
+
+def test_appositive_title():
+    t = kbp_for_text("Susan Clark, chief executive officer of Hooli, resigned.")
+    assert ("Susan Clark", "per:employee_of", "Hooli") in t
+    assert ("Hooli", "org:top_members_employees", "Susan Clark") in t
+    assert any(p == "per:title" and "officer" in o for s, p, o in t)
+
+
+def test_alternate_names():
+    t = kbp_for_text("International Business Machines (IBM) reported profits.")
+    assert ("International Business Machines", "org:alternate_names", "IBM") in t
+    assert ("IBM", "org:alternate_names", "International Business Machines") in t
+
+
+def test_origin_nationality():
+    t = kbp_for_text("The American John Smith arrived.")
+    assert ("John Smith", "per:origin", "American") in t
