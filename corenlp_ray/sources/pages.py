@@ -69,6 +69,8 @@ TEMPLATES: List[Tuple[str, List[Tuple[str, str, str]]]] = [
     ("{O} is a subsidiary of {O2}.",
      [("O", "org:parents", "O2"), ("O2", "org:subsidiaries", "O")]),
     ("{P} lives in {C}.", [("P", "per:cities_of_residence", "C")]),
+    ("{P}, {AGE}, joined {O}.",
+     [("P", "per:age", "AGE"), ("P", "per:employee_of", "O")]),
 ]
 
 # OpenIE-only sentences (no KBP relation), incl. the reference's goldens.
@@ -100,7 +102,7 @@ def _slots(rng: random.Random) -> Dict[str, str]:
         "P": PERSONS[p_idx], "P2": PERSONS[p2_idx],
         "O": ORGS[o_idx], "O2": ORGS[o2_idx],
         "C": rng.choice(CITIES), "Y": str(rng.choice(YEARS)),
-        "T": rng.choice(TOPICS),
+        "T": rng.choice(TOPICS), "AGE": str(25 + rng.randrange(50)),
         "_P_idx": str(p_idx),
     }
 
