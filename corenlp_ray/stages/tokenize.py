@@ -145,12 +145,19 @@ def ssplit(words: List[str], para_break_before=frozenset()) -> List[Tuple[int, i
 
 # -------------------------------------------------------- batch transform ----
 
-def tokenize_ssplit_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def tokenize_ssplit_batch(batch: pa.Table, text_col: str = "text",
+                          newline_policy: str = "two") -> pa.Table:
     """map_batches stage: + tok_* and sent_* parallel list columns.
 
     Stateless task stage; regexes compile once per worker at import. The
     per-document loop is inherent (tokenization is sequential within a
     string); each document is processed by a single compiled-DFA pass.
+
+    ``newline_policy`` mirrors the reference's
+    ssplit.newlineIsSentenceBreak enum (WordToSentenceProcessor.java:76):
+    "never" (newlines are whitespace), "two" (a blank line forces a
+    boundary — the web-page default here), "always" (every newline
+    forces a boundary).
     """
     words_c, origs_c, begins_c, ends_c, tsent_c, sb_c, se_c = ([] for _ in range(7))
     for text in batch.column(text_col).to_pylist():
@@ -158,10 +165,13 @@ def tokenize_ssplit_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         toks = tokenize(text)
         words = [t[0] for t in toks]
         breaks = set()
-        for k in range(1, len(toks)):
-            gap = text[toks[k - 1][3]:toks[k][2]]
-            if "\n\n" in gap or gap.count("\n") >= 2:
-                breaks.add(k)
+        if newline_policy != "never":
+            for k in range(1, len(toks)):
+                gap = text[toks[k - 1][3]:toks[k][2]]
+                if newline_policy == "always" and "\n" in gap:
+                    breaks.add(k)
+                elif "\n\n" in gap or gap.count("\n") >= 2:
+                    breaks.add(k)
         sents = ssplit(words, breaks)
         tok_sent = [0] * len(toks)
         for si, (b, e) in enumerate(sents):

@@ -131,3 +131,21 @@ def test_batch_transform():
                 assert sb[j] == se[j - 1]
         for k, s in enumerate(tok_sent):
             assert sb[s] <= k < se[s]
+
+
+def test_newline_policies():
+    import pyarrow as pa
+    from corenlp_ray.sources.pages import PAGES_SCHEMA
+    text = "One line\nTwo line\n\nNew para."
+    tbl = pa.Table.from_pylist([{
+        "url": "u", "warc_ts": 0, "html": b"", "text": text, "lang": "en",
+    }], schema=PAGES_SCHEMA)
+    n_never = len(tokenize_ssplit_batch(tbl, newline_policy="never")
+                  .column("sent_begin")[0].as_py())
+    n_two = len(tokenize_ssplit_batch(tbl, newline_policy="two")
+                .column("sent_begin")[0].as_py())
+    n_always = len(tokenize_ssplit_batch(tbl, newline_policy="always")
+                   .column("sent_begin")[0].as_py())
+    assert n_never == 1      # no terminal punct until the end
+    assert n_two == 2        # blank line splits
+    assert n_always == 3     # every newline splits
