@@ -47,6 +47,24 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_tokens", pa.array(out, type=pa.int64()))
 
 
+# GPT-2-style pre-tokenization pattern (the public BPE split regex shape:
+# contractions | letter runs | number runs | punct runs | whitespace)
+_BPE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ɏ0-9]+|\s+(?!\S)|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """+ n_bpe_tokens: BPE-pre-tokenizer piece count — the standard
+    LLM-training-cost estimator (each regex piece splits further into
+    subwords in a real BPE, so this is a stable lower bound; ~1.3× is
+    the usual byte-level calibration)."""
+    out = [len(_BPE_RE.findall(t or ""))
+           for t in batch.column("text").to_pylist()]
+    return batch.append_column("n_bpe_tokens",
+                               pa.array(out, type=pa.int64()))
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """+ quality columns (all derivable in SQL with the same regexes):
       n_alpha  — count of [A-Za-z] chars

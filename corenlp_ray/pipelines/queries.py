@@ -410,6 +410,14 @@ def q_langid(sf_dir: str):
             .select_columns(["doc_id", "lang_pred"]))
 
 
+def q_bpe_tokens(sf_dir: str):
+    from corenlp_ray.ops.textstats import bpe_token_count_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(bpe_token_count_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_bpe_tokens"]))
+
+
 def q_fingerprints(sf_dir: str):
     from corenlp_ray.ops.textstats import (fingerprint_batch,
                                            rolling_fingerprints_batch)
@@ -456,6 +464,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann": q_ivf_ann,
     "langid": q_langid,
+    "bpe_tokens": q_bpe_tokens,
     "fingerprints": q_fingerprints,
     "multimodal": q_multimodal,
 }

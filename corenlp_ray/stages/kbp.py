@@ -45,6 +45,44 @@ _SPOUSE_NOUNS = {"wife", "husband", "spouse"}
 KBP_MAXLEN = 100
 
 
+class DepRule:
+    """One data-driven extraction rule: a DepPattern + relation mapping
+    (the semgrex-rule-bank entry shape)."""
+
+    __slots__ = ("pattern", "relation", "sv", "ov", "conf", "sym")
+
+    def __init__(self, pattern_src: str, relation: str, sv: str, ov: str,
+                 conf: float, sym: bool):
+        from corenlp_ray.functions.tokenpattern import DepPattern
+
+        self.pattern = DepPattern(pattern_src)
+        self.relation = relation
+        self.sv = sv
+        self.ov = ov
+        self.conf = conf
+        self.sym = sym
+
+
+def load_dep_rules(path: str) -> List[DepRule]:
+    """Load a TAB-separated dep-pattern rule bank (see
+    resources/kbp_dep_rules.tsv for the format)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split("\t")
+            pattern, relation, sv, ov, conf = cols[:5]
+            flags = cols[5] if len(cols) > 5 else ""
+            out.append(DepRule(pattern, relation, sv, ov, float(conf),
+                               "sym" in flags))
+    return out
+
+
+DEFAULT_RULES_PATH = __file__.rsplit("/", 2)[0] + "/resources/kbp_dep_rules.tsv"
+
+
 class Mention:
     __slots__ = ("b", "e", "type", "norm", "canonical")
 
@@ -57,6 +95,7 @@ def kbp_sentence(
     words: List[str], tags: List[str], lemmas: List[str],
     heads: List[int], labels: List[str], mentions: List[Mention],
     pron_canon: Optional[Dict[int, str]] = None,
+    dep_rules: Optional[List[DepRule]] = None,
 ) -> List[Tuple[str, str, str, str, str, float]]:
     """Pure kernel → [(subj, rel, obj, subj_ner, obj_ner, conf)]."""
     if len(words) > KBP_MAXLEN:
@@ -300,6 +339,30 @@ def kbp_sentence(
                          "PERSON", "PERSON", 0.95)
                     break
 
+    # ---- data-driven dep-pattern rule bank ----
+    if dep_rules:
+        from corenlp_ray.functions.tokenpattern import toks_of
+
+        tok_ner = ["O"] * n
+        for m in mentions:
+            for k in range(m.b, min(m.e, n)):
+                tok_ner[k] = m.type
+        toks = toks_of(words, lemmas, tags, tok_ner)
+        for rule in dep_rules:
+            for binding in rule.pattern.match(toks, heads, labels):
+                si = binding.get(rule.sv)
+                oi = binding.get(rule.ov)
+                if si is None or oi is None:
+                    continue
+                sm, om = men_at(si), men_at(oi)
+                subj = sm.canonical if sm else words[si]
+                obj = om.canonical if om else words[oi]
+                sner = sm.type if sm else "O"
+                oner = om.type if om else "O"
+                emit(subj, rule.relation, obj, sner, oner, rule.conf)
+                if rule.sym:
+                    emit(obj, rule.relation, subj, oner, sner, rule.conf)
+
     # per-sentence dedup, keep max confidence (KBPAnnotator.java:631-649)
     best: Dict[Tuple[str, str, str], Tuple[str, str, str, str, str, float]] = {}
     for t in rel_out:
@@ -344,10 +407,19 @@ def _copular_patterns(v, words, tags, ch, men_at, subj_entity, emit):
 
 
 class KbpExtractor:
-    """Actor-pool map_batches stage: docs → triples rows (source='kbp')."""
+    """Actor-pool map_batches stage: docs → triples rows (source='kbp').
 
-    def __init__(self):
+    ``rules_path``: optional extra dep-pattern rule bank (default ships
+    resources/kbp_dep_rules.tsv) — patterns compile ONCE per actor."""
+
+    def __init__(self, rules_path: Optional[str] = DEFAULT_RULES_PATH):
         self.title_nouns = _TITLE_NOUNS  # pattern-bank binding point
+        self.dep_rules: List[DepRule] = []
+        if rules_path:
+            try:
+                self.dep_rules = load_dep_rules(rules_path)
+            except OSError:
+                self.dep_rules = []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = {name: batch.column(name).to_pylist() for name in (
@@ -374,7 +446,7 @@ class KbpExtractor:
                 l_pron = {k - b: v for k, v in pron.items() if b <= k < e}
                 for (s, rel, o, sner, oner, conf) in kbp_sentence(
                         words[b:e], tags[b:e], lemmas[b:e], l_heads,
-                        labels[b:e], l_mens, l_pron):
+                        labels[b:e], l_mens, l_pron, self.dep_rules):
                     rows.append({
                         "url": url, "sent_idx": si, "subj": s, "pred": rel,
                         "obj": o, "subj_canonical": s, "obj_canonical": o,

@@ -129,3 +129,23 @@ def test_alternate_names():
 def test_origin_nationality():
     t = kbp_for_text("The American John Smith arrived.")
     assert ("John Smith", "per:origin", "American") in t
+
+
+def test_dep_rule_bank_siblings():
+    t = kbp_for_text("Mary Johnson is the sister of Robert Brown.")
+    assert ("Mary Johnson", "per:siblings", "Robert Brown") in t
+    assert ("Robert Brown", "per:siblings", "Mary Johnson") in t
+
+
+def test_dep_rule_bank_parents():
+    t = kbp_for_text("David Anderson is the son of Barbara Taylor.")
+    assert ("David Anderson", "per:parents", "Barbara Taylor") in t
+
+
+def test_dep_rule_bank_custom_file(tmp_path):
+    from corenlp_ray.stages.kbp import load_dep_rules
+    f = tmp_path / "rules.tsv"
+    f.write_text("{lemma:admire}=v >nsubj {ner:PERSON}=s >obj {ner:PERSON}=o"
+                 "\tx:admires\ts\to\t0.5\t\n")
+    rules = load_dep_rules(str(f))
+    assert len(rules) == 1 and rules[0].relation == "x:admires"

@@ -214,3 +214,12 @@ def test_multimodal_fake_pipeline(ray_session):
     assert all(len(r["img_feat"]) == DecodeImage.FEAT_DIM for r in out)
     vids = [r for r in out if r["kind"] == "video"]
     assert all(len(r["frame_offsets_ms"]) == 4 for r in vids)
+
+
+def test_bpe_token_count():
+    import pyarrow as pa
+    from corenlp_ray.ops.textstats import bpe_token_count_batch
+    tbl = pa.Table.from_pydict({"text": ["Hello world's 123!", "", None]})
+    out = bpe_token_count_batch(tbl).column("n_bpe_tokens").to_pylist()
+    # Hello| world|'s| 123|! → 5 pieces
+    assert out == [5, 0, 0]
