@@ -73,6 +73,8 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
     hot keys into the key) for pathological skew."""
     on = [on] if isinstance(on, str) else list(on)
     npart = npart or _npart()
+    left_cols = left_ds.schema().names
+    right_cols = right_ds.schema().names
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, on, npart), batch_format="pyarrow")
     rt = right_ds.map_batches(
@@ -80,13 +82,12 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
     both = lt.union(rt)
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
-        lhs = part[part["_side"] == 0].dropna(axis=1, how="all")
-        rhs = part[part["_side"] == 1].dropna(axis=1, how="all")
-        lhs = lhs.drop(columns=["_side", "_part"])
-        rhs = rhs.drop(columns=["_side", "_part"])
-        if lhs.empty or rhs.empty:
-            if how == "inner":
-                return lhs.merge(rhs, on=on, how="inner")  # empty, schema ok
+        # explicit schemas: a partition fed by only one side may lack the
+        # other side's columns entirely
+        lhs = part[part["_side"] == 0].reindex(columns=list(left_cols))
+        rhs = part[part["_side"] == 1].reindex(columns=list(right_cols))
+        if rhs.empty:
+            rhs = rhs.dropna(subset=on)  # keep join-key dtypes sane
         return lhs.merge(rhs, on=on, how=how)
 
     return both.groupby("_part").map_groups(merge, batch_format="pandas")
@@ -100,6 +101,8 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     Co-partition by key hash, then per-key ``pd.merge_asof`` over
     ts-sorted groups (ordering state stays inside the partition)."""
     npart = npart or _npart()
+    left_cols = left_ds.schema().names
+    right_cols = right_ds.schema().names
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, [key], npart),
         batch_format="pyarrow")
@@ -107,20 +110,23 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
         lambda b: _tag_and_bucket(b, 1, [key], npart),
         batch_format="pyarrow")
     both = lt.union(rt)
+    out_cols = list(left_cols) + [
+        (c if c not in left_cols else c + "_r")
+        for c in right_cols if c not in (key, ts)]
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
-        lhs = part[part["_side"] == 0].dropna(axis=1, how="all") \
-            .drop(columns=["_side", "_part"]).sort_values(ts)
-        rhs = part[part["_side"] == 1].dropna(axis=1, how="all") \
-            .drop(columns=["_side", "_part"]).sort_values(ts)
+        # reindex: a partition fed by only one side may lack the other
+        # side's columns entirely
+        lhs = part[part["_side"] == 0].reindex(
+            columns=list(left_cols)).sort_values(ts)
+        rhs = part[part["_side"] == 1].reindex(
+            columns=list(right_cols)).dropna(subset=[ts]).sort_values(ts)
         if lhs.empty:
-            return lhs
+            return pd.DataFrame({c: [] for c in out_cols})
         if rhs.empty:
-            return lhs.iloc[0:0]
-        out = pd.merge_asof(lhs, rhs, on=ts, by=key, direction=direction,
-                            suffixes=("", "_r"))
-        return out.dropna(subset=[c for c in out.columns
-                                  if c.endswith("_r")][:1]) \
-            if direction == "backward" else out
+            # left-join semantics: keep left rows, null right columns
+            return lhs.reindex(columns=out_cols)
+        return pd.merge_asof(lhs, rhs, on=ts, by=key, direction=direction,
+                             suffixes=("", "_r")).reindex(columns=out_cols)
 
     return both.groupby("_part").map_groups(merge, batch_format="pandas")

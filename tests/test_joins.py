@@ -79,3 +79,21 @@ def test_asof_join_events(ray_session, duck):
     cols = ["user_id", "ts", "event_id", "value"]
     pd.testing.assert_frame_equal(norm(got, cols), norm(want, cols),
                                   check_dtype=False)
+
+
+def test_asof_join_unmatched_left_kept(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    left = rd.from_items([
+        {"k": 1, "ts": pd.Timestamp("2020-01-01 10:00"), "ev": "a"},
+        {"k": 2, "ts": pd.Timestamp("2020-01-01 11:00"), "ev": "b"},
+    ])
+    right = rd.from_items([
+        {"k": 1, "ts": pd.Timestamp("2020-01-01 09:00"), "v": 7.0},
+    ])
+    got = asof_join(left, right, key="k", ts="ts").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert len(got) == 2                       # left-join: k=2 kept
+    assert got.loc[0, "v"] == 7.0
+    assert pd.isna(got.loc[1, "v"])
