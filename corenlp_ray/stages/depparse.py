@@ -51,7 +51,8 @@ def _noun_chunks(words: List[str], tags: List[str]) -> List[Tuple[int, int, int]
             while j < n and tags[j] in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD"):
                 j += 1
             if j < n and tags[j] in _NP_HEAD:
-                while j < n and tags[j] in _NP_HEAD and tags[j] != "PRP":
+                while j < n and tags[j] in _NP_HEAD \
+                        and tags[j] not in ("PRP", "WP"):
                     j += 1
                 if j < n and tags[j] == "PRP" and j == b:
                     j += 1
@@ -61,13 +62,15 @@ def _noun_chunks(words: List[str], tags: List[str]) -> List[Tuple[int, int, int]
             # determiner chunk with no head noun ("some" alone) — head = last
             chunks.append((b, j, j - 1))
             i = j
+        elif t in ("PRP", "WP"):
+            chunks.append((i, i + 1, i))
+            i += 1
         elif t in _NP_HEAD:
             b = i
             j = i
-            while j < n and tags[j] in _NP_HEAD and tags[j] != "PRP":
+            while j < n and tags[j] in _NP_HEAD \
+                    and tags[j] not in ("PRP", "WP"):
                 j += 1
-            if j == b and tags[b] == "PRP":
-                j = b + 1
             chunks.append((b, j, j - 1))
             i = j
         elif t == "CD":
@@ -128,6 +131,7 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
     root = -1
     copula_pred = -1
     main_verbs: List[int] = []
+    relcl_verbs = set()  # relative-clause verbs: excluded from root/conj
     i = 0
     processed = set()
     for i in verb_idx:
@@ -174,8 +178,29 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 attach(c, main, "aux")
         main_verbs.append(main)
 
+    # ---- relative clauses: NOUN (,) who/which/that + VERB ----
+    for v in main_verbs:
+        w = -1
+        for k in range(v - 1, max(-1, v - 3), -1):
+            if tags[k] in ("WP", "WDT"):
+                w = k
+                break
+            if tags[k] not in ("RB", "MD") and k not in (v,):
+                break
+        if w < 0:
+            continue
+        a = w - 1
+        if a >= 0 and tags[a] == ",":
+            a -= 1
+        if a >= 0 and a in chunk_head:
+            ant = chunk_head[a]
+            relcl_verbs.add(v)
+            attach(w, v, "nsubj")        # who → relcl verb
+            attach(v, ant, "acl:relcl")  # relcl verb → antecedent noun
+
     if main_verbs:
-        root = main_verbs[0]
+        root = next((v for v in main_verbs if v not in relcl_verbs),
+                    main_verbs[0])
     elif heads_of_chunks:
         # verbless fragment: root = first chunk head that is not already
         # attached (e.g. a possessor NP points at its possessee)
@@ -189,19 +214,23 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
 
     # ---- conj between verbs: later main verbs conj of root ----
     for v in main_verbs[1:]:
-        attach(v, root, "conj")
+        if v not in relcl_verbs:
+            attach(v, root, "conj")
 
     # ---- core arguments per main verb ----
     for vi, v in enumerate(main_verbs):
         passive = any(heads[k] == v and labels[k] == "aux:pass" for k in range(n))
+        has_subj = any(heads[k] == v and labels[k] in ("nsubj", "nsubj:pass")
+                       for k in range(n))
         # subject: nearest chunk head before v not already attached to a verb
         subj = -1
-        for h in reversed(heads_of_chunks):
-            if h < v and (heads[h] == -2 or h == root and v != root):
-                if tags[h] == "DT":
-                    continue
-                subj = h
-                break
+        if not has_subj:
+            for h in reversed(heads_of_chunks):
+                if h < v and (heads[h] == -2 or h == root and v != root):
+                    if tags[h] == "DT":
+                        continue
+                    subj = h
+                    break
         if subj >= 0 and heads[subj] == -2:
             attach(subj, v, "nsubj:pass" if passive else "nsubj")
         elif vi > 0 and subj == -1:
@@ -210,13 +239,22 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 if heads[k] == root and labels[k] in ("nsubj", "nsubj:pass"):
                     subj = k
                     break
-        # objects / obliques after v, up to next main verb
+        # objects / obliques after v, up to next main verb.
+        # nominal copular predicates ("doubt", "officer") take PPs but
+        # never objects — only true verbs scavenge bare NPs
+        nominal = tags[v] not in _VERB
         nxt = main_verbs[vi + 1] if vi + 1 < len(main_verbs) else n
         k = v + 1
-        got_obj = False
+        got_obj = nominal
         stop = min(nxt, n)
         while k < stop:
             t = tags[k]
+            # "that"-complementizer: the clause after it belongs to the
+            # embedded verb — stop scavenging arguments across it
+            if lowers[k] == "that" and any(
+                    tags[m] in _VERB for m in range(k + 1, stop if stop > k else n)) \
+                    or (lowers[k] == "that" and nxt < n):
+                break
             if t == "IN" or (t == "TO" and not (k + 1 < n and tags[k + 1] == "VB")):
                 # preposition introducing an oblique/nmod
                 ph = -1

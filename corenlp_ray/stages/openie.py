@@ -138,6 +138,11 @@ def extract_sentence_triples(
         kids = ch.get(v, ())
         subj = next((c for c, l in kids if l in ("nsubj", "nsubj:pass")), None)
         cop = next((c for c, l in kids if l == "cop"), None)
+        # relative-pronoun subject → the antecedent noun through acl:relcl
+        # ("the man who founded X" → subject span = "man")
+        if subj is not None and words[subj].lower() in ("who", "which", "that") \
+                and heads[v] >= 0 and labels[v] == "acl:relcl":
+            subj = heads[v]
         if subj is None:
             # E1: existential — "There are cats with tails" →
             # (cats, is with, tails); subject slot filled by the pivot NP

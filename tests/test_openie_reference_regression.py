@@ -67,3 +67,27 @@ def test_recall_band_over_suite():
             total += 1
             hits += t in got
     assert hits / total >= 0.95, f"recall {hits}/{total}"
+
+
+# clause-splitting goldens (the ClauseSplitterSearchProblem territory:
+# complement clauses, relative clauses — OpenIEITest testThereIsNoDoubt
+# and the RelationTripleSegmenter clause fixtures)
+CLAUSE_GOLDENS = [
+    ("There is no doubt that cats have tails.",
+     [("cats", "have", "tails")]),
+    ("He said that Patricia Davis founded Hooli.",
+     [("patricia davis", "founded", "hooli")]),
+    ("The man who founded Hooli died in Dover.",
+     [("man", "founded", "hooli"), ("man", "died in", "dover")]),
+    ("Mary Johnson, who leads Initech, lives in Salem.",
+     [("mary johnson", "leads", "initech"),
+      ("mary johnson", "lives in", "salem")]),
+]
+
+
+@pytest.mark.parametrize("text,expected", CLAUSE_GOLDENS,
+                         ids=[g[0][:40] for g in CLAUSE_GOLDENS])
+def test_clause_golden_contained(text, expected):
+    got = triples(text)
+    for t in expected:
+        assert t in got, f"missing {t}; got {sorted(got)}"
