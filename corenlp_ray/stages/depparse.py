@@ -217,20 +217,59 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         if v not in relcl_verbs:
             attach(v, root, "conj")
 
+    # ---- conj between nouns: NP (, NP)* CC NP ----
+    # Runs BEFORE verb arguments so the FIRST conjunct carries nsubj/obj
+    # (UD convention) and later conjuncts attach conj to it. A bare
+    # comma without an eventual CC is an appositive, not a list — the
+    # chain only attaches when it ends in a coordinator.
+    chunk_end = {h: e for _, e, h in chunks}
+    for ci in range(len(chunks)):
+        b, e, first = chunks[ci]
+        if heads[first] != -2:
+            continue
+        j = e
+        chain = []  # (separator_idx, conjunct_head)
+        has_cc = False
+        while j < n:
+            if tags[j] == "," and j + 1 in chunk_head:
+                nh = chunk_head[j + 1]
+                chain.append((j, nh))
+                j = chunk_end.get(nh, j + 2)
+            elif tags[j] == "CC" and j + 1 in chunk_head:
+                nh = chunk_head[j + 1]
+                chain.append((j, nh))
+                has_cc = True
+                break
+            else:
+                break
+        if has_cc:
+            for sep, nh in chain:
+                attach(sep, nh, "cc" if tags[sep] == "CC" else "punct")
+                attach(nh, first, "conj")
+
     # ---- core arguments per main verb ----
     for vi, v in enumerate(main_verbs):
         passive = any(heads[k] == v and labels[k] == "aux:pass" for k in range(n))
         has_subj = any(heads[k] == v and labels[k] in ("nsubj", "nsubj:pass")
                        for k in range(n))
-        # subject: nearest chunk head before v not already attached to a verb
+        # subject: nearest chunk head before v not already attached to a
+        # verb; a nominal candidate beats a bare number ("Brown, 45,
+        # attended" → Brown, not 45)
         subj = -1
         if not has_subj:
+            cd_fallback = -1
             for h in reversed(heads_of_chunks):
                 if h < v and (heads[h] == -2 or h == root and v != root):
                     if tags[h] == "DT":
                         continue
+                    if tags[h] == "CD":
+                        if cd_fallback < 0:
+                            cd_fallback = h
+                        continue
                     subj = h
                     break
+            if subj < 0:
+                subj = cd_fallback
         if subj >= 0 and heads[subj] == -2:
             attach(subj, v, "nsubj:pass" if passive else "nsubj")
         elif vi > 0 and subj == -1:
@@ -288,25 +327,6 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 k += 2
                 continue
             k += 1
-
-    # ---- conj between nouns: NP (, NP)* CC NP ----
-    for ci in range(len(chunks) - 1):
-        b, e, h = chunks[ci]
-        j = e
-        first = h
-        while j < n:
-            if tags[j] == "," and j + 1 in chunk_head:
-                nh = chunk_head[j + 1]
-                attach(j, nh, "punct")
-                attach(nh, first, "conj")
-                j = [c for c in chunks if c[2] == nh][0][1]
-            elif tags[j] == "CC" and j + 1 in chunk_head:
-                nh = chunk_head[j + 1]
-                attach(j, nh, "cc")
-                attach(nh, first, "conj")
-                break
-            else:
-                break
 
     # ---- leftovers ----
     for k in range(n):

@@ -115,9 +115,13 @@ def kbp_sentence(
 
     def subj_entity(v: int, types) -> Optional[Tuple[str, str]]:
         """Resolve nsubj/nsubj:pass of v to a canonical entity of a type in
-        ``types`` (accepting resolved pronouns)."""
+        ``types`` (accepting resolved pronouns and relative pronouns —
+        the latter through the acl:relcl antecedent)."""
         for c, l in ch.get(v, ()):
             if l in ("nsubj", "nsubj:pass"):
+                if words[c].lower() in ("who", "which", "that") \
+                        and heads[v] >= 0 and labels[v] == "acl:relcl":
+                    c = heads[v]
                 m = men_at(c, types)
                 if m:
                     return m.canonical, m.type
@@ -347,6 +351,15 @@ def kbp_sentence(
         for m in mentions:
             for k in range(m.b, min(m.e, n)):
                 tok_ner[k] = m.type
+        # relative pronouns inherit the antecedent's type so ner-gated
+        # patterns match through relative clauses (enhanced-dependency
+        # style propagation)
+        for v in range(n):
+            if labels[v] == "acl:relcl" and heads[v] >= 0:
+                for c, l in ch.get(v, ()):
+                    if l == "nsubj" and words[c].lower() in (
+                            "who", "which", "that"):
+                        tok_ner[c] = tok_ner[heads[v]]
         toks = toks_of(words, lemmas, tags, tok_ner)
         for rule in dep_rules:
             for binding in rule.pattern.match(toks, heads, labels):
@@ -354,6 +367,11 @@ def kbp_sentence(
                 oi = binding.get(rule.ov)
                 if si is None or oi is None:
                     continue
+                gov = binding.get(rule.pattern.gov_name)
+                if gov is not None and words[si].lower() in ("who", "which",
+                                                            "that") \
+                        and heads[gov] >= 0 and labels[gov] == "acl:relcl":
+                    si = heads[gov]
                 sm, om = men_at(si), men_at(oi)
                 subj = sm.canonical if sm else words[si]
                 obj = om.canonical if om else words[oi]

@@ -123,16 +123,37 @@ def extract_sentence_triples(
 
     out = []
 
+    def _conj_partners(tok: int) -> List[int]:
+        """tok + its NP conjuncts (enhanced++ conj propagation — the
+        subset of UniversalEnglishGrammaticalStructure the triple
+        patterns consume)."""
+        partners = [tok]
+        for c, l in ch.get(tok, ()):
+            if l == "conj":
+                partners.append(c)
+        h = heads[tok] if 0 <= tok < n else -1
+        if h >= 0 and labels[tok] == "conj":
+            partners.append(h)
+            for c, l in ch.get(h, ()):
+                if l == "conj" and c != tok:
+                    partners.append(c)
+        return partners
+
     def emit(s_tok, pred, o_tok, conf, s_surface=None, o_surface=None):
-        subj = s_surface if s_surface is not None else \
-            _phrase(_span_tokens(s_tok, ch, words), words, tags)
-        obj = o_surface if o_surface is not None else \
-            _phrase(_span_tokens(o_tok, ch, words), words, tags)
-        if not subj or not obj or not pred:
-            return
-        out.append((subj, pred, obj,
-                    canon_of(s_tok, subj), canon_of(o_tok, obj),
-                    ner_of(s_tok), ner_of(o_tok), conf))
+        s_list = [s_tok] if s_surface is not None else _conj_partners(s_tok)
+        o_list = [o_tok] if o_surface is not None else _conj_partners(o_tok)
+        for st in s_list:
+            for ot in o_list:
+                subj = s_surface if s_surface is not None else \
+                    _phrase(_span_tokens(st, ch, words), words, tags)
+                obj = o_surface if o_surface is not None else \
+                    _phrase(_span_tokens(ot, ch, words), words, tags)
+                if not subj or not obj or not pred:
+                    continue
+                c = conf if (st == s_tok and ot == o_tok) else conf * 0.95
+                out.append((subj, pred, obj,
+                            canon_of(st, subj), canon_of(ot, obj),
+                            ner_of(st), ner_of(ot), c))
 
     for v in range(n):
         kids = ch.get(v, ())

@@ -67,9 +67,11 @@ def _base_tag(word: str, lower: str, sent_initial: bool) -> str:
     if lower.endswith(("tion", "sion", "ment", "ness", "ity", "ance",
                        "ence", "ship", "hood", "ism", "ist", "ure", "age")):
         return "NN"
-    if lower.endswith(("ous", "ful", "ive", "able", "ible", "ish", "less",
+    if lower.endswith(("ous", "ful", "ive", "able", "ible", "less",
                        "ic", "ical", "ary", "ian")):
         return "JJ"
+    if lower.endswith("ish") and len(lower) > 4:
+        return "JJ"  # boyish, foolish — but not fish/dish/wish
     if lower.endswith("est") and len(lower) > 4:
         return "JJS"
     if lower in IRREGULAR_VERB_LEMMA:
@@ -105,8 +107,8 @@ def tag_sentence(words: List[str]) -> List[str]:
         # plural/pronoun subject + base verb → present plural ("rabbits eat")
         elif prev_t in ("NNS", "PRP") and t == "VB":
             tags[i] = "VBP"
-        # DT/PRP$/JJ + verb tag → noun (e.g. "the work", "his study")
-        elif prev_t in ("DT", "PRP$", "JJ") and t in ("VB", "VBP"):
+        # DT/PRP$/JJ + verb tag → noun (e.g. "the work", "the meeting")
+        elif prev_t in ("DT", "PRP$", "JJ") and t in ("VB", "VBP", "VBG"):
             tags[i] = "NN"
         elif prev_t in ("DT", "PRP$", "JJ") and t == "VBZ":
             tags[i] = "NNS" if not lw.endswith("ss") else "NN"

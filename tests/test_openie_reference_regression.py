@@ -91,3 +91,22 @@ def test_clause_golden_contained(text, expected):
     got = triples(text)
     for t in expected:
         assert t in got, f"missing {t}; got {sorted(got)}"
+
+
+# conjunction-propagation goldens (enhanced++ conj distribution; cf. the
+# reference's ObamaWikiFour "did X, did Y, and did Z" pattern family)
+CONJ_GOLDENS = [
+    ("John Smith and Mary Johnson work for Initech.",
+     [("john smith", "work for", "initech"),
+      ("mary johnson", "work for", "initech")]),
+    ("Cats eat fish and mice.",
+     [("cats", "eat", "fish"), ("cats", "eat", "mice")]),
+]
+
+
+@pytest.mark.parametrize("text,expected", CONJ_GOLDENS,
+                         ids=[g[0][:40] for g in CONJ_GOLDENS])
+def test_conj_golden_contained(text, expected):
+    got = triples(text)
+    for t in expected:
+        assert t in got, f"missing {t}; got {sorted(got)}"
