@@ -71,6 +71,11 @@ TEMPLATES: List[Tuple[str, List[Tuple[str, str, str]]]] = [
     ("{P} lives in {C}.", [("P", "per:cities_of_residence", "C")]),
     ("{P}, {AGE}, joined {O}.",
      [("P", "per:age", "AGE"), ("P", "per:employee_of", "O")]),
+    ("{P} and {P2} work for {O}.",
+     [("P", "per:employee_of", "O"), ("P2", "per:employee_of", "O")]),
+    ("{P}, who works for {O}, lives in {C}.",
+     [("P", "per:employee_of", "O"),
+      ("P", "per:cities_of_residence", "C")]),
 ]
 
 # OpenIE-only sentences (no KBP relation), incl. the reference's goldens.

@@ -381,6 +381,30 @@ def kbp_sentence(
                 if rule.sym:
                     emit(obj, rule.relation, subj, oner, sner, rule.conf)
 
+    # ---- distribute over conjoined subjects (enhanced++ conj) ----
+    # "X and Y work for Z": the parser gives nsubj to the first conjunct;
+    # relations found for it copy to same-type conjunct mentions
+    conj_subjects: Dict[str, List[Tuple[str, str]]] = {}
+    for c in range(n):
+        if labels[c] not in ("nsubj", "nsubj:pass"):
+            continue
+        mc = men_at(c)
+        if not mc:
+            continue
+        for p in range(n):
+            if heads[p] == c and labels[p] == "conj":
+                mp = men_at(p)
+                if mp and mp.type == mc.type:
+                    conj_subjects.setdefault(mc.canonical, []).append(
+                        (mp.canonical, mp.type))
+    if conj_subjects:
+        extra = []
+        for (s, rel, o, sner, oner, conf) in rel_out:
+            for (pc, pt) in conj_subjects.get(s, ()):
+                if pc != o:
+                    extra.append((pc, rel, o, pt, oner, conf * 0.95))
+        rel_out.extend(extra)
+
     # per-sentence dedup, keep max confidence (KBPAnnotator.java:631-649)
     best: Dict[Tuple[str, str, str], Tuple[str, str, str, str, str, float]] = {}
     for t in rel_out:

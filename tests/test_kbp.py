@@ -149,3 +149,15 @@ def test_dep_rule_bank_custom_file(tmp_path):
                  "\tx:admires\ts\to\t0.5\t\n")
     rules = load_dep_rules(str(f))
     assert len(rules) == 1 and rules[0].relation == "x:admires"
+
+
+def test_conjoined_subjects_distribute():
+    t = kbp_for_text("John Smith and Mary Johnson work for Initech.")
+    assert ("John Smith", "per:employee_of", "Initech") in t
+    assert ("Mary Johnson", "per:employee_of", "Initech") in t
+
+
+def test_relative_clause_subject():
+    t = kbp_for_text("Mary Johnson, who works for Initech, lives in Salem.")
+    assert ("Mary Johnson", "per:employee_of", "Initech") in t
+    assert ("Mary Johnson", "per:cities_of_residence", "Salem") in t
