@@ -27,6 +27,8 @@ from typing import List, Tuple
 
 import pyarrow as pa
 
+from corenlp_ray.functions.lexicon import MONTHS
+
 _NOUNISH = {"NN", "NNS", "NNP", "NNPS", "PRP", "CD", "EX", "WP", "DT"}
 _NP_HEAD = {"NN", "NNS", "NNP", "NNPS", "PRP", "WP"}
 _VERB = {"VB", "VBP", "VBZ", "VBD", "VBN", "VBG"}
@@ -51,10 +53,15 @@ def _noun_chunks(words: List[str], tags: List[str]) -> List[Tuple[int, int, int]
             while j < n and tags[j] in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD"):
                 j += 1
             if j < n and tags[j] in _NP_HEAD:
+                # bare numbers don't modify proper names ("2013 George
+                # Boyd" is a date then a name, not one NP)
+                if tags[j] == "NNP" and all(tags[m] == "CD"
+                                            for m in range(b, j)):
+                    for m in range(b, j):
+                        chunks.append((m, m + 1, m))
+                    b = j
                 while j < n and tags[j] in _NP_HEAD \
                         and tags[j] not in ("PRP", "WP"):
-                    j += 1
-                if j < n and tags[j] == "PRP" and j == b:
                     j += 1
                 chunks.append((b, j, j - 1))
                 i = j
@@ -316,6 +323,20 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                     continue
             elif k in chunk_head and heads[chunk_head[k]] == -2 and not got_obj:
                 h = chunk_head[k]
+                # a day/year number continuing a date is part of the
+                # date, never a verb object ("on January 20, 2009")
+                if tags[h] == "CD":
+                    month = -1
+                    for back in range(h - 1, max(-1, h - 4), -1):
+                        if lowers[back] in MONTHS:
+                            month = back
+                            break
+                        if words[back] != "," and tags[back] != "CD":
+                            break
+                    if month >= 0:
+                        attach(h, month, "nummod")
+                        k = h + 1
+                        continue
                 if tags[h] != "DT" or words[h].lower() not in ("the", "a", "an"):
                     attach(h, v, "obj")
                     got_obj = True

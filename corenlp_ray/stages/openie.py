@@ -164,6 +164,11 @@ def extract_sentence_triples(
         if subj is not None and words[subj].lower() in ("who", "which", "that") \
                 and heads[v] >= 0 and labels[v] == "acl:relcl":
             subj = heads[v]
+        # conjoined verb shares the first conjunct's subject
+        # ("worked as X and taught Y" → he taught Y)
+        if subj is None and heads[v] >= 0 and labels[v] == "conj":
+            subj = next((c for c, l in ch.get(heads[v], ())
+                         if l in ("nsubj", "nsubj:pass")), None)
         if subj is None:
             # E1: existential — "There are cats with tails" →
             # (cats, is with, tails); subject slot filled by the pivot NP

@@ -110,3 +110,29 @@ def test_conj_golden_contained(text, expected):
     got = triples(text)
     for t in expected:
         assert t in got, f"missing {t}; got {sorted(got)}"
+
+
+# the heavier multi-clause goldens from OpenIEITest (key triples)
+HARD_GOLDENS = [
+    ("On 21 February 2013 George Boyd joined on loan from Peterborough "
+     "United for the remainder of the season.",
+     [("george boyd", "joined on", "loan"),
+      ("george boyd", "joined for", "remainder")]),
+    ("He then defeated Republican nominee John McCain in the general "
+     "election, and was inaugurated as president on January 20, 2009.",
+     [("he", "defeated", "republican nominee john mccain"),
+      ("he", "was inaugurated as", "president"),
+      ("he", "was inaugurated on", "january 20 2009")]),
+    ("He worked as a civil rights attorney and taught constitutional law "
+     "at the University of Chicago Law School from 1992 to 2004.",
+     [("he", "worked as", "civil rights attorney"),
+      ("he", "taught", "constitutional law")]),
+]
+
+
+@pytest.mark.parametrize("text,expected", HARD_GOLDENS,
+                         ids=[g[0][:40] for g in HARD_GOLDENS])
+def test_hard_golden_contained(text, expected):
+    got = triples(text)
+    for t in expected:
+        assert t in got, f"missing {t}; got {sorted(got)}"
