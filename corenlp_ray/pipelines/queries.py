@@ -367,6 +367,50 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard over the MinHash-LSH candidate pairs (the
+    verify stage exposed as its own operator): candidate doc texts are
+    broadcast (candidate set ≪ corpus), similarity computed per pair."""
+    import ray
+
+    from corenlp_ray.ops.dedup import jaccard, minhash_lsh_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs)
+    cand = set()
+    pair_rows = []
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for da, db in zip(b.column("doc_a").to_pylist(),
+                          b.column("doc_b").to_pylist()):
+            cand.add(da)
+            cand.add(db)
+            pair_rows.append((da, db))
+    texts = {}
+    if cand:
+        cand_ref = ray.put(cand)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ok = ray.get(cand_ref)
+            mask = pa.array([i in ok
+                             for i in batch.column("doc_id").to_pylist()])
+            return batch.filter(mask)
+
+        for b in docs.map_batches(pick, batch_format="pyarrow") \
+                .iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for i, t in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+                texts[i] = t
+    rows = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for da, db in sorted(pair_rows):
+        rows["doc_a"].append(da)
+        rows["doc_b"].append(db)
+        rows["jaccard"].append(
+            round(jaccard(texts.get(da, ""), texts.get(db, "")), 6))
+    return pa.Table.from_pydict(rows, schema=pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("jaccard", pa.float64())]))
+
+
 def q_simhash_pairs(sf_dir: str):
     from corenlp_ray.ops.dedup import simhash_pairs
 
@@ -460,6 +504,7 @@ QUERIES = {
     "kbp_triples": q_kbp_triples,
     "kg_triples": q_kg_triples,
     "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann": q_ivf_ann,
