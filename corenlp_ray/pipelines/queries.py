@@ -106,7 +106,32 @@ def q_ann_topk(sf_dir: str):
     return _round_col(out, "cosine")
 
 
+def _stopword_sql() -> str:
+    from corenlp_ray.functions.lexicon import EN_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+    return (
+        "SELECT doc_id, round(CASE WHEN ntok = 0 THEN 0.0 "
+        "ELSE nstop * 1.0 / ntok END, 6) AS stop_ratio FROM ("
+        "SELECT doc_id, "
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), "
+        "x -> x <> '')) AS ntok, "
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), "
+        f"x -> x IN ({stoplist}))) AS nstop FROM documents)")
+
+
+def q_stopword_ratio(sf_dir: str):
+    from corenlp_ray.ops.textstats import stopword_ratio_batch
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(stopword_ratio_batch, batch_format="pyarrow")
+           .select_columns(["doc_id", "stop_ratio"]))
+    return out.map_batches(lambda b: _round_col(b, "stop_ratio"),
+                           batch_format="pyarrow")
+
+
 ORACLE_SQL = {
+    "stopword_ratio": _stopword_sql(),
     "token_count": (
         "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
@@ -485,6 +510,7 @@ QUERIES = {
     # SQL-oracled
     "token_count": q_token_count,
     "doc_quality": q_doc_quality,
+    "stopword_ratio": q_stopword_ratio,
     "dedup_exact": q_dedup_exact,
     "top_tokens": q_top_tokens,
     "lang_counts": q_lang_counts,
