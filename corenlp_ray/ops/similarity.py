@@ -146,3 +146,58 @@ def ivf_topk(embeds_ds, query_vecs, k: int = 10, n_centroids: int = 16,
 
     pruned = embeds_ds.map_batches(filter_assign, batch_format="pyarrow")
     return brute_force_topk(pruned, Q, k=k)
+
+
+# ------------------------------------------------- exact all-pairs verify ----
+
+class _BatchPairScan:
+    """map_batches stage: cosine of each batch row against the broadcast
+    corpus matrix, emitting ordered pairs (vec_a < vec_b) ≥ threshold."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        import ray
+
+        ids, M = ray.get(corpus_ref)
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.M = _normalize(np.asarray(M, dtype=np.float64))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                            ("cosine", pa.float64())])
+        V = _as_matrix(batch)
+        if V.size == 0:
+            return pa.Table.from_pydict(
+                {"vec_a": [], "vec_b": [], "cosine": []}, schema=schema)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        S = _normalize(V) @ self.M.T  # (n_batch, n_corpus)
+        # strict ordering vec_a < vec_b dedups the symmetric matrix
+        bi, cj = np.nonzero((S >= self.threshold) &
+                            (ids[:, None] < self.ids[None, :]))
+        return pa.Table.from_pydict(
+            {"vec_a": ids[bi].tolist(),
+             "vec_b": self.ids[cj].tolist(),
+             "cosine": S[bi, cj].tolist()}, schema=schema)
+
+
+def cosine_pairs_exact(embeds_ds, threshold: float = 0.3):
+    """EXACT all-pairs cosine ≥ threshold: the corpus matrix is broadcast
+    once (``ray.put``), each batch matmuls against it — O(N²) work spread
+    over batches with zero shuffle. This is the per-bucket verify kernel
+    of embedding_neardup_pairs exposed as the exact baseline; at scale it
+    runs within IVF/LSH partitions, never on the full corpus.
+
+    (The reference has no embedding ops — this is part of the
+    training-data op family the brief adds on top of CoreNLP parity.)"""
+    import ray
+
+    tb = embeds_ds.select_columns(["vec_id", "embedding"]) \
+        .to_arrow_refs()
+    parts = [p for p in ray.get(tb) if p.num_rows]
+    whole = pa.concat_tables(parts)
+    corpus_ref = ray.put((whole.column("vec_id").to_pylist(),
+                          np.array(whole.column("embedding").to_pylist(),
+                                   dtype=np.float64)))
+    return embeds_ds.map_batches(
+        _BatchPairScan, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_args=(corpus_ref, threshold))

@@ -48,17 +48,22 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 
 
 # GPT-2-style pre-tokenization pattern (the public BPE split regex shape:
-# contractions | letter runs | number runs | punct runs | whitespace)
-_BPE_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ɏ0-9]+|\s+(?!\S)|\s+")
+# contractions | letter runs | number runs | punct runs | whitespace).
+# Deliberately lookahead-free so the identical pattern runs under both
+# Python `re` and DuckDB's RE2 — the DuckDB oracle counts matches with
+# regexp_extract_all(text, BPE_PATTERN) and must agree exactly.
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+               r"| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ɏ0-9]+|\s+")
+_BPE_RE = re.compile(BPE_PATTERN)
 
 
 def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     """+ n_bpe_tokens: BPE-pre-tokenizer piece count — the standard
     LLM-training-cost estimator (each regex piece splits further into
     subwords in a real BPE, so this is a stable lower bound; ~1.3× is
-    the usual byte-level calibration)."""
+    the usual byte-level calibration).
+
+    Oracle: len(regexp_extract_all(text, BPE_PATTERN))."""
     out = [len(_BPE_RE.findall(t or ""))
            for t in batch.column("text").to_pylist()]
     return batch.append_column("n_bpe_tokens",

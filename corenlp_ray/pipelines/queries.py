@@ -163,14 +163,82 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts) AS sid FROM o) "
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
         "count(*) AS n_events FROM s GROUP BY user_id, sid"),
+    # embeddings are list<float32>; cast to DOUBLE[] so DuckDB computes the
+    # cosine in float64 exactly like the numpy side — otherwise the rounded
+    # values differ in the 7th decimal and the driver's value-hash mismatches
     "ann_topk": (
-        "WITH q AS (SELECT embedding AS qe FROM embeddings "
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
         "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
-        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qe), 6)"
+        "SELECT e.vec_id, round(list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), q.qe), 6)"
         " AS cosine FROM embeddings e, q "
-        "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id "
-        "LIMIT 10"),
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " DESC, e.vec_id LIMIT 10"),
+    "cosine_pairs": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.3"),
+    "langid": None,        # filled below (needs the marker lexicons)
+    "bpe_tokens": None,    # filled below (shares BPE_PATTERN with the op)
+    "fingerprints": (
+        "WITH chars AS (SELECT doc_id, md5(text) AS text_hash, "
+        "list_transform(split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) "
+        "AS cps FROM documents), "
+        "wins AS (SELECT doc_id, text_hash, "
+        "list_reduce(cps[i:i+7], (a,b) -> (a*257+b) % 2305843009213693951) "
+        "AS h FROM chars, unnest(range(1, greatest(len(cps)-6, 2))) AS t(i)) "
+        "SELECT doc_id, text_hash, CAST(min(h) AS BIGINT) AS fp_min, "
+        "CAST(max(h) AS BIGINT) AS fp_max FROM wins GROUP BY doc_id, text_hash"),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS "
+        "sum_qty, round(sum(l_extendedprice), 4) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+        "count(*) AS count_order FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus"),
+    "top_orders": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"),
+    "region_suppliers": (
+        "SELECT r_name, count(*) AS n_suppliers, "
+        "round(sum(s_acctbal), 4) AS total_acctbal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
 }
+
+
+def _langid_sql() -> str:
+    from corenlp_ray.ops.textstats import _LANG_MARKERS
+
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+
+    g = "greatest(n_de, n_en, n_es, n_fr)"
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk "
+        "FROM documents), cnt AS (SELECT doc_id, "
+        f"len(list_filter(tk, x -> x IN ({inlist('de')}))) AS n_de, "
+        f"len(list_filter(tk, x -> x IN ({inlist('en')}))) AS n_en, "
+        f"len(list_filter(tk, x -> x IN ({inlist('es')}))) AS n_es, "
+        f"len(list_filter(tk, x -> x IN ({inlist('fr')}))) AS n_fr FROM toks) "
+        f"SELECT doc_id, CASE WHEN {g} <= 1 THEN 'unk' "
+        f"WHEN n_de = {g} THEN 'de' WHEN n_en = {g} THEN 'en' "
+        f"WHEN n_es = {g} THEN 'es' ELSE 'fr' END AS lang_pred FROM cnt")
+
+
+def _bpe_sql() -> str:
+    from corenlp_ray.ops.textstats import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return ("SELECT doc_id, len(regexp_extract_all(text, "
+            f"'{pat}')) AS n_bpe_tokens FROM documents")
+
+
+ORACLE_SQL["langid"] = _langid_sql()
+ORACLE_SQL["bpe_tokens"] = _bpe_sql()
 
 
 def q_customer_orders(sf_dir: str):
@@ -227,6 +295,88 @@ def q_asof_events(sf_dir: str):
     vals = rd.read_parquet(f"{sf_dir}/events.parquet",
                            columns=["user_id", "ts", "value"])
     return asof_join(ev, vals, key="user_id", ts="ts")
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: computed column inside map_batches (vectorized
+    pyarrow.compute), then multi-aggregate groupby — the canonical
+    pre-aggregated wide groupby."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def with_disc(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("l_disc_price", disc)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(with_disc, batch_format="pyarrow")
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("l_disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"))
+
+    def rounded(b: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            b = _round_col(b, c, 4)
+        return b
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def q_top_orders(sf_dir: str):
+    """Distributed sort (desc) + limit with a deterministic tie-break."""
+    import ray.data as rd
+
+    return (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(25))
+
+
+def q_region_suppliers(sf_dir: str):
+    """Chained broadcast joins (supplier ⋈ nation ⋈ region — both
+    dimensions tiny, zero shuffle) + grouped aggregate."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from corenlp_ray.ops.joins import broadcast_join
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]) \
+        .rename_columns(["s_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]) \
+        .rename_columns(["n_regionkey", "r_name"])
+    joined = broadcast_join(broadcast_join(sup, nat, on="s_nationkey"),
+                            reg, on="n_regionkey")
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("s_acctbal", alias_name="total_acctbal"))
+    return out.map_batches(lambda b: _round_col(b, "total_acctbal", 4),
+                           batch_format="pyarrow")
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.3 (broadcast-matrix batch matmul)."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.similarity import cosine_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = cosine_pairs_exact(ds, threshold=0.3)
+    return out.map_batches(lambda b: _round_col(b, "cosine"),
+                           batch_format="pyarrow")
 
 
 ORACLE_SQL_JOINS = {
@@ -520,6 +670,10 @@ QUERIES = {
     "customer_orders": q_customer_orders,
     "lineitem_status_revenue": q_lineitem_status_revenue,
     "asof_events": q_asof_events,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_suppliers": q_region_suppliers,
+    "cosine_pairs": q_cosine_pairs,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
