@@ -648,12 +648,33 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_multimodal(sf_dir: str):
+    """Multimodal decode plumbing; final projection flattens the list
+    columns to scalars so the driver's row-sort/hash compare works."""
     import ray.data as rd
 
     from corenlp_ray.ops.multimodal import decode_pipeline, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(64, seed=1))
-    return decode_pipeline(ds, fake=True).drop_columns(["payload"])
+    out = decode_pipeline(ds, fake=True).drop_columns(["payload"])
+
+    def flatten(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        norms = [round(float(np.linalg.norm(v)), 6) if v is not None else 0.0
+                 for v in b.column("img_feat").to_pylist()]
+        return pa.Table.from_pydict({
+            "media_id": b.column("media_id"),
+            "kind": b.column("kind"),
+            "mime": b.column("mime"),
+            "width": b.column("width"),
+            "height": b.column("height"),
+            "duration_ms": b.column("duration_ms"),
+            "feat_dim": pc.list_value_length(b.column("img_feat")),
+            "feat_norm": pa.array(norms, type=pa.float64()),
+            "n_frames": pc.list_value_length(b.column("frame_offsets_ms"))})
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 QUERIES = {
