@@ -114,6 +114,20 @@ OPEN_CLASS = {
     "fast": "JJ", "married": "VBN", "such": "JJ", "same": "JJ", "few": "JJ",
     "many": "JJ", "several": "JJ", "first": "JJ", "second": "JJ",
     "third": "JJ",
+    # frequent adjectives the amod-deletion entailment variants depend on
+    # (stripping applies only to amod-labeled tokens, so mistagging an
+    # adjective as NN→compound blocks the shortened-triple family)
+    "current": "JJ", "former": "JJ", "civil": "JJ", "general": "JJ",
+    "constitutional": "JJ", "federal": "JJ", "national": "JJ",
+    "local": "JJ", "social": "JJ", "final": "JJ", "central": "JJ",
+    "royal": "JJ", "legal": "JJ", "chief": "JJ", "major": "JJ",
+    "senior": "JJ", "junior": "JJ", "foreign": "JJ", "annual": "JJ",
+    "due": "JJ", "free": "JJ", "full": "JJ", "recent": "JJ",
+    "strong": "JJ", "weak": "JJ", "hard": "JJ", "real": "JJ",
+    "true": "JJ", "false": "JJ", "blue": "JJ", "red": "JJ",
+    "green": "JJ", "white": "JJ", "black": "JJ", "smart": "JJ",
+    "top": "JJ", "main": "JJ", "key": "JJ", "total": "JJ",
+    "prime": "JJ", "global": "JJ", "common": "JJ", "open": "JJ",
 }
 
 POS_LEXICON = dict(OPEN_CLASS)

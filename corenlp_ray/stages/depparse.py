@@ -42,15 +42,41 @@ def _noun_chunks(words: List[str], tags: List[str]) -> List[Tuple[int, int, int]
     nominal token. A POS ('s) token ends a chunk (possessor NP)."""
     chunks = []
     n = len(tags)
+    words_are_months = [w.lower() in MONTHS for w in words]
     i = 0
     while i < n:
         t = tags[i]
+        # date chunk: (CD)? MONTH (CD)? — "21 February 2013" is one NP
+        # headed by the month (nummod day/year), never split into bare-
+        # number chunks; requires a CD neighbor so a lone month still
+        # compounds normally ("February sales")
+        if (t == "CD" and i + 1 < n and words_are_months[i + 1]) or \
+                (words_are_months[i] and tags[i] == "NNP" and i + 1 < n
+                 and tags[i + 1] == "CD"):
+            db = i
+            mh = i if words_are_months[i] else i + 1
+            j = mh + 1
+            if j < n and tags[j] == "CD":
+                j += 1
+            chunks.append((db, j, mh))
+            i = j
+            continue
         if t in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD") and i + 1 < n and (
                 tags[i + 1] in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD")
                 or tags[i + 1] in _NP_HEAD):
             b = i
             j = i
-            while j < n and tags[j] in ("DT", "PRP$", "JJ", "JJR", "JJS", "CD"):
+            while j < n and (tags[j] in ("DT", "PRP$", "JJ", "JJR", "JJS",
+                                         "CD")
+                             # adjective coordination before the head noun
+                             # stays inside the chunk ("the 44th and
+                             # current President")
+                             or (tags[j] == "CC" and j > b
+                                 and tags[j - 1] in ("JJ", "JJR", "JJS",
+                                                     "CD")
+                                 and j + 1 < n
+                                 and tags[j + 1] in ("JJ", "JJR", "JJS",
+                                                     "CD"))):
                 j += 1
             if j < n and tags[j] in _NP_HEAD:
                 # bare numbers don't modify proper names ("2013 George
@@ -119,6 +145,8 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 attach(k, h, "amod")
             elif t == "CD":
                 attach(k, h, "nummod")
+            elif t == "CC":
+                attach(k, h, "cc")
             else:
                 attach(k, h, "compound")
 
@@ -219,6 +247,33 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         heads[root] = -1
         labels[root] = "root"
 
+    # ---- complement / infinitival clauses (run BEFORE the conj pass so
+    # the more specific attachment wins) ----
+    for vi, v in enumerate(main_verbs[1:], start=1):
+        if v in relcl_verbs or heads[v] != -2:
+            continue
+        # infinitival acl: NOUN + to + VB ("the first African American to
+        # hold the office") — modifier clause of the noun, not a conjunct
+        if v >= 2 and tags[v - 1] == "TO" and (v - 2) in chunk_head:
+            attach(v - 1, v, "mark")
+            attach(v, chunk_head[v - 2], "acl")
+            continue
+        # "that"-complement: a bare "that" between the previous clause and
+        # this verb's subject marks a ccomp under the previous predicate
+        # ("There is no doubt that I am great", "He said that X founded Y")
+        prev = main_verbs[vi - 1]
+        for p in range(prev + 1, v):
+            # complementizer "that" between two clauses: a lone "that"
+            # re-attaches as mark; one fused as a determiner into the
+            # embedded subject chunk ("doubt that cats have...") keeps
+            # its det arc but the clause is still a ccomp
+            if lowers[p] == "that":
+                if chunk_head.get(p, p) == p:
+                    heads[p] = v
+                    labels[p] = "mark"
+                attach(v, prev, "ccomp")
+                break
+
     # ---- conj between verbs: later main verbs conj of root ----
     for v in main_verbs[1:]:
         if v not in relcl_verbs:
@@ -277,7 +332,8 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                     break
             if subj < 0:
                 subj = cd_fallback
-        if subj >= 0 and heads[subj] == -2:
+        if subj >= 0 and heads[subj] == -2 and labels[v] != "acl":
+            # infinitival acl clauses modify their noun — no subject
             attach(subj, v, "nsubj:pass" if passive else "nsubj")
         elif vi > 0 and subj == -1:
             # shared subject across conj verbs: copy root's nsubj
@@ -311,14 +367,34 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 if ph >= 0 and heads[ph] == -2:
                     attach(k, ph, "case")
                     # "of"-PPs are nominal modifiers of the preceding noun;
+                    # a "from"-PP with an entity (non-date) complement
+                    # attaches to an immediately preceding oblique noun
+                    # ("joined on loan from Peterborough United" → loan);
                     # all other prepositions are verbal obliques (the subset
                     # of enhanced++ prep semantics the triple patterns use)
                     prev_tok = k - 1
-                    if lowers[k] == "of" and prev_tok in chunk_head \
-                            and chunk_head[prev_tok] != ph:
-                        attach(ph, chunk_head[prev_tok], "nmod")
+                    prev_head = chunk_head.get(prev_tok)
+                    if lowers[k] == "of" and prev_head is not None \
+                            and prev_head != ph:
+                        attach(ph, prev_head, "nmod")
+                    elif lowers[k] == "from" and prev_head is not None \
+                            and prev_head != ph \
+                            and labels[prev_head] == "obl" \
+                            and tags[ph] != "CD" \
+                            and lowers[ph] not in MONTHS:
+                        attach(ph, prev_head, "nmod")
                     else:
                         attach(ph, v, "obl")
+                    # "from X to Y" range: Y is an nmod of X (one phrase,
+                    # "taught law from 1992 to 2004")
+                    if lowers[k] == "from" and tags[ph] == "CD" \
+                            and ph + 2 < n and lowers[ph + 1] in ("to",
+                                                                  "until") \
+                            and tags[ph + 2] == "CD":
+                        attach(ph + 1, ph + 2, "case")
+                        attach(ph + 2, ph, "nmod")
+                        k = ph + 3
+                        continue
                     k = ph + 1
                     continue
             elif k in chunk_head and heads[chunk_head[k]] == -2 and not got_obj:
@@ -348,6 +424,18 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 k += 2
                 continue
             k += 1
+
+    # ---- fronted PPs: "On 21 February 2013 George Boyd joined ..." —
+    # an unattached chunk preceded by a preposition attaches as an obl of
+    # the nearest following main verb ----
+    for b, e, h in chunks:
+        if heads[h] != -2 or b == 0 or tags[b - 1] != "IN":
+            continue
+        tgt = next((v for v in main_verbs if v >= e
+                    and v not in relcl_verbs), root)
+        if tgt is not None and tgt >= 0 and tgt != h:
+            attach(b - 1, h, "case")
+            attach(h, tgt, "obl")
 
     # ---- leftovers ----
     for k in range(n):

@@ -123,6 +123,116 @@ def extract_sentence_triples(
 
     out = []
 
+    _NEG = {"not", "never", "n't"}
+    _DOUBT_NOUNS = {"doubt", "doubts", "denial", "myth"}
+
+    def _negated(v: int) -> bool:
+        """Natlog polarity gate (reduced): a triple under an explicit
+        negation is rejected (the reference's strict-triple behavior —
+        naturalli monotonicity marking, OpenIEITest testSara /
+        testChessIsNotAPhysicalSport)."""
+        frontier = [v] + [c for c, l in ch.get(v, ())
+                          if l in ("cop", "aux", "aux:pass")]
+        for t in frontier:
+            for c, l in ch.get(t, ()):
+                if l == "advmod" and words[c].lower() in _NEG:
+                    return True
+        return False
+
+    def _clause_blocked(v: int) -> bool:
+        """ccomp under a negative-implicative noun ("There is doubt that
+        ...") blocks extraction unless doubled by "no" (downward ×
+        downward = upward monotone)."""
+        if labels[v] == "acl":
+            return True  # infinitival noun modifier: never a triple site
+        if labels[v] != "ccomp":
+            return False
+        g = heads[v]
+        if g < 0 or words[g].lower() not in _DOUBT_NOUNS:
+            return False
+        has_no = any(l == "det" and words[c].lower() == "no"
+                     for c, l in ch.get(g, ()))
+        return not has_no
+
+    def _in_mention(tok: int) -> bool:
+        """Inside an entity-type mention (deletion would change the
+        entity); value-type mentions (ORDINAL/NUMBER/DATE) stay
+        strippable — they are ordinary entailment deletions."""
+        return any(b <= tok < e for b, e, t in mentions
+                   if t in ("PERSON", "ORGANIZATION", "LOCATION", "MISC"))
+
+    def _premods(h: int) -> List[int]:
+        """Direct premodifier tokens of an NP head (sorted, excl. det)."""
+        toks = [c for c, l in ch.get(h, ())
+                if c < h and l in ("amod", "compound", "nummod", "cc",
+                                   "flat")]
+        return sorted(toks)
+
+    def _np_variants(h: int) -> List[List[int]]:
+        """ForwardEntailer-style shortened spans for an NP: start from
+        the full premod span and repeatedly (a) reduce a premod
+        coordination to its first conjunct, (b) delete a leading amod /
+        ordinal that is not inside an entity mention. Mirrors the
+        reference's entailment-shortened extraction sets
+        (naturalli/ForwardEntailer; OpenIEITest golden families)."""
+        base = sorted(set(
+            [t for t in _span_tokens(h, ch, words)
+             if tags[t] not in ("DT", "PRP$")]
+            + [c for c, l in ch.get(h, ()) if l == "cc" and c < h]))
+        variants = [base]
+        work = list(base)
+        while True:
+            mods = [t for t in work if t != h]
+            if not mods:
+                break
+            cc_toks = [t for t in mods if labels[t] == "cc"]
+            if cc_toks:
+                # conj-reduction: keep the first conjunct only
+                # ("44th and current President" → "44th President")
+                cut = min(cc_toks)
+                work = [t for t in work if t < cut or t == h
+                        or labels[t] not in ("cc", "amod", "conj")]
+                variants.append(list(work))
+                continue
+            first = mods[0]
+            # amod deletion only — nummods are date/quantity parts whose
+            # removal changes the denotation ("21 February 2013")
+            if labels[first] == "amod" and not _in_mention(first):
+                work = [t for t in work if t != first]
+                variants.append(list(work))
+                continue
+            break
+        # dedup while preserving order
+        seen, uniq = set(), []
+        for v_ in variants:
+            k = tuple(v_)
+            if k not in seen:
+                seen.add(k)
+                uniq.append(v_)
+        return uniq
+
+    def _nmod_ext(h: int):
+        """(extended_token_list, is_range) for an NP head with a cased
+        nmod child ("loan from Peterborough United", "1992 to 2004"),
+        else (None, False)."""
+        for c, l in sorted(ch.get(h, ())):
+            if l == "nmod" and c > h:
+                case = next((cc for cc, ll in ch.get(c, ())
+                             if ll == "case"), None)
+                if case is None:
+                    continue
+                ext = ([t for t in _span_tokens(h, ch, words)
+                        if tags[t] not in ("DT", "PRP$")]
+                       + [case]
+                       + [t for t in _span_tokens(c, ch, words)
+                          if tags[t] != "DT"])
+                return sorted(set(ext)), words[case].lower() in ("to",
+                                                                 "until")
+        return None, False
+
+    def _words_of(toks: List[int]) -> str:
+        return " ".join(words[t] for t in toks)
+
     def _conj_partners(tok: int) -> List[int]:
         """tok + its NP conjuncts (enhanced++ conj propagation — the
         subset of UniversalEnglishGrammaticalStructure the triple
@@ -139,15 +249,22 @@ def extract_sentence_triples(
                     partners.append(c)
         return partners
 
-    def emit(s_tok, pred, o_tok, conf, s_surface=None, o_surface=None):
+    def emit(s_tok, pred, o_tok, conf, s_surface=None, o_surface=None,
+             o_expand=False):
+        """o_expand: distribute over the object's NP conjuncts even when
+        an explicit variant surface is supplied (the surface applies to
+        o_tok itself; partners use their own spans)."""
         s_list = [s_tok] if s_surface is not None else _conj_partners(s_tok)
-        o_list = [o_tok] if o_surface is not None else _conj_partners(o_tok)
+        o_list = _conj_partners(o_tok) \
+            if (o_surface is None or o_expand) else [o_tok]
         for st in s_list:
             for ot in o_list:
                 subj = s_surface if s_surface is not None else \
                     _phrase(_span_tokens(st, ch, words), words, tags)
-                obj = o_surface if o_surface is not None else \
-                    _phrase(_span_tokens(ot, ch, words), words, tags)
+                if o_surface is not None and ot == o_tok:
+                    obj = o_surface
+                else:
+                    obj = _phrase(_span_tokens(ot, ch, words), words, tags)
                 if not subj or not obj or not pred:
                     continue
                 c = conf if (st == s_tok and ot == o_tok) else conf * 0.95
@@ -159,6 +276,8 @@ def extract_sentence_triples(
         kids = ch.get(v, ())
         subj = next((c for c, l in kids if l in ("nsubj", "nsubj:pass")), None)
         cop = next((c for c, l in kids if l == "cop"), None)
+        if _negated(v) or _clause_blocked(v):
+            continue
         # relative-pronoun subject → the antecedent noun through acl:relcl
         # ("the man who founded X" → subject span = "man")
         if subj is not None and words[subj].lower() in ("who", "which", "that") \
@@ -182,31 +301,56 @@ def extract_sentence_triples(
             continue
         auxes = sorted(c for c, l in kids if l in ("aux", "aux:pass"))
         if cop is not None:
-            # C1: copular predicate — full span plus the forward-entailment
-            # shortened variant (head only), mirroring the reference's
-            # ForwardEntailer-shortened extraction set
-            pred_span = _span_tokens(v, ch, words)
-            emit(subj, lemmas[cop] if lemmas[cop] != "be" else "is", v, 1.0)
-            if len(pred_span) > 1:
-                emit(subj, "is", v, 0.9, o_surface=words[v])
-            # C2: pred + of-nmod → relation through the predicate nominal
+            # C1: copular predicate + ForwardEntailer-shortened variants
+            # (conj-reduced / amod-deleted object spans; an object with a
+            # premod coordination keeps only its reduced forms, matching
+            # the reference's exact golden set for ObamaWikiOne)
+            cop_word = words[cop] if lemmas[cop] == "be" else lemmas[cop]
+            variants = _np_variants(v)
+            has_cc = any(labels[t] == "cc" for t in variants[0])
+            o_var = variants[1:] if has_cc and len(variants) > 1 else variants
+            for i, toks in enumerate(o_var):
+                emit(subj, cop_word, v, 1.0 - 0.05 * i,
+                     o_surface=_words_of(toks), o_expand=True)
+            # adjective-alone entailment ("Chess is a physical sport" →
+            # Chess is physical) — non-ordinal direct amods only
+            for c, l in kids:
+                if l == "amod" and tags[c] == "JJ" and not _in_mention(c) \
+                        and not words[c][0].isdigit() \
+                        and not any(labels[t] == "cc" for t in variants[0]):
+                    emit(subj, cop_word, c, 0.85, o_surface=words[c])
+            # C2: pred + of-nmod → relation through the predicate nominal,
+            # one relation per shortened pred-span variant
             for c, l in kids:
                 if l == "nmod":
                     case = next((cc for cc, ll in ch.get(c, ()) if ll == "case"), None)
                     if case is not None and words[case].lower() == "of":
-                        rel = "is " + _phrase(pred_span, words, tags) + " of"
-                        emit(subj, rel, c, 0.95)
-                        if len(pred_span) > 1:
-                            emit(subj, "is " + words[v] + " of", c, 0.9)
+                        for i, toks in enumerate(variants):
+                            rel = (cop_word + " "
+                                   + _words_of([t for t in toks if t != c])
+                                   + " of")
+                            emit(subj, rel, c, 0.95 - 0.05 * i)
             continue
         if tags[v] in _VERB:
             verb_words = [words[a] for a in auxes if words[a].lower() != "do"]
-            # V1: direct object
+            apass = next((a for a in auxes
+                          if any(l == "aux:pass" for c, l in kids
+                                 if c == a)), None)
+            # V1: direct object (+ amod-deletion variants; of-nmod
+            # extension when the object carries one)
             for c, l in kids:
                 if l == "obj":
                     rel = " ".join(verb_words + [words[v]])
-                    emit(subj, rel, c, 1.0)
-            # V2: obliques with case
+                    ext, is_range = _nmod_ext(c)
+                    if ext is not None and not is_range:
+                        emit(subj, rel, c, 1.0, o_surface=_words_of(ext))
+                    for i, toks in enumerate(_np_variants(c)):
+                        emit(subj, rel, c, 1.0 - 0.05 * i,
+                             o_surface=_words_of(toks), o_expand=True)
+            # V2: obliques with case — embedded objects appear in the
+            # predicate in their maximally-shortened form ("taught law
+            # at"); oblique objects emit bare + nmod-extended + shortened
+            # variants; from-to ranges only the full range phrase
             for c, l in kids:
                 if l == "obl":
                     case = next((cc for cc, ll in ch.get(c, ()) if ll == "case"), None)
@@ -214,10 +358,34 @@ def extract_sentence_triples(
                         objkids = [cc for cc, ll in ch.get(v, ()) if ll == "obj"]
                         vw = verb_words + [words[v]]
                         if objkids:
-                            # "founded Hooli in 2004" → (subj, founded ... in, 2004)
-                            vw = vw + [_phrase(_span_tokens(objkids[0], ch, words), words, tags)]
+                            vw = vw + [_words_of(_np_variants(objkids[0])[-1])]
                         rel = " ".join(vw + [words[case]])
-                        emit(subj, rel, c, 0.9)
+                        ext, is_range = _nmod_ext(c)
+                        if is_range and ext is not None:
+                            emit(subj, rel, c, 0.9, o_surface=_words_of(ext))
+                            continue
+                        if ext is not None:
+                            emit(subj, rel, c, 0.9, o_surface=_words_of(ext))
+                        for i, toks in enumerate(_np_variants(c)):
+                            emit(subj, rel, c, 0.9 - 0.05 * i,
+                                 o_surface=_words_of(toks), o_expand=True)
+            # passive-copular variants: "He was inaugurated as president
+            # on January 20 2009" → (He, was, inaugurated) and
+            # (He, was, inaugurated + all oblique phrases)
+            if apass is not None and tags[v] == "VBN":
+                emit(subj, words[apass], v, 0.85, o_surface=words[v])
+                obl_parts: List[str] = []
+                for c, l in sorted(kids):
+                    if l == "obl":
+                        case = next((cc for cc, ll in ch.get(c, ())
+                                     if ll == "case"), None)
+                        if case is not None:
+                            obl_parts.append(
+                                words[case] + " "
+                                + _words_of(_np_variants(c)[0]))
+                if obl_parts:
+                    emit(subj, words[apass], v, 0.8,
+                         o_surface=words[v] + " " + " ".join(obl_parts))
             # V3: xcomp chain (want to buy X)
             for c, l in kids:
                 if l == "xcomp":

@@ -48,6 +48,8 @@ def _base_tag(word: str, lower: str, sent_initial: bool) -> str:
         return "JJ"
     if lower in MONTHS:
         return "NNP"
+    if word == "I":
+        return "PRP"  # the one capitalized pronoun; cap rule must not win
     in_lex = POS_LEXICON.get(lower)
     cap = word[:1].isupper()
     if cap and not sent_initial:
