@@ -39,6 +39,10 @@ from corenlp_ray.functions.lexicon import (
 _NUM_RE = re.compile(r"^[+-]?\d+(?:,\d{3})*(?:\.\d+)?$|^\.\d+$")
 _YEAR_RE = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
 _ORDNUM_RE = re.compile(r"^(\d+)(?:st|nd|rd|th)$")
+_PERSON_SUFFIX_RE = re.compile(r"^(?:II|III|IV|Jr\.?|Sr\.?)$")
+_RUN_TITLES = {"president", "queen", "king", "prince", "princess", "pope",
+               "chancellor", "prime", "sir", "lady", "lord", "governor",
+               "senator", "secretary", "general", "captain", "judge"}
 
 
 def _num_value(w: str) -> Optional[float]:
@@ -60,6 +64,13 @@ def _type_nnp_run(words: List[str], lowers: List[str], b: int, e: int,
     if lowers[b] in MALE_NAMES or lowers[b] in FEMALE_NAMES:
         return "PERSON"
     if prev_word in PERSON_TITLES:
+        return "PERSON"
+    # generational / regnal suffix: "Barack Hussein Obama II",
+    # "John Smith Jr." — a multi-token run ending in a suffix is a person
+    if e - b >= 2 and _PERSON_SUFFIX_RE.match(words[e - 1]):
+        return "PERSON"
+    # leading title inside the run: "Queen Elizabeth II", "President Obama"
+    if e - b >= 2 and lowers[b] in _RUN_TITLES:
         return "PERSON"
     if any(lw in LOCATIONS for lw in lowers[b:e]) and e - b <= 2:
         return "LOCATION"
