@@ -89,10 +89,28 @@ def _span_tokens(head: int, ch, words: List[str], drop_det: bool = True,
 
 def _phrase(toks: List[int], words: List[str], tags: List[str],
             drop_det: bool = True) -> str:
+    # determiners are dropped, possessive pronouns KEPT — the reference's
+    # triples read "my cats play with yarn", "established its first
+    # production plant" (RelationTripleSegmenterTest:254,466)
     if drop_det:
-        while toks and tags[toks[0]] in ("DT", "PRP$"):
+        while toks and tags[toks[0]] == "DT":
             toks = toks[1:]
     return " ".join(words[t] for t in toks)
+
+
+_KEEP_SUBTYPES = {"nmod:poss", "acl:relcl", "nsubj:pass", "aux:pass"}
+
+
+def _norm_label(l: str) -> str:
+    if l in _KEEP_SUBTYPES:
+        return l
+    if l == "dobj":
+        return "obj"
+    if l in ("compound:prt", "compound:ptr"):
+        return "prt"
+    if ":" in l:
+        return l.split(":", 1)[0]
+    return l
 
 
 def extract_sentence_triples(
@@ -102,8 +120,15 @@ def extract_sentence_triples(
     pron_canon: Optional[Dict[int, str]] = None,
 ) -> List[Tuple[str, str, str, str, str, str, str, float]]:
     """Pure kernel: one sentence (sentence-local indices) →
-    [(subj, pred, obj, subj_canon, obj_canon, subj_ner, obj_ner, conf)]."""
+    [(subj, pred, obj, subj_canon, obj_canon, subj_ner, obj_ner, conf)].
+
+    Accepts both this engine's plain UD labels and the reference's
+    subtyped ones (obl:with, nmod:of, conj:and, dobj, compound:prt) —
+    normalized on entry so the graph-level parity suite
+    (tests/test_segmenter_parity.py) can feed the reference's own test
+    graphs verbatim."""
     pron_canon = pron_canon or {}
+    labels = [_norm_label(l) for l in labels]
     ch = _children(heads, labels)
     n = len(words)
 
@@ -125,6 +150,10 @@ def extract_sentence_triples(
 
     _NEG = {"not", "never", "n't"}
     _DOUBT_NOUNS = {"doubt", "doubts", "denial", "myth"}
+    _TITLE_LEX = {"president", "ceo", "chairman", "director", "minister",
+                  "secretary", "senator", "governor", "ally", "actor",
+                  "actress", "founder", "co-founder", "chief", "captain",
+                  "coach", "professor", "king", "queen", "mayor"}
 
     def _negated(v: int) -> bool:
         """Natlog polarity gate (reduced): a triple under an explicit
@@ -144,7 +173,12 @@ def extract_sentence_triples(
         ...") blocks extraction unless doubled by "no" (downward ×
         downward = upward monotone)."""
         if labels[v] == "acl":
-            return True  # infinitival noun modifier: never a triple site
+            # infinitival acl ("the first American TO HOLD the office")
+            # is never a triple site; participial acl ("dogs SITTING in
+            # heaven") is (SegmenterTest testAcl:880)
+            return any(l == "mark" and words[c].lower() == "to"
+                       for c, l in ch.get(v, ())) or tags[v] not in (
+                           "VBG", "VBN")
         if labels[v] != "ccomp":
             return False
         g = heads[v]
@@ -175,10 +209,19 @@ def extract_sentence_triples(
         ordinal that is not inside an entity mention. Mirrors the
         reference's entailment-shortened extraction sets
         (naturalli/ForwardEntailer; OpenIEITest golden families)."""
+        extra = [c for c, l in ch.get(h, ()) if l == "cc" and c < h]
+        for c, l in ch.get(h, ()):
+            if l == "amod" and c < h:
+                # conjoined premodifiers: "44th and current" may hang the
+                # second conjunct (and its cc) under the first amod
+                for g, gl in ch.get(c, ()):
+                    if gl in ("conj", "cc") and g < h:
+                        extra.append(g)
+                        extra.extend(cc for cc, ll in ch.get(g, ())
+                                     if ll == "cc" and cc < h)
         base = sorted(set(
-            [t for t in _span_tokens(h, ch, words)
-             if tags[t] not in ("DT", "PRP$")]
-            + [c for c, l in ch.get(h, ()) if l == "cc" and c < h]))
+            [t for t in _span_tokens(h, ch, words) if tags[t] != "DT"]
+            + extra))
         variants = [base]
         work = list(base)
         while True:
@@ -278,6 +321,22 @@ def extract_sentence_triples(
         cop = next((c for c, l in kids if l == "cop"), None)
         if _negated(v) or _clause_blocked(v):
             continue
+        # existential with the be-verb as root: "there are dogs in
+        # heaven" → (dogs, is in, heaven) — the nmod rides on the
+        # pivot nsubj (SegmenterTest testThereAreIn/With:551)
+        if (lemmas[v] == "be" or words[v].lower() in
+                ("is", "are", "was", "were")) and \
+                any(l == "expl" or tags[c] == "EX" for c, l in kids):
+            pivot = next((c for c, l in kids if l == "nsubj"), None)
+            if pivot is not None:
+                for m, ml in ch.get(pivot, ()):
+                    if ml == "nmod":
+                        case = next((cc for cc, ll in ch.get(m, ())
+                                     if ll == "case"), None)
+                        if case is not None:
+                            emit(pivot, "is " + words[case].lower(),
+                                 m, 0.9)
+            continue
         # relative-pronoun subject → the antecedent noun through acl:relcl
         # ("the man who founded X" → subject span = "man")
         if subj is not None and words[subj].lower() in ("who", "which", "that") \
@@ -288,6 +347,12 @@ def extract_sentence_triples(
         if subj is None and heads[v] >= 0 and labels[v] == "conj":
             subj = next((c for c, l in ch.get(heads[v], ())
                          if l in ("nsubj", "nsubj:pass")), None)
+        # participial acl: the governing noun is the logical subject
+        # ("dogs sitting in heaven" → dogs; SegmenterTest testThereAreVBing,
+        # testAcl) — infinitival acl is blocked in _clause_blocked
+        if subj is None and labels[v] == "acl" and heads[v] >= 0 \
+                and tags[v] in ("VBG", "VBN"):
+            subj = heads[v]
         if subj is None:
             # E1: existential — "There are cats with tails" →
             # (cats, is with, tails); subject slot filled by the pivot NP
@@ -299,13 +364,44 @@ def extract_sentence_triples(
                         if case is not None:
                             emit(v, "is " + words[case].lower(), c, 0.9)
             continue
+        # WH-pronoun subjects never ground a triple ("what is love" →
+        # nothing; SegmenterTest testWh:287) — relcl subjects were
+        # already rewritten to their antecedent above
+        if tags[subj] in ("WP", "WDT"):
+            continue
         auxes = sorted(c for c, l in kids if l in ("aux", "aux:pass"))
         if cop is not None:
+            cop_word = words[cop] if lemmas[cop] == "be" else lemmas[cop]
+            # temporal predicates are not triples ("State of the Union is
+            # tomorrow" — SegmenterTest testStateOfTheUnion:969)
+            if words[v].lower() in ("tomorrow", "yesterday", "today",
+                                    "tonight"):
+                continue
+            # C0: cop + case directly on the predicate — "I am in
+            # Florida" → (I, am in, Florida), never (I, am, Florida)
+            # (SegmenterTest testIAmInFlorida:276)
+            case0 = next((c for c, l in kids if l == "case"), None)
+            if case0 is not None:
+                for i, toks in enumerate(_np_variants(v)):
+                    emit(subj, cop_word + " " + words[case0].lower(), v,
+                         0.95 - 0.05 * i,
+                         o_surface=_words_of([t for t in toks
+                                              if t != case0]),
+                         o_expand=True)
+                continue
+            # C1v: verbal copular predicate ("horses are grazing
+            # peacefully" — SegmenterTest testAdvObject:605)
+            if tags[v] in _VERB:
+                tail = [c for c, l in sorted(kids)
+                        if l == "advmod" and c > v]
+                emit(subj, cop_word, v, 0.9,
+                     o_surface=" ".join([words[v]]
+                                        + [words[t] for t in tail]))
+                continue
             # C1: copular predicate + ForwardEntailer-shortened variants
             # (conj-reduced / amod-deleted object spans; an object with a
             # premod coordination keeps only its reduced forms, matching
             # the reference's exact golden set for ObamaWikiOne)
-            cop_word = words[cop] if lemmas[cop] == "be" else lemmas[cop]
             variants = _np_variants(v)
             has_cc = any(labels[t] == "cc" for t in variants[0])
             o_var = variants[1:] if has_cc and len(variants) > 1 else variants
@@ -319,6 +415,16 @@ def extract_sentence_triples(
                         and not words[c][0].isdigit() \
                         and not any(labels[t] == "cc" for t in variants[0]):
                     emit(subj, cop_word, c, 0.85, o_surface=words[c])
+            # extended object with a non-"of" cased nmod: "he was
+            # community organizer in Chicago" (SegmenterTest:334)
+            ext0, rng0 = _nmod_ext(v)
+            if ext0 is not None and not rng0:
+                case_w = next((words[cc].lower() for c, l in kids
+                               if l == "nmod"
+                               for cc, ll in ch.get(c, ()) if ll == "case"),
+                              "")
+                if case_w != "of":
+                    emit(subj, cop_word, v, 0.9, o_surface=_words_of(ext0))
             # C2: pred + of-nmod → relation through the predicate nominal,
             # one relation per shortened pred-span variant
             for c, l in kids:
@@ -336,29 +442,41 @@ def extract_sentence_triples(
             apass = next((a for a in auxes
                           if any(l == "aux:pass" for c, l in kids
                                  if c == a)), None)
+            prts = [c for c, l in sorted(kids) if l == "prt"]
+            objs = [c for c, l in kids if l == "obj"]
             # V1: direct object (+ amod-deletion variants; of-nmod
-            # extension when the object carries one)
-            for c, l in kids:
-                if l == "obj":
-                    rel = " ".join(verb_words + [words[v]])
-                    ext, is_range = _nmod_ext(c)
-                    if ext is not None and not is_range:
-                        emit(subj, rel, c, 1.0, o_surface=_words_of(ext))
-                    for i, toks in enumerate(_np_variants(c)):
-                        emit(subj, rel, c, 1.0 - 0.05 * i,
-                             o_surface=_words_of(toks), o_expand=True)
+            # extension when the object carries one). Exactly ONE object
+            # — a verb with two bare objects is a malformed frame the
+            # reference rejects (SegmenterTest testObjInRelation:513)
+            if len(objs) == 1:
+                c = objs[0]
+                rel = " ".join(verb_words + [words[v]]
+                               + [words[p] for p in prts])
+                ext, is_range = _nmod_ext(c)
+                if ext is not None and not is_range:
+                    emit(subj, rel, c, 1.0, o_surface=_words_of(ext))
+                for i, toks in enumerate(_np_variants(c)):
+                    emit(subj, rel, c, 1.0 - 0.05 * i,
+                         o_surface=_words_of(toks), o_expand=True)
             # V2: obliques with case — embedded objects appear in the
             # predicate in their maximally-shortened form ("taught law
             # at"); oblique objects emit bare + nmod-extended + shortened
-            # variants; from-to ranges only the full range phrase
+            # variants; from-to ranges only the full range phrase.
+            # Post-verbal advmods join the predicate ("play quietly
+            # with", "be standing next to" — SegmenterTest:199,525);
+            # an nmod riding directly on a verb is an oblique.
             for c, l in kids:
-                if l == "obl":
+                # fronted obliques ("On 21 February 2013 ... joined")
+                # keep their obl label; a verb-attached nmod is only an
+                # oblique when post-verbal
+                if l == "obl" or (l == "nmod" and c > v):
                     case = next((cc for cc, ll in ch.get(c, ()) if ll == "case"), None)
                     if case is not None:
-                        objkids = [cc for cc, ll in ch.get(v, ()) if ll == "obj"]
                         vw = verb_words + [words[v]]
-                        if objkids:
-                            vw = vw + [_words_of(_np_variants(objkids[0])[-1])]
+                        vw += [words[a] for a, al in sorted(kids)
+                               if al == "advmod" and v < a < case]
+                        if objs:
+                            vw = vw + [_words_of(_np_variants(objs[0])[-1])]
                         rel = " ".join(vw + [words[case]])
                         ext, is_range = _nmod_ext(c)
                         if is_range and ext is not None:
@@ -369,33 +487,72 @@ def extract_sentence_triples(
                         for i, toks in enumerate(_np_variants(c)):
                             emit(subj, rel, c, 0.9 - 0.05 * i,
                                  o_surface=_words_of(toks), o_expand=True)
+                        # appos on the oblique substitutes the object
+                        # ("published in Tucson, Arizona" → Arizona;
+                        # SegmenterTest testApposInObject:417)
+                        for a, al in ch.get(c, ()):
+                            if al == "appos":
+                                emit(subj, rel, a, 0.85,
+                                     o_surface=_words_of(_np_variants(a)[0]))
             # passive-copular variants: "He was inaugurated as president
             # on January 20 2009" → (He, was, inaugurated) and
             # (He, was, inaugurated + all oblique phrases)
             if apass is not None and tags[v] == "VBN":
                 emit(subj, words[apass], v, 0.85, o_surface=words[v])
-                obl_parts: List[str] = []
+                tail_parts: List[str] = [
+                    words[a] for a, al in sorted(kids)
+                    if al == "advmod" and a > v]
                 for c, l in sorted(kids):
-                    if l == "obl":
+                    if l in ("obl", "nmod") and c > v:
                         case = next((cc for cc, ll in ch.get(c, ())
                                      if ll == "case"), None)
                         if case is not None:
-                            obl_parts.append(
+                            tail_parts.append(
                                 words[case] + " "
                                 + _words_of(_np_variants(c)[0]))
-                if obl_parts:
+                if tail_parts:
                     emit(subj, words[apass], v, 0.8,
-                         o_surface=words[v] + " " + " ".join(obl_parts))
-            # V3: xcomp chain (want to buy X)
+                         o_surface=words[v] + " " + " ".join(tail_parts))
+            # V3: xcomp — inner object ("want to buy a car"), bare
+            # infinitive ("fish like to swim" → obj "to swim"), or a
+            # nominal xcomp ("was named 2009 Nobel Peace Prize Laureate")
             for c, l in kids:
                 if l == "xcomp":
                     mark = next((cc for cc, ll in ch.get(c, ()) if ll == "mark"), None)
-                    for cc, ll in ch.get(c, ()):
-                        if ll == "obj":
-                            rel_toks = [words[v]] + (["to"] if mark is not None else []) + [words[c]]
-                            emit(subj, " ".join(rel_toks), cc, 0.9)
+                    inner = [cc for cc, ll in ch.get(c, ()) if ll == "obj"]
+                    for cc in inner:
+                        rel_toks = [words[v]] + (["to"] if mark is not None else []) + [words[c]]
+                        emit(subj, " ".join(rel_toks), cc, 0.9)
+                    if not inner:
+                        rel = " ".join(verb_words + [words[v]])
+                        if tags[c] not in _VERB:
+                            emit(subj, rel, c, 0.9,
+                                 o_surface=_words_of(_np_variants(c)[0]))
+                        elif mark is not None:
+                            emit(subj, rel, c, 0.85,
+                                 o_surface="to " + words[c])
+            # reflexive conjunct-as-object: an argumentless verb with a
+            # coordinated subject relates the conjuncts ("Tom and Jerry
+            # were fighting" → Tom, fighting, Jerry;
+            # SegmenterTest testReflexive:440)
+            if not objs and not prts \
+                    and not any(l in ("obl", "xcomp", "ccomp") or
+                                (l == "nmod" and c > v) for c, l in kids):
+                partners = [p for p in _conj_partners(subj) if p != subj]
+                for p in partners:
+                    emit(subj, words[v], p, 0.7,
+                         s_surface=_phrase(_span_tokens(subj, ch, words),
+                                           words, tags),
+                         o_surface=_phrase(_span_tokens(p, ch, words),
+                                           words, tags))
 
-    # N1: possessive — X's Y → (X, has, Y)
+    def _title_tok(t: int) -> bool:
+        return ner_of(t) == "TITLE" or (labels[t] == "compound"
+                                        and lemmas[t].lower() in _TITLE_LEX)
+
+    # N1: possessive — X's Y → (X, has, Y); a TITLE compound stays out of
+    # the possessed span ("IBM's CEO Rometty" → IBM has Rometty,
+    # SegmenterTest testCompoundPossessive:843)
     for i in range(n):
         for c, l in ch.get(i, ()):
             if l == "nmod:poss" and tags[c] in ("NNP", "NNPS", "NN", "NNS"):
@@ -403,13 +560,107 @@ def extract_sentence_triples(
                      s_surface=_phrase(_span_tokens(c, ch, words), words, tags),
                      o_surface=_phrase(
                          [t for t in _span_tokens(i, ch, words)
-                          if t != c and labels[t] != "case"],
+                          if t != c and labels[t] != "case"
+                          and not _title_tok(t)],
                          words, tags))
+                # possessor + TITLE compound: "IBM's CEO Rometty" →
+                # (Rometty, is, CEO) + (Rometty, is CEO of, IBM)
+                for t, tl in ch.get(i, ()):
+                    if tl == "compound" and _title_tok(t):
+                        rest = _phrase([k for k in _span_tokens(i, ch, words)
+                                        if k != c and k != t
+                                        and labels[k] != "case"],
+                                       words, tags)
+                        poss = _phrase(_span_tokens(c, ch, words), words,
+                                       tags)
+                        emit(i, "is", t, 0.85, s_surface=rest,
+                             o_surface=words[t])
+                        emit(i, "is " + words[t] + " of", c, 0.85,
+                             s_surface=rest, o_surface=poss)
+                # possessor's appositive names the holder: "United
+                # States's president Obama" → (Obama, is president of,
+                # United States) (SegmenterTest testUSPresidentObama:715)
+                for a, al in ch.get(c, ()):
+                    if al == "appos":
+                        poss_sub = set(_span_tokens(c, ch, words))
+                        h_span = _phrase([t for t in _span_tokens(i, ch, words)
+                                          if t not in poss_sub
+                                          and labels[t] != "case"],
+                                         words, tags)
+                        emit(a, "is " + h_span + " of", c, 0.85,
+                             s_surface=_words_of(_np_variants(a)[0]),
+                             o_surface=_phrase(
+                                 [t for t in _span_tokens(c, ch, words)
+                                  if labels[t] != "case" and t != a],
+                                 words, tags))
 
-    # N2: appositive — adjacent mentions "X , the Y"
+    # N3: noun patterns over the reference's compound/nmod shapes
+    for h in range(n):
+        if tags[h] not in ("NNP", "NNPS"):
+            continue
+        h_ner = ner_of(h)
+        # PERSON head + cased nmod: "Chris Manning of Stanford" →
+        # (Chris Manning, is of, Stanford); "Obama in Tucson" →
+        # (Obama, is in, Tucson) (SegmenterTest:771,806)
+        if h_ner == "PERSON":
+            for m, ml in ch.get(h, ()):
+                if ml == "nmod" and ner_of(m) in ("ORGANIZATION",
+                                                  "LOCATION"):
+                    case = next((cc for cc, ll in ch.get(m, ())
+                                 if ll == "case"), None)
+                    if case is not None:
+                        for i, toks in enumerate(_np_variants(m)):
+                            emit(h, "is " + words[case].lower(), m,
+                                 0.85 - 0.05 * i,
+                                 o_surface=_words_of(toks))
+        # appos + of-nmod: "Durin, son of Thorin" → (Durin, son of,
+        # Thorin) (SegmenterTest testApposAsSubj:429)
+        for a, al in ch.get(h, ()):
+            if al == "appos" and tags[a] in ("NN", "NNS"):
+                for m, ml in ch.get(a, ()):
+                    if ml == "nmod":
+                        case = next((cc for cc, ll in ch.get(m, ())
+                                     if ll == "case"), None)
+                        if case is not None and words[case].lower() == "of":
+                            emit(h, words[a] + " of", m, 0.85,
+                                 o_surface=_words_of(_np_variants(m)[0]))
+        # compound-title run: "[United States] [president] [Barack] Obama"
+        # → (Barack Obama, is president of, United States); "President
+        # Obama" → (Obama, is, President) (SegmenterTest:680-771)
+        if h_ner in ("PERSON", "ORGANIZATION", "LOCATION"):
+            comps = sorted(c for c, l in ch.get(h, ())
+                           if l == "compound" and c < h)
+            if comps and all(heads[c] == h for c in comps):
+                pivot = next(
+                    (c for c in comps
+                     if ner_of(c) == "TITLE"
+                     or (ner_of(c) == "O"
+                         and lemmas[c].lower() in _TITLE_LEX)),
+                    None)
+                if pivot is not None:
+                    prefix = [c for c in comps if c < pivot
+                              and ner_of(c) not in ("O",)]
+                    suffix = [c for c in comps if c > pivot] + [h]
+                    if prefix and all(ner_of(c) == ner_of(prefix[0])
+                                      for c in prefix):
+                        emit(h, "is " + words[pivot].lower() + " of",
+                             prefix[0], 0.85,
+                             s_surface=" ".join(words[t] for t in suffix),
+                             o_surface=" ".join(words[t] for t in prefix))
+                    elif not prefix:
+                        emit(h, "is", pivot, 0.85,
+                             s_surface=" ".join(words[t] for t in suffix),
+                             o_surface=words[pivot])
+
+    # N2: appositive — adjacent mentions "X , the Y"; NOT when the two
+    # mentions are one NP linked by compound ("Honolulu, Hawaii" —
+    # SegmenterTest testCommaDoesntOvergenerate:826)
     for mi in range(len(mentions) - 1):
         b1, e1, t1 = mentions[mi]
         b2, e2, t2 = mentions[mi + 1]
+        if any(b2 <= heads[t] < e2 and labels[t] == "compound"
+               for t in range(b1, e1)):
+            continue
         if t1 in ("PERSON", "ORGANIZATION", "LOCATION") and e1 < n \
                 and words[e1] == "," and b2 == e1 + 1:
             emit(b2 - 1, "is", b2, 0.85,
