@@ -290,10 +290,10 @@ def kbp_sentence(
                 emit(m.canonical, "per:origin", prev.canonical,
                      "PERSON", "NATIONALITY", 0.9)
         # org:alternate_names — "Full Org Name ( ACRO )"
-        if m.type == "ORGANIZATION" and m.e < n and words[m.e] == "(":
+        if m.type == "ORGANIZATION" and m.e < n and words[m.e] in ("(", "-LRB-"):
             nxt = men_at(m.e + 1)
             close = m.e + 2
-            if nxt and close < n and words[close] == ")" \
+            if nxt and close < n and words[close] in (")", "-RRB-") \
                     and nxt.e - nxt.b == 1:
                 acro = words[nxt.b]
                 toks = [t for t in words[m.b:m.e] if t[:1].isalpha()]

@@ -29,6 +29,8 @@ _ORDNUM_RE = re.compile(r"^\d+(?:st|nd|rd|th)$")
 _PUNCT_TAGS = {
     ".": ".", "!": ".", "?": ".", "...": ":", ",": ",", ":": ":", ";": ":",
     "--": ":", "(": "-LRB-", ")": "-RRB-", "[": "-LRB-", "]": "-RRB-",
+    "-LRB-": "-LRB-", "-RRB-": "-RRB-", "-LSB-": "-LRB-", "-RSB-": "-RRB-",
+    "-LCB-": "-LRB-", "-RCB-": "-RRB-",
     "{": "-LRB-", "}": "-RRB-", "$": "$", "#": "#", "``": "``", "''": "''",
     '"': "``", "'": "''", "%": "NN", "&": "CC", "/": ":", "。": ".",
 }
@@ -94,7 +96,7 @@ def tag_sentence(words: List[str]) -> List[str]:
     for i, (w, lw) in enumerate(zip(words, lowers)):
         # "sentence initial" for capitalization purposes: first alphabetic
         # token, or token after an open quote/bracket at position 0/1
-        sent_initial = i == 0 or (i == 1 and words[0] in ('"', "``", "(", "'"))
+        sent_initial = i == 0 or (i == 1 and words[0] in ('"', "``", "(", "-LRB-", "'", "`"))
         tags.append(_base_tag(w, lw, sent_initial))
     # contextual repair rules (ordered, Brill-style)
     for i in range(n):

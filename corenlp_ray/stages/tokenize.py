@@ -43,39 +43,88 @@ import pyarrow as pa
 
 _ABBREVS = (
     "Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|Mt|Ft|Gen|Sen|Rep|Gov|Col|Capt|Lt|Sgt|Adm|"
-    "Inc|Corp|Co|Ltd|Bros|vs|etc|No|Nos|Vol|Fig|Figs|Jan|Feb|Mar|Apr|Jun|"
+    "Inc|Corp|Co|Ltd|Bros|vs|etc|Vol|Jan|Feb|Mar|Apr|Jun|"
     "Jul|Aug|Sep|Sept|Oct|Nov|Dec|approx|dept|est|Ave|Blvd|Rd|Hwy|Univ|"
-    "Assn|Dept|Messrs|Mme|Mlle|Rev|Hon|Pres|Supt|Det|Insp"
+    "Assn|Dept|Messrs|Mme|Mlle|Rev|Hon|Pres|Supt|Det|Insp|"
+    # US state / place abbreviations (PTBLexer's ABBREV1 family)
+    "Ala|Ariz|Ark|Calif|Colo|Conn|Del|Fla|Ga|Ill|Ind|Kan|Ky|La|Mass|Md|"
+    "Mich|Minn|Miss|Mo|Mont|Neb|Nev|Okla|Ore|Pa|Tenn|Tex|Va|Vt|Wash|Wis|"
+    "Wyo|Pty|Ph|cf|ca|viz|al|seq"
 )
+# abbreviations only when a number follows ("No. 24", "Fig. 3", "no.47" —
+# but "No. I like" is a sentence end); case-insensitive
+_NUM_ABBREVS = r"No|Nos|Art|Fig|Figs|pp|Op"
 
 _L = r"A-Za-zÀ-ɏͰ-ϿЀ-ӿ"
+_SHY = "­"  # soft hyphen: removed inside words, "-" standalone
 
 _TOKEN_RE = re.compile(
-    r"(?:https?://|www\.)[^\s<>\"']*[^\s<>\"'.,;:!?)\]]"  # URL
+    r"</?[A-Za-z][^>\n]*>|<!--.*?-->"                     # SGML/XML tag
+    r"|(?:https?://|ftp://|svn(?:\+ssh)?://|www\.)"
+    r"[^\s<>\"']*[^\s<>\"'.,;:!?)\]]"                     # URL
     r"|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"    # email
-    r"|(?:[" + _L + r"]\.){2,}"                            # acronym U.S., i.e.
-    r"|(?<![" + _L + r"])(?:" + _ABBREVS + r")\."          # abbreviation + .
-    r"|[+-]?\d+(?:,\d{3})*(?:\.\d+)?(?:st|nd|rd|th)?"      # number / ordinal
-    r"|\.\d+"                                              # .5
-    r"|\.\.\.|…"                                           # ellipsis
-    r"|--+|—|–"                                            # dashes
-    r"|[" + _L + r"][" + _L + r"0-9]*(?:[-'’][" + _L + r"0-9]+)*"  # word
-    r"|[!?！？]+|[。]"                                      # terminal punct runs
-    r"|``|''"                                              # PTB quote pairs
-    r"|\S"                                                 # any other char
+    r"|@[A-Za-z0-9_]+"                                    # @handle
+    r"|(?:[A-Z]\.[ ])+[A-Z]\.(?![\w])"                    # initials run B. A.
+    r"|(?:[" + _L + r"]\.){2,}[" + _L + r"]?"             # acronym U.S. / U.S
+    r"|(?<![" + _L + r"])(?:[" + _L + r"]{1,2}\.)+[" + _L + r"]{1,2}(?![\w.])"
+    # dotted name without final period: Ph.D, Mesa A.B
+    r"|(?<![" + _L + r"])(?:" + _ABBREVS + r")\."         # abbreviation + .
+    r"|(?<![" + _L + r"])(?i:" + _NUM_ABBREVS + r")\.(?=\s?\d)"  # No. 24
+    r"|(?<![" + _L + r"])(?:No|So)\.(?=\s[A-Z][a-z])"     # No. Korea
+    r"|(?:Yahoo|Jeopardy|OK|E)!(?=[ '\"]|$)"              # name! brands
+    r"|[A-Z]+&[A-Z]+"                                     # AT&T
+    r"|[" + _L + r"0-9_]+\.(?i:jpe?g|png|gif|pdf|txt|docx?|xlsx?|mp[34]"
+    r"|avi|html?|zip|tar|gz)(?![\w])"                     # filename.ext
+    r"|[" + _L + r"][" + _L + r"0-9]*(?:_[" + _L + r"0-9]+)+"  # snake_case
+    r"|[" + _L + r"0-9]+(?:/[" + _L + r"0-9]+)+(?![\w])"  # OS/2 slash pair
+    r"|[A-Z]{1,3}\$"                                      # US$
+    r"|\d{1,2}:\d{2}(?::\d{2})?(?![\d-])"                 # clock time 4:45
+    r"|mailto:[^\s<>()]+"                                 # mailto: atom
+    r"|[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*"
+    r"\.(?:com|org|net|edu|gov|io|ai|uk|de|fr)(?![\w])"   # bare domain
+    r"|\d+(?:,\d{3})*(?:\.\d+)?-\d+(?:,\d{3})*(?:\.\d+)?(?:'s)?(?![\d.\w-])"
+    # number range 23-24 / 2-9.5 / 60-90's
+    r"|(?:\.?\d+(?:[,.:]\d+)*|[" + _L + r"][" + _L + r"0-9]*)"
+    r"(?:-(?:\d+(?:[,.:]\d+)*|[" + _L + r"][" + _L + r"0-9]*))+(?![\w])"
+    # hyphen compounds with digits: 39-yard, 908-333-4444, 5:30-to-10
+    r"|\d+\.(?:\d+|x)(?![\d.])"                           # version 3.1 / 3.x
+    r"|[+-]?\d+(?:,\d{3})*(?:\.\d+)?(?:st|nd|rd|th)?"     # number / ordinal
+    r"|\.\d+"                                             # .5
+    r"|\.{3,}|\.(?: \.){2,}|…"                            # ellipsis forms
+    r"|--+|—|–"                                           # dashes
+    r"|[" + _L + r"]+\*+[" + _L + r"*]*[" + _L + r"]"     # censored f**k
+    r"|[;:=8][-o^']?[()\[\]DPpd\\|](?!\w)|[;:=8][-o^']?/(?!/)"  # emoticon
+    r"|\^_+\^|\([a-z][._-][a-z]\)"                        # ^_^  (x.x)
+    r"|[" + _L + _SHY + r"][" + _L + _SHY + r"0-9]*"
+    r"(?:[-'’`\x92][" + _L + r"0-9]+)*[#]?"              # word (incl. F#)
+    r"|[!?！？]+|[。]"                                     # terminal punct runs
+    r"|(?i:'em|'tis|'twas)(?![\w])"                       # 'em clitic atoms
+    r"|``|''"                                             # PTB quote pairs
+    r"|\S"                                                # any other char
 )
 
+# assimilated forms split per PTB ("Gimme" → "Gim"+"me";
+# PTBLexer.flex ASSIMILATIONS); values are split offsets
+_ASSIM = {"gonna": (3,), "gotta": (3,), "wanna": (3,), "lemme": (3,),
+          "gimme": (3,), "outta": (3,), "dunno": (2, 3)}
+
 # clitics split off the END of a word token (PTB convention)
-_CLITIC_RE = re.compile(r"(?i)(n[’']t|[’'](?:s|m|re|ve|ll|d))$")
+_CLITIC_RE = re.compile(r"(?i)(n[’'`]t|[’'](?:s|m|re|ve|ll|d))$")
 
 _NORM_MAP = {
-    "“": '"', "”": '"', "„": '"', "«": '"', "»": '"',
-    "‘": "'", "’": "'", "‚": "'", "‹": "'", "›": "'",
-    "—": "--", "–": "--", "…": "...",
-    " ": " ",
+    # PTB directional quotes (straight '"' is resolved by context below)
+    "\u201c": "``", "\u201d": "''", "\u201e": "``", "\u00ab": "``",
+    "\u00bb": "''",
+    "\u2018": "`", "\u2019": "'", "\u201a": "`", "\u2039": "`",
+    "\u203a": "'",
+    "\u2014": "--", "\u2013": "--", "\u2026": "...",
+    "\u00a0": " ", _SHY: "",
+    # PTB bracket escapes (ptb3Escaping, PTBLexer.flex)
+    "(": "-LRB-", ")": "-RRB-", "[": "-LSB-", "]": "-RSB-",
+    "{": "-LCB-", "}": "-RCB-",
     # CP1252 mojibake repair (cf. PTBLexer CP1252 handling)
-    "\x91": "'", "\x92": "'", "\x93": '"', "\x94": '"', "\x96": "--",
-    "\x97": "--", "\x85": "...",
+    "\x91": "`", "\x92": "'", "\x93": "``", "\x94": "''", "\x96": "--",
+    "\x97": "--", "\x85": "...", "\x95": "\u2022",
 }
 _NORM_RE = re.compile("|".join(re.escape(k) for k in _NORM_MAP))
 
@@ -84,25 +133,81 @@ def _normalize_word(s: str) -> str:
     return _NORM_RE.sub(lambda m: _NORM_MAP[m.group(0)], s)
 
 
+_ALWAYS_ABBREV_RE = re.compile(
+    r"(?:(?<![" + _L + r"])(?:" + _ABBREVS + r")|(?:[" + _L + r"]\.)+["
+    + _L + r"])\.$")
+_TAG_RE = re.compile(r"[ \t]*(?:\n|</?[A-Za-z][^>\n]*>|$)")
+_OPEN_CTX = set(" \t\n\r([{\u201c\u2018`'\"")
+
+
 def tokenize(text: str) -> List[Tuple[str, str, int, int]]:
     """Pure kernel: text → list of (word, orig, char_begin, char_end).
 
     Invertible: text[begin:end] == orig for every token; tokens are
     non-overlapping and in order; inter-token gaps are whitespace only.
+    (One zero-width exception: the duplicated sentence-final period after
+    an abbreviation — "Kemper Corp. ." — carries orig == "".)
     """
     toks: List[Tuple[str, str, int, int]] = []
+
+    def push(orig: str, b: int, e: int):
+        word = _normalize_word(orig)
+        if orig == '"':
+            # straight double quote: direction from the left context
+            word = "``" if (b == 0 or text[b - 1] in _OPEN_CTX) else "''"
+        elif orig == _SHY:
+            word = "-"
+        elif word == "" and orig:
+            word = orig
+        toks.append((word, orig, b, e))
+
     for m in _TOKEN_RE.finditer(text):
         orig = m.group(0)
         b, e = m.start(), m.end()
+        if len(orig) == 1 and "\ud800" <= orig <= "\udfff":
+            continue  # unpaired surrogate: dropped (PTBLexer behavior)
+        dots = orig.replace(" ", "")
+        if dots and set(dots) == {"."} and len(dots) >= 3:
+            if len(dots) == 3:
+                toks.append(("...", orig, b, e))
+            else:
+                last = text.rindex(".", b, e)
+                toks.append(("...", text[b:last], b, last))
+                toks.append((".", ".", last, e))
+            continue
+        if set(orig) == {"-"} and len(orig) > 2:
+            # PTB normalizes any longer dash run to "--"
+            toks.append(("--", orig, b, e))
+            continue
+        if " " in orig and orig.endswith("."):
+            # initials run "B. A." matched wholesale: one token per initial
+            pos = b
+            for part in orig.split(" "):
+                if part:
+                    toks.append((part, part, pos, pos + len(part)))
+                pos += len(part) + 1
+            continue
+        low = orig.lower()
+        if low in _ASSIM:
+            # assimilation split: "Gimme" → "Gim" + "me"
+            prev = 0
+            for cut in _ASSIM[low] + (len(orig),):
+                push(orig[prev:cut], b + prev, b + cut)
+                prev = cut
+            continue
         cm = _CLITIC_RE.search(orig)
         # never split the clitic off a bare-apostrophe atom like "'s" itself
         if cm and cm.start() > 0:
             split = cm.start()
-            base, clit = orig[:split], orig[split:]
-            toks.append((_normalize_word(base), base, b, b + split))
-            toks.append((_normalize_word(clit), clit, b + split, e))
+            push(orig[:split], b, b + split)
+            push(orig[split:], b + split, e)
         else:
-            toks.append((_normalize_word(orig), orig, b, e))
+            push(orig, b, e)
+            # sentence-final abbreviation duplicates its period when the
+            # sentence visibly ends here (EOF / newline / SGML tag):
+            # "Kemper Corp.\n</HEADLINE>" → "Corp." "." (PTB convention)
+            if _ALWAYS_ABBREV_RE.search(orig) and _TAG_RE.match(text, e):
+                toks.append((".", "", e, e))
     return toks
 
 
@@ -110,7 +215,7 @@ def tokenize(text: str) -> List[Tuple[str, str, int, int]]:
 
 _BOUNDARY_RE = re.compile(r"^(?:[.!?！？]+|[。])$")
 # boundary followers, cf. WordToSentenceProcessor.java:85
-_FOLLOWER = {")", "]", "}", '"', "'", "''", "”", "’", "»", "…", "-RRB-"}
+_FOLLOWER = {")", "]", "}", '"', "'", "''", "”", "’", "»", "…", "-RRB-", "-RSB-", "-RCB-"}
 
 
 def ssplit(words: List[str], para_break_before=frozenset()) -> List[Tuple[int, int]]:

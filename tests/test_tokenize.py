@@ -59,7 +59,7 @@ def test_possessive_plural():
 
 def test_dashes_ellipsis_quotes():
     toks = tokenize("Wait… “really” — yes.")
-    assert [t[0] for t in toks] == ["Wait", "...", '"', "really", '"', "--", "yes", "."]
+    assert [t[0] for t in toks] == ["Wait", "...", "``", "really", "''", "--", "yes", "."]
     assert [t[1] for t in toks] == ["Wait", "…", "“", "really", "”", "—", "yes", "."]
 
 
@@ -88,7 +88,7 @@ def test_ssplit_followers():
     spans = ssplit(ws)
     # the closing quote after the period belongs to the first sentence
     assert len(spans) == 2
-    assert ws[spans[0][1] - 1] == '"'
+    assert ws[spans[0][1] - 1] == "''"
 
 
 def test_ssplit_abbrev_no_split():
