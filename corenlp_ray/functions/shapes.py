@@ -54,6 +54,11 @@ _BRITISH = {
     "programmes": "programs", "grey": "gray",
 }
 _OUR_RE = re.compile(r"(.{3,})our(s?)$")
+# -our words that are NOT Briticisms (Americanize.java exception list)
+_OUR_KEEP = {"four", "your", "hour", "tour", "pour", "sour", "devour",
+             "glamour", "detour", "contour", "velour", "amour",
+             "troubadour", "paramour", "dour", "flour", "scour"}
+_AE_RE = re.compile(r"(.*?)(h?)ae(m|dia|sthe|ology|on)(.*)$")
 _ISE_RE = re.compile(r"(.{3,})is(e[sd]?|ing|ation)$")
 
 
@@ -63,12 +68,17 @@ def americanize(w: str) -> str:
     hit = _BRITISH.get(lw)
     if hit is None:
         m = _OUR_RE.match(lw)
-        if m and lw not in ("four", "your", "hour", "tour", "pour", "sour"):
+        if m and lw not in _OUR_KEEP:
             hit = m.group(1) + "or" + m.group(2)
         else:
             m = _ISE_RE.match(lw)
             if m:
                 hit = m.group(1) + "iz" + m.group(2)
+            else:
+                # ae→e ligature reductions (encyclopaedia, haematophilia)
+                m = _AE_RE.match(lw)
+                if m:
+                    hit = m.group(1) + m.group(2) + "e" + m.group(3)                         + m.group(4)
     if hit is None:
         return w
     if w.isupper():
