@@ -95,3 +95,35 @@ def shape_batch(batch: pa.Table) -> pa.Table:
         out.append([word_shape(w) for w in words])
     return batch.append_column("tok_shape",
                                pa.array(out, type=pa.list_(pa.string())))
+
+
+# ------------------------------------------------------- acronym matcher ----
+
+_ACRO_STOP = {"of", "the", "for", "and", "a", "an", "&"}
+_ACRO_STRIP = {"corp.", "corp", "inc.", "inc", "ltd.", "ltd", "co.", "co",
+               "llc", "llp", "plc"}
+
+
+def is_acronym(short: str, long_tokens) -> bool:
+    """The AcronymMatcher.isAcronym contract
+    (/root/reference/src/edu/stanford/nlp/util/AcronymMatcher.java:17;
+    goldens test/util/AcronymMatcherTest.java): the short form equals the
+    initials of the long form after dropping function words and
+    corporate suffixes."""
+    toks = [t for t in long_tokens
+            if t and t.lower() not in _ACRO_STOP
+            and t.lower() not in _ACRO_STRIP and t[:1].isalpha()]
+    if not toks or not short or not short.isalpha():
+        return False
+    return short.upper() == "".join(t[0].upper() for t in toks)
+
+
+def acronym_of(long_tokens) -> str:
+    """Initials of a long form under the same filtering as is_acronym
+    (empty string when fewer than 2 content tokens)."""
+    toks = [t for t in long_tokens
+            if t and t.lower() not in _ACRO_STOP
+            and t.lower() not in _ACRO_STRIP and t[:1].isalpha()]
+    if len(toks) < 2:
+        return ""
+    return "".join(t[0].upper() for t in toks)

@@ -124,13 +124,14 @@ def resolve_coref(
     # util/AcronymMatcher.java:17 — +20% KBP recall per the reference's
     # own comment): an all-caps single-token mention equals the initials
     # of a multi-token ORGANIZATION mention
+    from corenlp_ray.functions.shapes import acronym_of
+
     initials: Dict[str, int] = {}
     for i in entity_like:
-        toks = [t for t in surfaces[i].split()
-                if t[:1].isalpha()]
-        if len(toks) >= 2 and men[i][2] == "ORGANIZATION":
-            acro = "".join(t[0].upper() for t in toks)
-            initials.setdefault(acro, i)
+        if men[i][2] == "ORGANIZATION":
+            acro = acronym_of(surfaces[i].split())
+            if acro:
+                initials.setdefault(acro, i)
     for i in entity_like:
         s = surfaces[i]
         if " " not in s and s.isupper() and 2 <= len(s) <= 6 \
