@@ -647,6 +647,71 @@ def q_fingerprints(sf_dir: str):
             .select_columns(["doc_id", "text_hash", "fp_min", "fp_max"]))
 
 
+def q_sentiment(sf_dir: str):
+    """Per-sentence valence-lexicon sentiment over annotated pages."""
+    from corenlp_ray.stages.sentiment import sentiment_batch
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows = {"url": [], "sent_idx": [], "sentiment": []}
+        for r in range(b.num_rows):
+            url = b.column("url")[r].as_py()
+            for si, lab in enumerate(b.column("sent_sentiment")[r].as_py()):
+                rows["url"].append(url)
+                rows["sent_idx"].append(si)
+                rows["sentiment"].append(lab)
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("url", pa.string()), ("sent_idx", pa.int32()),
+             ("sentiment", pa.string())]))
+
+    return (_annotated(sf_dir)
+            .map_batches(sentiment_batch, batch_format="pyarrow")
+            .map_batches(explode, batch_format="pyarrow"))
+
+
+def q_gender(sf_dir: str):
+    """PERSON-mention first-name gender lookup (GenderAnnotator)."""
+    from corenlp_ray.stages.misc_annotators import gender_batch
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows = {"url": [], "surface": [], "gender": []}
+        for r in range(b.num_rows):
+            url = b.column("url")[r].as_py()
+            words = b.column("tok_word")[r].as_py()
+            for mb, me, g in zip(b.column("men_begin")[r].as_py(),
+                                 b.column("men_end")[r].as_py(),
+                                 b.column("men_gender")[r].as_py()):
+                if g:
+                    rows["url"].append(url)
+                    rows["surface"].append(" ".join(words[mb:me]))
+                    rows["gender"].append(g)
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("url", pa.string()), ("surface", pa.string()),
+             ("gender", pa.string())]))
+
+    return (_annotated(sf_dir)
+            .map_batches(gender_batch, batch_format="pyarrow")
+            .map_batches(explode, batch_format="pyarrow"))
+
+
+def q_natlog_polarity(sf_dir: str):
+    """Token monotonicity-polarity marks (NaturalLogicAnnotator)."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.stages.natlog import natlog_batch
+
+    def project(b: pa.Table) -> pa.Table:
+        downs = [sum(1 for p in pol if p == "down")
+                 for pol in b.column("tok_polarity").to_pylist()]
+        return pa.Table.from_pydict({
+            "url": b.column("url"),
+            "n_tokens": pc.list_value_length(b.column("tok_word")),
+            "n_downward": pa.array(downs, type=pa.int64())})
+
+    return (_annotated(sf_dir)
+            .map_batches(natlog_batch, batch_format="pyarrow")
+            .map_batches(project, batch_format="pyarrow"))
+
+
 def q_multimodal(sf_dir: str):
     """Multimodal decode plumbing; final projection flattens the list
     columns to scalars so the driver's row-sort/hash compare works."""
@@ -710,6 +775,9 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann": q_ivf_ann,
     "langid": q_langid,
+    "sentiment": q_sentiment,
+    "gender": q_gender,
+    "natlog_polarity": q_natlog_polarity,
     "bpe_tokens": q_bpe_tokens,
     "fingerprints": q_fingerprints,
     "multimodal": q_multimodal,
