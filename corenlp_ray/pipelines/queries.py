@@ -647,6 +647,48 @@ def q_fingerprints(sf_dir: str):
             .select_columns(["doc_id", "text_hash", "fp_min", "fp_max"]))
 
 
+def q_doc_valence(sf_dir: str):
+    """Document-level lexicon valence: positive-hit minus negative-hit
+    counts over lowercase [^a-z]+-split tokens (the vectorizable
+    corpus-screening variant of the sentence sentiment stage; exact
+    DuckDB oracle via list_filter over the same lexicons)."""
+    from corenlp_ray.functions.lexicon import EN_STOPWORDS  # noqa: F401
+    from corenlp_ray.ops.textstats import _NON_ALPHA_RE
+    from corenlp_ray.stages.sentiment import NEGATIVE, POSITIVE
+
+    def score(b: pa.Table) -> pa.Table:
+        pos_c, neg_c = [], []
+        for t in b.column("text").to_pylist():
+            toks = [x for x in _NON_ALPHA_RE.split((t or "").lower()) if x]
+            pos_c.append(sum(1 for x in toks if x in POSITIVE))
+            neg_c.append(sum(1 for x in toks if x in NEGATIVE))
+        return pa.Table.from_pydict({
+            "doc_id": b.column("doc_id"),
+            "n_pos": pa.array(pos_c, type=pa.int64()),
+            "n_neg": pa.array(neg_c, type=pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow"))
+
+
+def _doc_valence_sql() -> str:
+    from corenlp_ray.stages.sentiment import NEGATIVE, POSITIVE
+
+    pos = ", ".join(f"'{w}'" for w in sorted(POSITIVE))
+    neg = ", ".join(f"'{w}'" for w in sorted(NEGATIVE))
+    return (
+        "SELECT doc_id, "
+        "len(list_filter(list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z]+'), x -> x <> ''), "
+        f"x -> x IN ({pos}))) AS n_pos, "
+        "len(list_filter(list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z]+'), x -> x <> ''), "
+        f"x -> x IN ({neg}))) AS n_neg FROM documents")
+
+
+ORACLE_SQL["doc_valence"] = _doc_valence_sql()
+
+
 def q_sentiment(sf_dir: str):
     """Per-sentence valence-lexicon sentiment over annotated pages."""
     from corenlp_ray.stages.sentiment import sentiment_batch
@@ -775,6 +817,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann": q_ivf_ann,
     "langid": q_langid,
+    "doc_valence": q_doc_valence,
     "sentiment": q_sentiment,
     "gender": q_gender,
     "natlog_polarity": q_natlog_polarity,
