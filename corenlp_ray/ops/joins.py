@@ -52,6 +52,48 @@ def broadcast_join(left_ds, right: pa.Table, on: Sequence[str] | str,
                                concurrency=(1, 4))
 
 
+def _arrow_schema(ds_schema) -> pa.Schema:
+    """Ray ``Dataset.schema()`` → the underlying pyarrow schema."""
+    base = getattr(ds_schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(ds_schema.names, ds_schema.types)))
+
+
+def _dtype_restorer(schema: pa.Schema):
+    """Build a closure that undoes the union null-fill dtype upcast.
+
+    ``lt.union(rt)`` fills each side's missing columns with nulls, so an
+    int64 passthrough column becomes float64 once the partition hits
+    pandas (NaN has no int representation). After splitting the sides
+    back apart the NaNs are gone, so we can cast each column back to its
+    source dtype; columns that still hold nulls (outer-join misses) go to
+    the pandas nullable equivalent (Int64/boolean) instead, which
+    round-trips to Arrow as the original type."""
+    proto = schema.empty_table().to_pandas()
+    targets = {}
+    for c in proto.columns:
+        dt = proto[c].dtype
+        if pd.api.types.is_integer_dtype(dt):
+            nullable = ("UInt" if str(dt).startswith("u") else "Int") + \
+                str(dt.itemsize * 8)
+            targets[c] = (dt, nullable)
+        elif pd.api.types.is_bool_dtype(dt):
+            targets[c] = (dt, "boolean")
+
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
+        for c, (dt, nullable) in targets.items():
+            if c in df.columns and df[c].dtype != dt:
+                try:
+                    df[c] = df[c].astype(
+                        nullable if df[c].isna().any() else dt)
+                except (TypeError, ValueError):
+                    pass
+        return df
+
+    return restore
+
+
 def _tag_and_bucket(batch: pa.Table, side: int, on: List[str],
                     npart: int) -> pa.Table:
     keys = zip(*(batch.column(c).to_pylist() for c in on))
@@ -73,8 +115,11 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
     hot keys into the key) for pathological skew."""
     on = [on] if isinstance(on, str) else list(on)
     npart = npart or _npart()
-    left_cols = left_ds.schema().names
-    right_cols = right_ds.schema().names
+    left_schema, right_schema = left_ds.schema(), right_ds.schema()
+    left_cols = left_schema.names
+    right_cols = right_schema.names
+    restore_l = _dtype_restorer(_arrow_schema(left_schema))
+    restore_r = _dtype_restorer(_arrow_schema(right_schema))
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, on, npart), batch_format="pyarrow")
     rt = right_ds.map_batches(
@@ -84,8 +129,10 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         # explicit schemas: a partition fed by only one side may lack the
         # other side's columns entirely
-        lhs = part[part["_side"] == 0].reindex(columns=list(left_cols))
-        rhs = part[part["_side"] == 1].reindex(columns=list(right_cols))
+        lhs = restore_l(
+            part[part["_side"] == 0].reindex(columns=list(left_cols)))
+        rhs = restore_r(
+            part[part["_side"] == 1].reindex(columns=list(right_cols)))
         if rhs.empty:
             rhs = rhs.dropna(subset=on)  # keep join-key dtypes sane
         return lhs.merge(rhs, on=on, how=how)
@@ -101,8 +148,11 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     Co-partition by key hash, then per-key ``pd.merge_asof`` over
     ts-sorted groups (ordering state stays inside the partition)."""
     npart = npart or _npart()
-    left_cols = left_ds.schema().names
-    right_cols = right_ds.schema().names
+    left_schema, right_schema = left_ds.schema(), right_ds.schema()
+    left_cols = left_schema.names
+    right_cols = right_schema.names
+    restore_l = _dtype_restorer(_arrow_schema(left_schema))
+    restore_r = _dtype_restorer(_arrow_schema(right_schema))
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, [key], npart),
         batch_format="pyarrow")
@@ -117,16 +167,19 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         # reindex: a partition fed by only one side may lack the other
         # side's columns entirely
-        lhs = part[part["_side"] == 0].reindex(
-            columns=list(left_cols)).sort_values(ts)
-        rhs = part[part["_side"] == 1].reindex(
-            columns=list(right_cols)).dropna(subset=[ts]).sort_values(ts)
+        lhs = restore_l(part[part["_side"] == 0].reindex(
+            columns=list(left_cols))).sort_values(ts)
+        rhs = restore_r(part[part["_side"] == 1].reindex(
+            columns=list(right_cols)).dropna(subset=[ts])).sort_values(ts)
         if lhs.empty:
             return pd.DataFrame({c: [] for c in out_cols})
         if rhs.empty:
             # left-join semantics: keep left rows, null right columns
             return lhs.reindex(columns=out_cols)
-        return pd.merge_asof(lhs, rhs, on=ts, by=key, direction=direction,
-                             suffixes=("", "_r")).reindex(columns=out_cols)
+        merged = pd.merge_asof(lhs, rhs, on=ts, by=key, direction=direction,
+                               suffixes=("", "_r")).reindex(columns=out_cols)
+        # unmatched left rows null-fill right columns → re-restore those
+        # (nullable Int64 where NaNs remain, so Arrow keeps integer type)
+        return restore_r(merged)
 
     return both.groupby("_part").map_groups(merge, batch_format="pandas")
