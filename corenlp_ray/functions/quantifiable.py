@@ -36,6 +36,20 @@ _ORD_UNITS = {"first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
               "fortieth": 40, "fiftieth": 50, "sixtieth": 60,
               "seventieth": 70, "eightieth": 80, "ninetieth": 90,
               "hundredth": 100, "thousandth": 1000, "millionth": 10**6}
+_ORD_TO_CARD = {
+    "first": "one", "second": "two", "third": "three", "fourth": "four",
+    "fifth": "five", "sixth": "six", "seventh": "seven", "eighth": "eight",
+    "ninth": "nine", "tenth": "ten", "eleventh": "eleven",
+    "twelfth": "twelve", "thirteenth": "thirteen",
+    "fourteenth": "fourteen", "fifteenth": "fifteen",
+    "sixteenth": "sixteen", "seventeenth": "seventeen",
+    "eighteenth": "eighteen", "nineteenth": "nineteen",
+    "twentieth": "twenty", "thirtieth": "thirty", "fortieth": "forty",
+    "fiftieth": "fifty", "sixtieth": "sixty", "seventieth": "seventy",
+    "eightieth": "eighty", "ninetieth": "ninety",
+    "hundredth": "hundred", "thousandth": "thousand",
+    "millionth": "million",
+}
 
 _MONTHS = {"jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
            "jul": 7, "aug": 8, "sep": 9, "sept": 9, "oct": 10, "nov": 11,
@@ -73,38 +87,55 @@ def jdouble(v: float) -> str:
     return f"{ms}E{exp}"
 
 
+def _tok_value(t: str) -> Optional[float]:
+    """Single numeral / unit / tens token → value (no multipliers)."""
+    sm = re.fullmatch(r"([+-]?(?:\d+(?:,\d{3})*(?:\.\d+)?|\.\d+))"
+                      r"([mkb])?", t)
+    if sm:
+        v = float(sm.group(1).replace(",", ""))
+        if sm.group(2):
+            v *= _MULTS[sm.group(2)]
+        return v
+    if t in _UNITS:
+        return float(_UNITS[t])
+    if t in _TENS:
+        return float(_TENS[t])
+    return None
+
+
+def _parse_num_tokens(toks: list) -> Optional[float]:
+    """Mirror of QuantifiableEntityNormalizer.wordToNumberRecurse: split
+    on the HIGHEST multiplier, recurse left (default 1) and right
+    (default 0), so descending-multiplier phrases compose correctly
+    ('one thousand two hundred' → 1*1000 + 200, not (1000+2)*100)."""
+    if not toks:
+        return 0.0
+    best_i, best_v = -1, 0.0
+    for i, t in enumerate(toks):
+        if t in _MULTS and float(_MULTS[t]) > best_v:
+            best_i, best_v = i, float(_MULTS[t])
+    if best_i >= 0:
+        left = _parse_num_tokens(toks[:best_i]) if best_i > 0 else 1.0
+        right = _parse_num_tokens(toks[best_i + 1:])
+        if left is None or right is None:
+            return None
+        return left * best_v + right
+    total = 0.0
+    for t in toks:
+        v = _tok_value(t)
+        if v is None:
+            return None
+        total += v
+    return total
+
+
 def _word_number(text: str) -> Optional[float]:
     """Word-number parser: twenty-five, 1.3 million, 10 thousand million."""
     toks = re.split(r"\s+|(?<=[a-z])-(?=[a-z])", text.strip().lower())
     toks = [t for t in toks if t and t != "and"]
     if not toks:
         return None
-    total = 0.0
-    cur: Optional[float] = None
-    seen = False
-    for t in toks:
-        sm = re.fullmatch(r"([+-]?(?:\d+(?:,\d{3})*(?:\.\d+)?|\.\d+))"
-                          r"([mkb])?", t)
-        if sm:
-            v = float(sm.group(1).replace(",", ""))
-            if sm.group(2):
-                v *= _MULTS[sm.group(2)]
-            cur = (cur or 0) + v
-            seen = True
-        elif t in _UNITS:
-            cur = (cur or 0) + _UNITS[t]
-            seen = True
-        elif t in _TENS:
-            cur = (cur or 0) + _TENS[t]
-            seen = True
-        elif t in _MULTS:
-            cur = (cur if cur is not None else 1) * _MULTS[t]
-            seen = True
-        else:
-            return None
-    if not seen:
-        return None
-    return total + (cur or 0)
+    return _parse_num_tokens(toks)
 
 
 def normalized_number_string(s: str) -> str:
@@ -158,22 +189,15 @@ def normalized_ordinal_string(s: str) -> str:
     m = re.fullmatch(r"(\d+(?:,\d{3})*)(?:st|nd|rd|th)", t)
     if m:
         return jdouble(float(m.group(1).replace(",", "")))
-    toks = re.split(r"[\s-]+", t)
-    total = 0.0
-    ok = False
-    for tok in toks:
-        if tok in _ORD_UNITS:
-            total += _ORD_UNITS[tok]
-            ok = True
-        elif tok in _TENS:
-            total += _TENS[tok]
-            ok = True
-        elif tok in _UNITS:
-            total += _UNITS[tok]
-            ok = True
-        elif tok:
-            return s
-    return jdouble(total) if ok else s
+    toks = [tok for tok in re.split(r"[\s-]+", t) if tok]
+    if not toks or toks[-1] not in _ORD_UNITS:
+        return s
+    # ordinal phrase = cardinal prefix + final ordinal token; rewrite the
+    # ordinal as its cardinal and reuse the multiplier-aware parser, so
+    # 'one hundredth' → 'one hundred' → 100 (not 1+100)
+    card = toks[:-1] + [_ORD_TO_CARD[toks[-1]]]
+    v = _parse_num_tokens(card)
+    return jdouble(v) if v is not None else s
 
 
 def _year4(y: str) -> str:

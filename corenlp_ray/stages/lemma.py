@@ -86,6 +86,17 @@ def _needs_e(stem: str) -> bool:
 
 # contracted / archaic / assimilated function words, keyed (word, tag);
 # tag None = any tag (cf. reference MorphologyTest.java:11-66 goldens)
+# -ese nationality adjectives/demonyms are number-invariant (Chinese NNS
+# → Chinese); a bare endswith("ese") check would wrongly freeze geese /
+# these / cheese, so membership is explicit.
+_ESE_NATIONALITIES = {
+    "chinese", "japanese", "burmese", "vietnamese", "portuguese",
+    "taiwanese", "lebanese", "sudanese", "maltese", "nepalese",
+    "senegalese", "congolese", "javanese", "balinese", "cantonese",
+    "assamese", "bhutanese", "siamese", "guyanese", "genoese",
+    "viennese", "milanese",
+}
+
 _FUNC_LEMMAS = {
     ("n't", None): "not", ("n’t", None): "not", ("nt", "RB"): "not",
     ("not", None): "not",
@@ -179,7 +190,7 @@ def lemma_of(word: str, pos: str) -> str:
         return hit
     if pos in ("PRP", "PRP$") and lw in _PRONOUN_LEMMAS:
         return _PRONOUN_LEMMAS[lw]
-    if word.endswith("ese"):          # Chinese/Burmese: invariant, keep case
+    if lw in _ESE_NATIONALITIES:      # Chinese/Burmese: invariant, keep case
         return word
     if pos.startswith("V") or pos == "MD":
         if lw in IRREGULAR_VERB_LEMMA:

@@ -43,6 +43,11 @@ _PERSON_SUFFIX_RE = re.compile(r"^(?:II|III|IV|Jr\.?|Sr\.?)$")
 _RUN_TITLES = {"president", "queen", "king", "prince", "princess", "pope",
                "chancellor", "prime", "sir", "lady", "lord", "governor",
                "senator", "secretary", "general", "captain", "judge"}
+# geographic feature heads: an NNP run ending in one is a LOCATION even
+# when the full span is not in the gazetteer ("Prince Edward Island")
+_GEO_FEATURES = {"island", "islands", "river", "bay", "lake", "mountain",
+                 "mountains", "valley", "beach", "falls", "strait", "gulf",
+                 "peninsula", "desert", "sea", "coast", "hills"}
 
 
 def _num_value(w: str) -> Optional[float]:
@@ -69,8 +74,14 @@ def _type_nnp_run(words: List[str], lowers: List[str], b: int, e: int,
     # "John Smith Jr." — a multi-token run ending in a suffix is a person
     if e - b >= 2 and _PERSON_SUFFIX_RE.match(words[e - 1]):
         return "PERSON"
+    if e - b >= 2 and lowers[e - 1] in _GEO_FEATURES:
+        return "LOCATION"
     # leading title inside the run: "Queen Elizabeth II", "President Obama"
-    if e - b >= 2 and lowers[b] in _RUN_TITLES:
+    # — short runs only, and never when a token suggests LOCATION/ORG
+    # ("Prince Edward Island", "General Dynamics Land Systems")
+    if (2 <= e - b <= 3 and lowers[b] in _RUN_TITLES
+            and not any(lw in LOCATIONS or lw in ORG_SUFFIXES
+                        for lw in lowers[b:e])):
         return "PERSON"
     if any(lw in LOCATIONS for lw in lowers[b:e]) and e - b <= 2:
         return "LOCATION"

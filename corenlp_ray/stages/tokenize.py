@@ -70,7 +70,8 @@ _TOKEN_RE = re.compile(
     # dotted name without final period: Ph.D, Mesa A.B
     r"|(?<![" + _L + r"])(?:" + _ABBREVS + r")\."         # abbreviation + .
     r"|(?<![" + _L + r"])(?i:" + _NUM_ABBREVS + r")\.(?=\s?\d)"  # No. 24
-    r"|(?<![" + _L + r"])(?:No|So)\.(?=\s[A-Z][a-z])"     # No. Korea
+    r"|(?<![" + _L + r"])(?:No|So)\."                     # No. Korea
+    r"(?=\s(?:Korea|Dakota|Carolina|Calif(?:ornia)?\.?|Africa|America|Vietnam))"
     r"|(?:Yahoo|Jeopardy|OK|E)!(?=[ '\"]|$)"              # name! brands
     r"|[A-Z]+&[A-Z]+"                                     # AT&T
     r"|[" + _L + r"0-9_]+\.(?i:jpe?g|png|gif|pdf|txt|docx?|xlsx?|mp[34]"
@@ -207,7 +208,10 @@ def tokenize(text: str) -> List[Tuple[str, str, int, int]]:
             # sentence visibly ends here (EOF / newline / SGML tag):
             # "Kemper Corp.\n</HEADLINE>" → "Corp." "." (PTB convention)
             if _ALWAYS_ABBREV_RE.search(orig) and _TAG_RE.match(text, e):
-                toks.append((".", "", e, e))
+                # duplicated sentence-final period shares the abbreviation's
+                # final-period span (PTBLexer convention), preserving the
+                # text[begin:end] == orig invariant for offset consumers
+                toks.append((".", ".", e - 1, e))
     return toks
 
 
