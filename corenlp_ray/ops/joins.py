@@ -52,15 +52,25 @@ def broadcast_join(left_ds, right: pa.Table, on: Sequence[str] | str,
                                concurrency=(1, 4))
 
 
-def _arrow_schema(ds_schema) -> pa.Schema:
-    """Ray ``Dataset.schema()`` → the underlying pyarrow schema."""
+def _pandas_dtypes(ds_schema) -> dict:
+    """Ray ``Dataset.schema()`` → {column: pandas dtype}, whether the
+    underlying blocks are Arrow or pandas."""
     base = getattr(ds_schema, "base_schema", None)
     if isinstance(base, pa.Schema):
-        return base
-    return pa.schema(list(zip(ds_schema.names, ds_schema.types)))
+        proto = base.empty_table().to_pandas()
+        return {c: proto[c].dtype for c in proto.columns}
+    out = {}
+    for name, typ in zip(ds_schema.names, ds_schema.types):
+        if isinstance(typ, pa.DataType):
+            typ = typ.to_pandas_dtype()
+        try:
+            out[name] = pd.api.types.pandas_dtype(typ)
+        except TypeError:
+            pass  # object / tensor columns never need restoring
+    return out
 
 
-def _dtype_restorer(schema: pa.Schema):
+def _dtype_restorer(schema):
     """Build a closure that undoes the union null-fill dtype upcast.
 
     ``lt.union(rt)`` fills each side's missing columns with nulls, so an
@@ -70,10 +80,8 @@ def _dtype_restorer(schema: pa.Schema):
     source dtype; columns that still hold nulls (outer-join misses) go to
     the pandas nullable equivalent (Int64/boolean) instead, which
     round-trips to Arrow as the original type."""
-    proto = schema.empty_table().to_pandas()
     targets = {}
-    for c in proto.columns:
-        dt = proto[c].dtype
+    for c, dt in _pandas_dtypes(schema).items():
         if pd.api.types.is_integer_dtype(dt):
             nullable = ("UInt" if str(dt).startswith("u") else "Int") + \
                 str(dt.itemsize * 8)
@@ -118,8 +126,8 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
     left_schema, right_schema = left_ds.schema(), right_ds.schema()
     left_cols = left_schema.names
     right_cols = right_schema.names
-    restore_l = _dtype_restorer(_arrow_schema(left_schema))
-    restore_r = _dtype_restorer(_arrow_schema(right_schema))
+    restore_l = _dtype_restorer(left_schema)
+    restore_r = _dtype_restorer(right_schema)
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, on, npart), batch_format="pyarrow")
     rt = right_ds.map_batches(
@@ -151,8 +159,8 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     left_schema, right_schema = left_ds.schema(), right_ds.schema()
     left_cols = left_schema.names
     right_cols = right_schema.names
-    restore_l = _dtype_restorer(_arrow_schema(left_schema))
-    restore_r = _dtype_restorer(_arrow_schema(right_schema))
+    restore_l = _dtype_restorer(left_schema)
+    restore_r = _dtype_restorer(right_schema)
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, [key], npart),
         batch_format="pyarrow")
