@@ -130,6 +130,12 @@ def q_stopword_ratio(sf_dir: str):
                            batch_format="pyarrow")
 
 
+_SUTIME_PHRASES = ["yesterday", "today", "tomorrow", "last week",
+                   "this week", "next week", "last month", "next month",
+                   "last year", "next year"]
+_SUTIME_SUBSET_RE = "|".join(_SUTIME_PHRASES)
+
+
 ORACLE_SQL = {
     "stopword_ratio": _stopword_sql(),
     "token_count": (
@@ -174,6 +180,27 @@ ORACLE_SQL = {
         " AS cosine FROM embeddings e, q "
         "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)"
         " DESC, e.vec_id LIMIT 10"),
+    "sutime_relative": (
+        "WITH m AS (SELECT doc_id, "
+        "CAST(DATE '2003-04-14' + INTERVAL ((doc_id % 60)) DAY AS DATE)"
+        " AS dd, "
+        "unnest(regexp_extract_all(lower(text) || ' ' || "
+        "list_extract(['yesterday','today','tomorrow','last week',"
+        "'this week','next week','last month','next month','last year',"
+        "'next year'], CAST(doc_id % 10 AS INT) + 1), "
+        "'" + _SUTIME_SUBSET_RE + "')) AS phrase FROM documents) "
+        "SELECT doc_id, phrase, CASE phrase "
+        "WHEN 'yesterday' THEN strftime(dd - INTERVAL 1 DAY, '%Y-%m-%d') "
+        "WHEN 'today' THEN strftime(dd, '%Y-%m-%d') "
+        "WHEN 'tomorrow' THEN strftime(dd + INTERVAL 1 DAY, '%Y-%m-%d') "
+        "WHEN 'last week' THEN strftime(dd - INTERVAL 7 DAY, '%G-W%V') "
+        "WHEN 'this week' THEN strftime(dd, '%G-W%V') "
+        "WHEN 'next week' THEN strftime(dd + INTERVAL 7 DAY, '%G-W%V') "
+        "WHEN 'last month' THEN strftime(dd - INTERVAL 1 MONTH, '%Y-%m') "
+        "WHEN 'next month' THEN strftime(dd + INTERVAL 1 MONTH, '%Y-%m') "
+        "WHEN 'last year' THEN printf('%04d', year(dd) - 1) "
+        "WHEN 'next year' THEN printf('%04d', year(dd) + 1) END AS value "
+        "FROM m"),
     "embedding_neardup": (
         "WITH aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings UNION ALL "
@@ -616,6 +643,42 @@ def q_ivf_ann(sf_dir: str):
     return _round_col(ivf_topk(ds, qvec, k=10), "cosine")
 
 
+def q_sutime_relative(sf_dir: str):
+    """SUTime relative-date resolution as a distributed stage. The
+    synthetic documents contain no natural relative-date phrases, so
+    each doc gets one planted deterministically (doc_id % 10 picks the
+    phrase, doc_id % 60 offsets the docdate from 2003-04-14) — the
+    extraction regex and resolution arithmetic are then exactly
+    reproducible by the DuckDB oracle. The full grammar (weekday
+    arithmetic, holidays, computus) is golden-tested against the
+    reference's SUTimeITest values in tests/test_sutime_reference.py."""
+    import datetime as _dt
+    import re as _re
+
+    from corenlp_ray.functions.sutime import resolve_relative
+
+    subset_re = _re.compile(_SUTIME_SUBSET_RE)
+    phrases = list(_SUTIME_PHRASES)
+    base = _dt.date(2003, 4, 14)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "phrase": [], "value": []}
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            docdate = base + _dt.timedelta(days=doc_id % 60)
+            planted = (text or "").lower() + " " + phrases[doc_id % 10]
+            for m in subset_re.finditer(planted):
+                rows["doc_id"].append(doc_id)
+                rows["phrase"].append(m.group(0))
+                rows["value"].append(resolve_relative(m.group(0), docdate))
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("doc_id", pa.int64()), ("phrase", pa.string()),
+             ("value", pa.string())]))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str):
     from corenlp_ray.ops.textstats import langid_batch
 
@@ -811,6 +874,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann": q_ivf_ann,
+    "sutime_relative": q_sutime_relative,
     "langid": q_langid,
     "doc_valence": q_doc_valence,
     "sentiment": q_sentiment,

@@ -94,6 +94,46 @@ def _type_nnp_run(words: List[str], lowers: List[str], b: int, e: int,
     return "ORGANIZATION"
 
 
+from corenlp_ray.functions.sutime import WEEKDAYS as _SUTIME_WEEKDAYS
+
+# first tokens that can open a SUTime-style relative/holiday expression
+# (gate so the multi-token matcher only runs where it can succeed)
+_REL_FIRST = (set(_SUTIME_WEEKDAYS)
+              | {"last", "next", "this", "yesterday", "today", "tomorrow",
+                 "tonight", "first", "second", "third", "fourth", "fifth",
+                 "new", "inauguration", "groundhog", "st", "st.", "saint",
+                 "valentine", "april", "cinco", "independence", "fourth",
+                 "halloween", "veterans", "xmas", "x-mas", "christmas",
+                 "martin", "mlk", "presidents", "president", "memorial",
+                 "mother", "mothers", "father", "fathers", "labor",
+                 "labour", "columbus", "thanksgiving", "easter", "good",
+                 "ash", "one", "two", "three", "four", "five", "six",
+                 "seven", "eight", "nine", "ten"})
+
+
+def _try_relative(words: List[str], lowers: List[str], i: int, n: int,
+                  docdate: str) -> Optional[Tuple[int, str]]:
+    """Longest relative/holiday expression starting at token i → (end,
+    value), resolved against docdate (SUTime RangeAnnotator analogue)."""
+    from corenlp_ray.functions.sutime import resolve_relative
+
+    if lowers[i] not in _REL_FIRST and not lowers[i][:1].isdigit():
+        return None
+    hi = min(i + 6, n)
+    for j in range(hi, i, -1):
+        phrase = " ".join(words[i:j]) \
+            .replace(" 's", "'s").replace(" ’s", "’s")
+        v = resolve_relative(phrase, docdate)
+        if v is not None:
+            if j == i + 1 and j < n and (
+                    lowers[j] in MONTHS or words[j] == ","):
+                # bare weekday heading an absolute date ("Friday ,
+                # October 1 , 1999") — let the absolute-date rule win
+                return None
+            return j, v
+    return None
+
+
 def ner_sentence(words: List[str], tags: List[str],
                  docdate: Optional[str] = None) -> Tuple[List[str], List[Tuple[int, int, str, str]]]:
     """Pure kernel: one sentence → (per-token types, mentions).
@@ -108,6 +148,16 @@ def ner_sentence(words: List[str], tags: List[str],
     i = 0
     while i < n:
         w, lw, t = words[i], lowers[i], tags[i]
+        # ---- relative / holiday dates vs docdate (SUTime subset) ----
+        if docdate is not None:
+            rel = _try_relative(words, lowers, i, n, docdate)
+            if rel is not None:
+                j, v = rel
+                for k in range(i, j):
+                    types[k] = "DATE"
+                mentions.append((i, j, "DATE", v))
+                i = j
+                continue
         # ---- money: $ CD ----
         if w in ("$", "US$", "C$", "€", "£", "¥") and i + 1 < n and _num_value(words[i + 1]) is not None:
             v = _num_value(words[i + 1])

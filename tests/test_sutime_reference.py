@@ -1,0 +1,110 @@
+"""SUTime relative/holiday resolution parity with the reference's own
+itest goldens (itest/src/edu/stanford/nlp/time/SUTimeITest.java) —
+each (phrase, docdate) → value triple below appears verbatim in the
+reference's expectedTimexesResolved lists (or follows directly from its
+holiday table in src/edu/stanford/nlp/time/rules/
+english.holidays.sutime.txt + JollyDayHolidays.java)."""
+import datetime as dt
+
+import pytest
+
+from corenlp_ray.functions.sutime import (
+    RELATIVE_RE, easter_date, find_relative_expressions, resolve_relative)
+
+D95 = dt.date(1995, 7, 20)    # Thursday — SUTimeITest testSUTime2
+D99 = dt.date(1999, 12, 30)   # testSUTimeDate
+D03 = dt.date(2003, 4, 14)    # Monday — testSUTimeDateRanges
+D98 = dt.date(1998, 4, 17)    # testSUTimeTime
+
+REFERENCE_GOLDENS = [
+    # SUTimeITest.java:465-487 (docdate 19950720)
+    ("two weeks from next Tuesday", D95, "1995-08-08"),
+    ("2 days before yesterday", D95, "1995-07-17"),
+    ("Thursday", D95, "1995-07-20"),
+    ("Friday", D95, "1995-07-21"),
+    ("Saturday", D95, "1995-07-22"),
+    ("yesterday", D95, "1995-07-19"),
+    ("today", D95, "1995-07-20"),
+    ("second quarter", D95, "1995-Q2"),
+    ("the second of December", D95, "1994-12-02"),
+    ("the second of June", D95, "1995-06-02"),
+    ("the second of July", D95, "1995-07-02"),
+    ("the second of August", D95, "1994-08-02"),
+    ("October of 1963", D95, "1963-10"),
+    # SUTimeITest.java:550-560 (docdate 1999-12-30)
+    ("the summer of 1964", D99, "1964-SU"),
+    ("last week", D99, "1999-W51"),
+    ("Saturday last week", D99, "1999-12-25"),
+    # SUTimeITest.java:857-867 (docdate 20030414)
+    ("this week", D03, "2003-W16"),
+    ("last week", D03, "2003-W15"),
+    ("last month", D03, "2003-03"),
+    ("tomorrow", D03, "2003-04-15"),
+    # SUTimeITest.java:670 (docdate 19980417)
+    ("tomorrow", D98, "1998-04-18"),
+    ("yesterday", D98, "1998-04-16"),
+    # SUTimeITest.java:1253-1261 + holiday rules
+    ("Christmas 2010", D95, "2010-12-25"),
+    ("Easter 2011", D95, "2011-04-24"),
+    ("mother's day 2012", D95, "2012-05-13"),
+    ("November 1943", D95, "1943-11"),
+]
+
+
+@pytest.mark.parametrize("phrase,docdate,want", REFERENCE_GOLDENS)
+def test_reference_golden(phrase, docdate, want):
+    assert resolve_relative(phrase, docdate) == want
+
+
+def test_offsets_and_arithmetic():
+    assert resolve_relative("3 days ago", D95) == "1995-07-17"
+    assert resolve_relative("two weeks from now", D95) == "1995-08-03"
+    assert resolve_relative("2 years ago", D95) == "1993"
+    assert resolve_relative("six months ago", D95) == "1995-01"
+    assert resolve_relative("next month", dt.date(2003, 12, 14)) == "2004-01"
+    assert resolve_relative("last quarter", dt.date(2003, 1, 14)) == "2002-Q4"
+    assert resolve_relative("next year", D95) == "1996"
+
+
+def test_weekday_modifiers():
+    # next <wd> = strictly after; last <wd> = strictly before
+    assert resolve_relative("next Thursday", D95) == "1995-07-27"
+    assert resolve_relative("last Thursday", D95) == "1995-07-13"
+    assert resolve_relative("next Tuesday", D95) == "1995-07-25"
+    assert resolve_relative("last Friday", D95) == "1995-07-14"
+
+
+def test_holidays_resolve_to_most_recent_past_without_year():
+    assert resolve_relative("Thanksgiving", D03) == "2002-11-28"
+    assert resolve_relative("Christmas", D99) == "1999-12-25"
+    assert resolve_relative("Halloween", D95) == "1994-10-31"
+    assert resolve_relative("good friday", D95) == "1995-04-14"
+
+
+def test_easter_computus():
+    assert easter_date(2011) == dt.date(2011, 4, 24)
+    assert easter_date(2010) == dt.date(2010, 4, 4)
+    assert easter_date(2000) == dt.date(2000, 4, 23)
+
+
+def test_docdate_accepts_iso_string():
+    assert resolve_relative("yesterday", "1995-07-20") == "1995-07-19"
+    assert resolve_relative("yesterday", "1995-07-20T10:30:00") == \
+        "1995-07-19"
+
+
+def test_find_expressions_spans():
+    text = "We met last week and will meet next Tuesday near Christmas."
+    out = find_relative_expressions(text, D03)
+    assert [(b, e) == (text.index(p), text.index(p) + len(p))
+            for b, e, p, _ in out]
+    assert [(p, v) for _, _, p, v in out] == [
+        ("last week", "2003-W15"), ("next Tuesday", "2003-04-15"),
+        ("Christmas", "2002-12-25")]
+
+
+def test_pattern_is_lookahead_free_for_re2():
+    """The alternation must stay shareable with DuckDB RE2 oracles."""
+    assert "(?=" not in RELATIVE_RE.pattern
+    assert "(?!" not in RELATIVE_RE.pattern
+    assert "(?<" not in RELATIVE_RE.pattern
