@@ -13,8 +13,15 @@ Sieve subset implemented, in dcoref order:
   2. RelaxedStringMatch     — strip determiners/titles, then identical
   3. PreciseConstructs      — predicate nominative via copula (X is the Y),
                               appositive (X, the Y,)
-  4. StrictHeadMatch        — head token equal + type-compatible
-  5. PronounMatch           — gender/number/animacy-gated nearest antecedent
+  4. StrictHeadMatch1       — cluster head match + word inclusion +
+                              compatible modifiers (sievepasses/
+                              StrictHeadMatch1.java; Rules.java:104-120)
+  5. StrictHeadMatch2       — head match + word inclusion only
+  6. StrictHeadMatch3       — head match + compatible modifiers only
+  7. RelaxedHeadMatch       — mention head ∈ antecedent cluster words,
+                              NE-typed antecedent, word inclusion
+                              (sievepasses/RelaxedHeadMatch.java)
+  8. PronounMatch           — gender/number/animacy-gated nearest antecedent
 
 Cluster representative = earliest non-pronominal mention (the reference's
 most-representative-mention rule).
@@ -108,17 +115,83 @@ def resolve_coref(
                 and tok_sent[b1] == tok_sent[b2]:
             uf.union(i, i + 1)
 
-    # Sieve 4: strict head match (last token) with type compatibility
-    by_head: Dict[str, int] = {}
-    for i in entity_like:
-        toks = stripped[i].split()
-        if not toks:
-            continue
-        key = men[i][2] + "|" + toks[-1]
-        if key in by_head:
-            uf.union(by_head[key], i)
-        else:
-            by_head[key] = i
+    # Sieves 4-7: head-match family (StrictHeadMatch1-3, RelaxedHeadMatch;
+    # Rules.java entityHeadsAgree:320, entityWordsIncluded:104,
+    # entityHaveIncompatibleModifier:113,399). Head = last stripped token
+    # that is not a corporate suffix (so "Gitano Group Inc." heads on
+    # "group", not on "inc." — a bare last-token key would merge every
+    # "Inc." org).
+    from corenlp_ray.functions.lexicon import ORG_SUFFIXES
+
+    _excl = {"the", "this", "mr.", "miss", "mrs.", "dr.", "ms.",
+             "inc.", "ltd.", "corp.", "'s", "’s"}
+
+    def head_of(i: int) -> str:
+        toks = [t for t in stripped[i].split() if t not in _excl]
+        while len(toks) > 1 and toks[-1] in ORG_SUFFIXES:
+            toks = toks[:-1]
+        return toks[-1] if toks else ""
+
+    heads = {i: head_of(i) for i in entity_like}
+
+    def cluster_members(i: int) -> List[int]:
+        r = uf.find(i)
+        return [j for j in entity_like if uf.find(j) == r]
+
+    def cluster_words(i: int) -> set:
+        return {w for j in cluster_members(i)
+                for w in surfaces[j].lower().split()}
+
+    def words_included(i: int, j: int) -> bool:
+        """All of cluster(i)'s non-stop words (minus i's head) appear in
+        cluster(j)'s words — Rules.entityWordsIncluded."""
+        need = cluster_words(i) - _excl - {heads[i]}
+        return need <= cluster_words(j)
+
+    def compatible_modifiers(i: int, j: int) -> bool:
+        """No incompatible modifier: i's non-head content words all
+        appear in j's mention words (per-mention pairwise, Rules:399)."""
+        for mi in cluster_members(i):
+            mods = {w for w in surfaces[mi].lower().split()
+                    if w not in _excl and w != heads[i]}
+            for mj in cluster_members(j):
+                if heads.get(mj) != heads[i]:
+                    continue
+                ant_words = set(surfaces[mj].lower().split())
+                if not (mods <= ant_words):
+                    return False
+        return True
+
+    def type_ok(i: int, j: int) -> bool:
+        return men[i][2] == men[j][2]
+
+    def run_head_sieve(check) -> None:
+        for i in entity_like:
+            if not heads[i]:
+                continue
+            for j in entity_like:
+                if j >= i or uf.find(i) == uf.find(j):
+                    continue
+                if type_ok(i, j) and check(i, j):
+                    uf.union(j, i)
+                    break
+
+    # StrictHeadMatch1: heads agree + word inclusion + compatible mods
+    run_head_sieve(lambda i, j: heads[i] in {heads[m] for m in
+                                             cluster_members(j)}
+                   and words_included(i, j) and compatible_modifiers(i, j))
+    # StrictHeadMatch2: heads agree + word inclusion
+    run_head_sieve(lambda i, j: heads[i] in {heads[m] for m in
+                                             cluster_members(j)}
+                   and words_included(i, j))
+    # StrictHeadMatch3: heads agree + compatible modifiers
+    run_head_sieve(lambda i, j: heads[i] in {heads[m] for m in
+                                             cluster_members(j)}
+                   and compatible_modifiers(i, j))
+    # RelaxedHeadMatch: mention head ∈ antecedent cluster words + word
+    # inclusion ("Sanders" → cluster of "Bernard Sanders")
+    run_head_sieve(lambda i, j: heads[i] in cluster_words(j)
+                   and words_included(i, j))
 
     # Sieve 4b: acronym match (the AcronymMatcher pass,
     # util/AcronymMatcher.java:17 — +20% KBP recall per the reference's
