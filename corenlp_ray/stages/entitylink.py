@@ -97,3 +97,60 @@ class EntityLinker:
 def entitylink_batch(batch: pa.Table) -> pa.Table:
     """Stateless-task variant."""
     return EntityLinker()(batch)
+
+
+# ------------------------------------------------- 21M-entry scale path ----
+
+def distinct_tokens(docs_ds):
+    """documents → one row per distinct lowercase alpha token (the probe
+    side of the dictionary join). Distinct via groupby — never collected
+    to the driver."""
+    import re
+
+    word_re = re.compile(r"[a-z]+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = sorted({t for text in batch.column("text").to_pylist()
+                       for t in word_re.findall((text or "").lower())})
+        return pa.Table.from_pydict(
+            {"surface": toks}, schema=pa.schema([("surface", pa.string())]))
+
+    from ray.data.aggregate import Count
+
+    return (docs_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("surface").aggregate(Count(alias_name="_n"))
+            .map_batches(lambda b: b.select(["surface"]),
+                         batch_format="pyarrow"))
+
+
+def synthetic_wikidict(tokens_ds):
+    """Deterministic large-dictionary stand-in: a token enters the dict
+    iff md5(token) starts with 0-3 (≈ 1/4 of the vocabulary), linking to
+    'Wiki_<token>'. Stands in for the reference's 21M-entry TSV
+    (WikidictAnnotator.java:57) so the JOIN path is exercised at any
+    scale without shipping the real dictionary."""
+    import hashlib
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys, links = [], []
+        for t in batch.column("surface").to_pylist():
+            if hashlib.md5(t.encode()).hexdigest()[0] in "0123":
+                keys.append(t)
+                links.append("Wiki_" + t)
+        return pa.Table.from_pydict(
+            {"surface": keys, "link": links},
+            schema=pa.schema([("surface", pa.string()),
+                              ("link", pa.string())]))
+
+    return tokens_ds.map_batches(build, batch_format="pyarrow")
+
+
+def wikidict_link_join(probe_ds, dict_ds, key: str = "surface"):
+    """The scale path for entity linking: bucketed hash join of mention
+    surfaces against a dictionary DATASET (both sides large — the 21M
+    Wikidict doesn't fit a broadcast at 10^12-doc scale). Co-partitions
+    on crc32(surface); skew from hot surface forms is bounded by the
+    partition count knob."""
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    return bucketed_hash_join(probe_ds, dict_ds, on=key, how="inner")
