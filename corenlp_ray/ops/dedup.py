@@ -211,35 +211,63 @@ def _attach_pair_columns(pairs_ds, side_ds, cols: Dict[str, str],
 
 def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
                            k: int = 3, threshold: float = 0.8):
-    """LSH candidate pairs → signature-estimated Jaccard verify, fully
-    in-cluster: signatures are a (doc_id, sig) dataset joined onto the
-    pair list with two bucketed hash joins (no driver materialization —
-    round-1 judge finding), then a vectorized per-batch estimate."""
-    pairs = minhash_lsh_pairs(docs_ds, num_perm, bands, k) \
-        .select_columns(["doc_a", "doc_b"])
-    sigs = docs_ds.map_batches(
-        lambda b: _sig_batch(b, num_perm, k), batch_format="pyarrow")
-    j = _attach_pair_columns(pairs, sigs,
-                             {"doc_id": "doc_a", "sig": "sig_a"}, "doc_a")
-    j = _attach_pair_columns(j, sigs,
-                             {"doc_id": "doc_b", "sig": "sig_b"}, "doc_b")
+    """Signature-verified near-dup edges in ONE pass: the band explode
+    carries the full signature (num_perm×8 bytes ≈ 0.5 KB — ~1% of a web
+    page), so the estimated-Jaccard verify runs vectorized INSIDE the
+    bucket groupby and no separate signature join is needed. Shuffle
+    rounds: band groupby + cross-band pair dedup — versus candidate-pair
+    groupby plus two bucketed signature joins for the join-based layout
+    (which spent 3 extra all-to-alls shipping the same bytes)."""
+    r = num_perm // bands
 
-    def estimate(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
-        A = np.frombuffer(b"".join(batch["sig_a"]), dtype=np.uint64) \
-            .reshape(len(batch), num_perm)
-        B = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.uint64) \
-            .reshape(len(batch), num_perm)
-        est = (A == B).mean(axis=1)
-        out = pd.DataFrame({"doc_a": batch["doc_a"].values,
-                            "doc_b": batch["doc_b"].values,
-                            "est_jaccard": est})
-        return out[out["est_jaccard"] >= threshold]
+    def explode(batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids, sigs = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = minhash_signature(text, num_perm, k)
+            sb = sig.tobytes()
+            for bi in range(bands):
+                bh = hashlib.md5(sig[bi * r:(bi + 1) * r].tobytes()) \
+                    .hexdigest()[:16]
+                band_ids.append(bi)
+                band_hashes.append(bh)
+                doc_ids.append(doc_id)
+                sigs.append(sb)
+        return pa.Table.from_pydict(
+            {"band_id": band_ids, "band_hash": band_hashes,
+             "doc_id": doc_ids, "sig": sigs},
+            schema=pa.schema([("band_id", pa.int32()),
+                              ("band_hash", pa.string()),
+                              ("doc_id", pa.int64()),
+                              ("sig", pa.binary())]))
 
-    return j.map_batches(estimate, batch_format="pandas")
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
+        if len(group) < 2:
+            return empty
+        recs = sorted({(i, s) for i, s in
+                       zip(group["doc_id"], group["sig"])})[:_MAX_BUCKET]
+        if len(recs) < 2:
+            return empty
+        ids = np.array([i for i, _ in recs], dtype=np.int64)
+        S = np.frombuffer(b"".join(s for _, s in recs),
+                          dtype=np.uint64).reshape(len(recs), num_perm)
+        est = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(len(recs), k=1)
+        keep = est[iu, ju] >= threshold
+        return pd.DataFrame({"doc_a": ids[iu[keep]],
+                             "doc_b": ids[ju[keep]],
+                             "est_jaccard": est[iu, ju][keep]})
+
+    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+    pairs = partitioned_group_apply(exploded, ("band_id", "band_hash"),
+                                    verify)
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
 
 
 def connected_components(edges_ds, max_iter: int = 25):

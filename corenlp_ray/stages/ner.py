@@ -114,24 +114,39 @@ _REL_FIRST = (set(_SUTIME_WEEKDAYS)
 def _try_relative(words: List[str], lowers: List[str], i: int, n: int,
                   docdate: str) -> Optional[Tuple[int, str]]:
     """Longest relative/holiday expression starting at token i → (end,
-    value), resolved against docdate (SUTime RangeAnnotator analogue)."""
-    from corenlp_ray.functions.sutime import resolve_relative
+    value), resolved against docdate (SUTime RangeAnnotator analogue).
+    One anchored regex match per trigger token (the alternation is
+    ordered longest-first), then one resolve call — not a per-span
+    resolve loop (hot-path cost on web-scale token streams)."""
+    from corenlp_ray.functions.sutime import RELATIVE_RE, resolve_relative
 
     if lowers[i] not in _REL_FIRST and not lowers[i][:1].isdigit():
         return None
     hi = min(i + 6, n)
-    for j in range(hi, i, -1):
-        phrase = " ".join(words[i:j]) \
-            .replace(" 's", "'s").replace(" ’s", "’s")
-        v = resolve_relative(phrase, docdate)
-        if v is not None:
-            if j == i + 1 and j < n and (
-                    lowers[j] in MONTHS or words[j] == ","):
-                # bare weekday heading an absolute date ("Friday ,
-                # October 1 , 1999") — let the absolute-date rule win
-                return None
-            return j, v
-    return None
+    joined = " ".join(words[i:hi]).replace(" 's", "'s").replace(" ’s", "’s")
+    m = RELATIVE_RE.match(joined)
+    if m is None or (m.end() < len(joined) and joined[m.end()] != " "):
+        return None
+    phrase = m.group(0)
+    # map the matched prefix back to a token boundary: walk tokens until
+    # the rebuilt phrase covers the match
+    acc = ""
+    j = i
+    while j < hi and len(acc) < len(phrase):
+        tok = words[j]
+        acc = tok if not acc else (
+            acc + tok if tok in ("'s", "’s") else acc + " " + tok)
+        j += 1
+    if acc[:len(phrase)] != phrase or len(acc) != len(phrase):
+        return None
+    v = resolve_relative(phrase, docdate)
+    if v is None:
+        return None
+    if j == i + 1 and j < n and (lowers[j] in MONTHS or words[j] == ","):
+        # bare weekday heading an absolute date ("Friday , October 1 ,
+        # 1999") — let the absolute-date rule win
+        return None
+    return j, v
 
 
 def ner_sentence(words: List[str], tags: List[str],
