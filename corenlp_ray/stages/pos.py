@@ -167,3 +167,37 @@ class PosTagger:
 def pos_batch(batch: pa.Table) -> pa.Table:
     """Stateless-task variant (same kernel) for small/test pipelines."""
     return PosTagger()(batch)
+
+
+class WeightedPosTagger:
+    """Actor-pool stage tagging with TRAINED averaged-perceptron weights
+    (models/perceptron_tagger.py — the MaxentTagger-shaped slot): the
+    model JSON loads ONCE per actor in ``__init__`` and stays pinned for
+    every batch. Use ``PerceptronTagger.train`` on a licensed treebank
+    for reference-band accuracy, or ``PerceptronTagger.distill`` to
+    learn the deterministic cascade's behavior (same labels, learned
+    form) when no treebank can ship.
+
+    Use: ds.map_batches(WeightedPosTagger,
+                        fn_constructor_kwargs={"model_path": p},
+                        batch_format="pyarrow", concurrency=N)
+    """
+
+    def __init__(self, model_path: str):
+        from corenlp_ray.models.perceptron_tagger import PerceptronTagger
+
+        self.model = PerceptronTagger.load(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        words_col = batch.column("tok_word").to_pylist()
+        sb_col = batch.column("sent_begin").to_pylist()
+        se_col = batch.column("sent_end").to_pylist()
+        for words, sbs, ses in zip(words_col, sb_col, se_col):
+            tags: List[str] = [""] * len(words)
+            for b, e in zip(sbs, ses):
+                for k, t in enumerate(self.model.tag(words[b:e])):
+                    tags[b + k] = t
+            out.append(tags)
+        return batch.append_column(
+            "tok_pos", pa.array(out, type=pa.list_(pa.string())))
