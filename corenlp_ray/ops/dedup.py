@@ -290,8 +290,13 @@ def connected_components(edges_ds, max_iter: int = 25):
             {"src": a + b, "dst": b + a},
             schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
 
-    sym = edges_ds.map_batches(symmetrize,
-                               batch_format="pyarrow").materialize()
+    # the candidate subgraph is ≪ corpus — use a modest partition count
+    # so each round's join/groupby doesn't pay 64-way task overhead, and
+    # coalesce blocks after every materialize (upstream groupbys leave
+    # hundreds of ~2-row blocks whose per-task cost dwarfs the work)
+    cc_npart = 16
+    sym = (edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+           .repartition(cc_npart).materialize())
     # round 0 fused with node extraction: label(n) = min(n, neighbors)
     labels = (sym
               .map_batches(lambda b: pa.Table.from_pydict(
@@ -299,20 +304,20 @@ def connected_components(edges_ds, max_iter: int = 25):
                    "label": pc.min_element_wise(
                        b.column("src"), b.column("dst"))}),
                   batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
-              .materialize())
-    labels = _as_arrow(labels).materialize()
+              .groupby("node").aggregate(Min("label", alias_name="label")))
+    labels = _as_arrow(labels).repartition(cc_npart).materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
     for _ in range(max_iter):
         msgs = (bucketed_hash_join(
-                    sym, _renamed(labels, {"node": "src"}), on="src")
+                    sym, _renamed(labels, {"node": "src"}), on="src",
+                    npart=cc_npart)
                 .map_batches(lambda b: pa.Table.from_pydict(
                     {"node": b.column("dst"), "label": b.column("label")}),
                     batch_format="pyarrow"))
         labels = _as_arrow(msgs.union(labels)
                            .groupby("node")
                            .aggregate(Min("label", alias_name="label"))) \
-            .materialize()
+            .repartition(cc_npart).materialize()
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:   # labels only decrease → converged
             break
@@ -327,7 +332,7 @@ def minhash_dedup(docs_ds, num_perm: int = 64, bands: int = 16, k: int = 3,
     distributed connected components (``connected_components``) →
     left-join labels back onto the corpus → (doc_id, cluster_id)."""
     edges = minhash_verified_edges(docs_ds, num_perm, bands, k,
-                                   threshold).materialize()
+                                   threshold).repartition(16).materialize()
     ids = docs_ds.select_columns(["doc_id"])
     if edges.limit(1).count() == 0:
         return ids.map_batches(

@@ -110,6 +110,50 @@ _REL_FIRST = (set(_SUTIME_WEEKDAYS)
                  "ash", "one", "two", "three", "four", "five", "six",
                  "seven", "eight", "nine", "ten"})
 
+# single-token expressions: no continuation needed
+_REL_SINGLE = (set(_SUTIME_WEEKDAYS)
+               | {"yesterday", "today", "tomorrow", "tonight", "halloween",
+                  "thanksgiving", "easter", "christmas", "xmas", "x-mas"})
+# required next token for multi-token openers — common words like
+# "this"/"first"/"one"/"new" appear constantly in web text, and running
+# the full regex at each would cost ~20% of the whole KG pipeline
+# (measured at sf0.1); this two-token gate rejects ~all non-matches in
+# one dict probe
+_TIME_UNITS = {"day", "days", "week", "weeks", "month", "months", "year",
+               "years", "quarter"}
+_REL_NEXT = {
+    "last": _TIME_UNITS | set(_SUTIME_WEEKDAYS),
+    "next": _TIME_UNITS | set(_SUTIME_WEEKDAYS),
+    "this": _TIME_UNITS | set(_SUTIME_WEEKDAYS),
+    "first": {"quarter", "of"}, "second": {"quarter", "of"},
+    "third": {"quarter", "of"}, "fourth": {"quarter", "of"},
+    "fifth": {"of"},
+    "new": {"year", "years", "year's", "year’s"},
+    "inauguration": {"day"}, "groundhog": {"day"},
+    "st": {"patrick", "patrick's", "patrick’s", "valentine",
+           "valentine's", "valentine’s"},
+    "st.": {"patrick", "patrick's", "patrick’s", "valentine",
+            "valentine's", "valentine’s"},
+    "saint": {"patrick", "patrick's", "patrick’s", "valentine",
+              "valentine's", "valentine’s"},
+    "valentine": {"'s", "’s", "s"},
+    "april": {"fools", "fools'", "fool's"},
+    "cinco": {"de"}, "independence": {"day"}, "veterans": {"day"},
+    "christmas": {"eve", "day"}, "xmas": {"eve", "day"},
+    "martin": {"luther"}, "mlk": {"day"},
+    "presidents": {"day", "'", "’"}, "president": {"'s", "’s"},
+    "memorial": {"day"},
+    "mother": {"'s", "’s"}, "mothers": {"day", "'", "’"},
+    "father": {"'s", "’s"}, "fathers": {"day", "'", "’"},
+    "labor": {"day"}, "labour": {"day"}, "columbus": {"day"},
+    "easter": {"sunday", "day"}, "good": {"friday"},
+    "ash": {"wednesday"},
+    "one": _TIME_UNITS, "two": _TIME_UNITS, "three": _TIME_UNITS,
+    "four": _TIME_UNITS, "five": _TIME_UNITS, "six": _TIME_UNITS,
+    "seven": _TIME_UNITS, "eight": _TIME_UNITS, "nine": _TIME_UNITS,
+    "ten": _TIME_UNITS,
+}
+
 
 def _try_relative(words: List[str], lowers: List[str], i: int, n: int,
                   docdate: str) -> Optional[Tuple[int, str]]:
@@ -120,8 +164,18 @@ def _try_relative(words: List[str], lowers: List[str], i: int, n: int,
     resolve loop (hot-path cost on web-scale token streams)."""
     from corenlp_ray.functions.sutime import RELATIVE_RE, resolve_relative
 
-    if lowers[i] not in _REL_FIRST and not lowers[i][:1].isdigit():
+    lw = lowers[i]
+    if lw not in _REL_FIRST and not lw[:1].isdigit():
         return None
+    if lw not in _REL_SINGLE:
+        nxt = lowers[i + 1] if i + 1 < n else ""
+        need = _REL_NEXT.get(lw)
+        if need is not None:
+            if nxt not in need:
+                return None
+        elif lw[:1].isdigit():
+            if nxt not in _TIME_UNITS:
+                return None
     hi = min(i + 6, n)
     joined = " ".join(words[i:hi]).replace(" 's", "'s").replace(" ’s", "’s")
     m = RELATIVE_RE.match(joined)
