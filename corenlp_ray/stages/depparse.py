@@ -505,3 +505,47 @@ class DepParser:
 def depparse_batch(batch: pa.Table) -> pa.Table:
     """Stateless-task variant for small/test pipelines."""
     return DepParser()(batch)
+
+
+class WeightedDepParser:
+    """Actor-pool stage parsing with TRAINED arc-standard transition
+    weights (models/transition_parser.py — the nndep-shaped slot): the
+    model JSON loads ONCE per actor in ``__init__`` and stays pinned.
+    ``TransitionParser.train`` on a licensed treebank gives the
+    reference-band path; ``distill`` learns the rule cascade absent one.
+
+    Use: ds.map_batches(WeightedDepParser,
+                        fn_constructor_kwargs={"model_path": p},
+                        batch_format="pyarrow", concurrency=N)
+    """
+
+    def __init__(self, model_path: str):
+        from corenlp_ray.models.transition_parser import TransitionParser
+
+        self.model = TransitionParser.load(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heads_c, labels_c = [], []
+        words_col = batch.column("tok_word").to_pylist()
+        tags_col = batch.column("tok_pos").to_pylist()
+        sb_col = batch.column("sent_begin").to_pylist()
+        se_col = batch.column("sent_end").to_pylist()
+        for words, tags, sbs, ses in zip(words_col, tags_col,
+                                         sb_col, se_col):
+            heads = [-1] * len(words)
+            labels = ["dep"] * len(words)
+            for b, e in zip(sbs, ses):
+                hs, ls = self.model.parse(words[b:e], tags[b:e])
+                for k, (h, l) in enumerate(zip(hs, ls)):
+                    # model is 1-based with 0 = ROOT; columns are
+                    # doc-level 0-based with -1 = root
+                    heads[b + k] = (b + h - 1) if h > 0 else -1
+                    labels[b + k] = l
+            heads_c.append(heads)
+            labels_c.append(labels)
+        return (batch
+                .append_column("dep_head",
+                               pa.array(heads_c, type=pa.list_(pa.int32())))
+                .append_column("dep_label",
+                               pa.array(labels_c,
+                                        type=pa.list_(pa.string()))))
