@@ -113,6 +113,53 @@ def _norm_label(l: str) -> str:
     return l
 
 
+_NEG = {"not", "never", "n't"}
+_DOUBT_NOUNS = {"doubt", "doubts", "denial", "myth"}
+
+
+def clause_negated(words, heads, labels, ch, v: int) -> bool:
+    """Natlog polarity gate (reduced): a triple under an explicit
+    negation is rejected (the reference's strict-triple behavior —
+    naturalli monotonicity marking, OpenIEITest testSara /
+    testChessIsNotAPhysicalSport)."""
+    frontier = [v] + [c for c, l in ch.get(v, ())
+                      if l in ("cop", "aux", "aux:pass")]
+    for t in frontier:
+        for c, l in ch.get(t, ()):
+            if l == "advmod" and words[c].lower() in _NEG:
+                return True
+    return False
+
+
+def clause_blocked(words, tags, heads, labels, ch, v: int) -> bool:
+    """ccomp under a negative-implicative noun ("There is doubt that
+    ...") blocks extraction unless doubled by "no" (downward ×
+    downward = upward monotone); infinitival acl is never a triple
+    site (SegmenterTest testAcl:880)."""
+    if labels[v] == "acl":
+        return any(l == "mark" and words[c].lower() == "to"
+                   for c, l in ch.get(v, ())) or tags[v] not in (
+                       "VBG", "VBN")
+    if labels[v] != "ccomp":
+        return False
+    g = heads[v]
+    if g < 0 or words[g].lower() not in _DOUBT_NOUNS:
+        return False
+    has_no = any(l == "det" and words[c].lower() == "no"
+                 for c, l in ch.get(g, ()))
+    return not has_no
+
+
+def clause_admissible(words, tags, heads, labels, v: int) -> bool:
+    """Pure decision: may token v head an extraction clause? (The
+    rule-based stand-in for the reference's trained clause-splitter
+    classifier, naturalli/ClauseSplitterSearchProblem.java:46 — also the
+    distillation teacher for models/clause_classifier.py.)"""
+    ch = _children(heads, [_norm_label(l) for l in labels])
+    return not (clause_negated(words, heads, labels, ch, v)
+                or clause_blocked(words, tags, heads, labels, ch, v))
+
+
 def extract_sentence_triples(
     words: List[str], tags: List[str], lemmas: List[str],
     heads: List[int], labels: List[str],
@@ -148,45 +195,16 @@ def extract_sentence_triples(
 
     out = []
 
-    _NEG = {"not", "never", "n't"}
-    _DOUBT_NOUNS = {"doubt", "doubts", "denial", "myth"}
     _TITLE_LEX = {"president", "ceo", "chairman", "director", "minister",
                   "secretary", "senator", "governor", "ally", "actor",
                   "actress", "founder", "co-founder", "chief", "captain",
                   "coach", "professor", "king", "queen", "mayor"}
 
     def _negated(v: int) -> bool:
-        """Natlog polarity gate (reduced): a triple under an explicit
-        negation is rejected (the reference's strict-triple behavior —
-        naturalli monotonicity marking, OpenIEITest testSara /
-        testChessIsNotAPhysicalSport)."""
-        frontier = [v] + [c for c, l in ch.get(v, ())
-                          if l in ("cop", "aux", "aux:pass")]
-        for t in frontier:
-            for c, l in ch.get(t, ()):
-                if l == "advmod" and words[c].lower() in _NEG:
-                    return True
-        return False
+        return clause_negated(words, heads, labels, ch, v)
 
     def _clause_blocked(v: int) -> bool:
-        """ccomp under a negative-implicative noun ("There is doubt that
-        ...") blocks extraction unless doubled by "no" (downward ×
-        downward = upward monotone)."""
-        if labels[v] == "acl":
-            # infinitival acl ("the first American TO HOLD the office")
-            # is never a triple site; participial acl ("dogs SITTING in
-            # heaven") is (SegmenterTest testAcl:880)
-            return any(l == "mark" and words[c].lower() == "to"
-                       for c, l in ch.get(v, ())) or tags[v] not in (
-                           "VBG", "VBN")
-        if labels[v] != "ccomp":
-            return False
-        g = heads[v]
-        if g < 0 or words[g].lower() not in _DOUBT_NOUNS:
-            return False
-        has_no = any(l == "det" and words[c].lower() == "no"
-                     for c, l in ch.get(g, ()))
-        return not has_no
+        return clause_blocked(words, tags, heads, labels, ch, v)
 
     def _in_mention(tok: int) -> bool:
         """Inside an entity-type mention (deletion would change the
