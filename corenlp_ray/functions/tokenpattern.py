@@ -128,41 +128,117 @@ def toks_of(words, lemmas=None, tags=None, ners=None) -> List[Dict[str, str]]:
 _NODE_RE = re.compile(
     r"\{\s*(?:(\w+)\s*:\s*(?:/((?:[^/\\]|\\.)*)/|([^}\s]+)))?\s*\}"
     r"(?:=(\w+))?")
-_EDGE_RE = re.compile(r">(\S+)")
+_EDGE_RE = re.compile(r">(?:/((?:[^/\\]|\\.)*)/|(\S+))")
+
+
+class _EdgeMatcher:
+    """Edge-label matcher: literal or /regex/ (semgrex relation syntax,
+    e.g. >/nmod|obl/ or >nsubj)."""
+
+    __slots__ = ("lit", "rx")
+
+    def __init__(self, rx: str | None, lit: str | None):
+        self.lit = lit
+        self.rx = re.compile(rx) if rx is not None else None
+
+    def ok(self, label: str) -> bool:
+        if self.rx is not None:
+            return self.rx.fullmatch(label) is not None
+        return label == self.lit
+
+
+class _DepNode:
+    """One node in a (possibly nested) dep pattern tree."""
+
+    __slots__ = ("cons", "name", "children")
+
+    def __init__(self, cons, name: str):
+        self.cons = cons
+        self.name = name
+        self.children: List[Tuple[_EdgeMatcher, "_DepNode"]] = []
 
 
 class DepPattern:
-    """Semgrex-style governor-with-children pattern."""
+    """Semgrex-style dependency pattern with nesting:
+    ``{ner:PERSON}=s >/nmod|obl/ ( {ner:PERSON}=o >case {lemma:of} )``
+    — governor, regex-or-literal edge labels, parenthesized nested
+    child patterns (the shape of the reference's KBP semgrex banks,
+    data/edu/stanford/nlp/kbp/en/semgrex/*.rules)."""
 
     def __init__(self, pattern: str):
         self.src = pattern
-        s = pattern.strip()
+        self._auto = 0
+        self.root, rest = self._parse_node(pattern.strip())
+        if rest.strip():
+            raise ValueError(f"trailing input {rest!r} in {pattern!r}")
+
+    # ------------------------------------------------------- parsing ----
+    def _parse_node(self, s: str) -> Tuple[_DepNode, str]:
+        s = s.lstrip()
         m = _NODE_RE.match(s)
         if not m:
-            raise ValueError(f"bad dep pattern {pattern!r}")
-        self.gov = self._node(m)
-        self.gov_name = m.group(4) or "gov"
-        s = s[m.end():]
-        self.children: List[Tuple[str, _Constraint, str]] = []
-        while s.strip():
-            em = _EDGE_RE.match(s.strip())
-            if not em:
-                raise ValueError(f"expected >label in {s!r}")
-            rest = s.strip()[em.end():].strip()
-            nm = _NODE_RE.match(rest)
-            if not nm:
-                raise ValueError(f"expected node after >{em.group(1)}")
-            self.children.append(
-                (em.group(1), self._node(nm),
-                 nm.group(4) or f"c{len(self.children)}"))
-            s = rest[nm.end():]
-
-    @staticmethod
-    def _node(m) -> _Constraint:
-        attr, rx, lit, _name = m.groups()
+            raise ValueError(f"bad dep pattern node at {s!r}")
+        attr, rx, lit, name = m.groups()
         if attr is not None and attr not in _ATTRS:
             raise ValueError(f"unknown attribute {attr!r}")
-        return _Constraint(attr, rx, lit, 1, 1)
+        if name is None:
+            name = "gov" if self._auto == 0 else f"c{self._auto - 1}"
+        self._auto += 1
+        node = _DepNode(_Constraint(attr, rx, lit, 1, 1), name)
+        s = s[m.end():].lstrip()
+        while True:
+            s = s.lstrip()
+            if not s.startswith(">"):
+                break
+            em = _EDGE_RE.match(s)
+            if not em:
+                raise ValueError(f"bad edge at {s!r}")
+            edge = _EdgeMatcher(em.group(1), em.group(2))
+            s = s[em.end():].lstrip()
+            if s.startswith("("):
+                child, s = self._parse_node(s[1:])
+                s = s.lstrip()
+                if not s.startswith(")"):
+                    raise ValueError(f"expected ')' at {s!r}")
+                s = s[1:].lstrip()
+            else:
+                child, s = self._parse_subleaf(s)
+            node.children.append((edge, child))
+        return node, s
+
+    def _parse_subleaf(self, s: str) -> Tuple[_DepNode, str]:
+        m = _NODE_RE.match(s.lstrip())
+        if not m:
+            raise ValueError(f"expected node at {s!r}")
+        attr, rx, lit, name = m.groups()
+        if attr is not None and attr not in _ATTRS:
+            raise ValueError(f"unknown attribute {attr!r}")
+        if name is None:
+            name = f"c{self._auto - 1}"
+        self._auto += 1
+        return (_DepNode(_Constraint(attr, rx, lit, 1, 1), name),
+                s.lstrip()[m.end():])
+
+    # ------------------------------------------------------ matching ----
+    def _match_node(self, node: _DepNode, g: int, toks, kids,
+                    labels) -> List[Dict[str, int]]:
+        if not node.cons.ok(toks[g]):
+            return []
+        bind_sets: List[Dict[str, int]] = [{node.name: g}]
+        for edge, child in node.children:
+            new_sets: List[Dict[str, int]] = []
+            for c in kids.get(g, ()):
+                if not edge.ok(labels[c]):
+                    continue
+                for sub in self._match_node(child, c, toks, kids, labels):
+                    for bs in bind_sets:
+                        merged = dict(bs)
+                        merged.update(sub)
+                        new_sets.append(merged)
+            bind_sets = new_sets
+            if not bind_sets:
+                return []
+        return bind_sets
 
     def match(self, toks: Sequence[Dict[str, str]], heads: Sequence[int],
               labels: Sequence[str]) -> List[Dict[str, int]]:
@@ -173,22 +249,17 @@ class DepPattern:
                 kids.setdefault(h, []).append(i)
         out = []
         for g in range(len(toks)):
-            if not self.gov.ok(toks[g]):
-                continue
-            bind_sets = [[]]
-            ok = True
-            for (lab, cons, name) in self.children:
-                cands = [c for c in kids.get(g, ())
-                         if labels[c] == lab and cons.ok(toks[c])]
-                if not cands:
-                    ok = False
-                    break
-                bind_sets = [bs + [(name, c)] for bs in bind_sets
-                             for c in cands]
-            if ok:
-                for bs in bind_sets:
-                    out.append({self.gov_name: g, **dict(bs)})
+            out.extend(self._match_node(self.root, g, toks, kids, labels))
         return out
+
+    # backwards-compat accessors (round-1 callers/tests)
+    @property
+    def gov(self):
+        return self.root.cons
+
+    @property
+    def gov_name(self):
+        return self.root.name
 
 
 # ------------------------------------------------- TokensRegexNER overlay ----

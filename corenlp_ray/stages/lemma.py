@@ -71,10 +71,27 @@ def _strip_ing(w: str) -> str:
     return w
 
 
+# -nge verbs that restore e (vs bang/hang/long/belong which take bare
+# -ed); membership decides since no phonological rule separates them
+_NG_E_STEMS = {"chang", "exchang", "rang", "arrang", "challeng", "plung",
+               "hing", "aveng", "reveng", "cring", "loung", "scaveng"}
+
+
 def _needs_e(stem: str) -> bool:
     """Restore silent e: mak→make, liv→live, acquir→acquire."""
     if len(stem) < 2:
         return False
+    # clusters that cannot end an English verb without a silent e:
+    # charg→charge, judg→judge, serv→serve, solv→solve, forc→force,
+    # nurs→nurse, sens→sense, convinc→convince, argu→argue, seiz→seize
+    if stem.endswith(("rg", "dg", "rc", "ns", "rs", "nc", "u")):
+        return True
+    if stem.endswith("v") and not stem.endswith("vv"):
+        return True
+    if stem.endswith("z") and not stem.endswith("zz"):
+        return True
+    if stem in _NG_E_STEMS:
+        return True
     if stem.endswith(("at", "iv", "ir", "ak", "iz", "os", "us", "ut",
                       "om", "in", "ar", "or", "as", "ag", "ud", "uc",
                       "anc", "enc", "uat")):

@@ -43,6 +43,12 @@ _PERSON_SUFFIX_RE = re.compile(r"^(?:II|III|IV|Jr\.?|Sr\.?)$")
 _RUN_TITLES = {"president", "queen", "king", "prince", "princess", "pope",
                "chancellor", "prime", "sir", "lady", "lord", "governor",
                "senator", "secretary", "general", "captain", "judge"}
+# kinship heads: an NNP run right after one names a person ("son Rory",
+# "sister Maya") — feeds the KBP family-relation dep rules
+_KINSHIP_HEADS = {"son", "daughter", "brother", "sister", "wife",
+                  "husband", "mother", "father", "uncle", "aunt",
+                  "cousin", "nephew", "niece", "grandfather",
+                  "grandmother", "grandson", "granddaughter"}
 # geographic feature heads: an NNP run ending in one is a LOCATION even
 # when the full span is not in the gazetteer ("Prince Edward Island")
 _GEO_FEATURES = {"island", "islands", "river", "bay", "lake", "mountain",
@@ -68,7 +74,7 @@ def _type_nnp_run(words: List[str], lowers: List[str], b: int, e: int,
         return "ORGANIZATION"
     if lowers[b] in MALE_NAMES or lowers[b] in FEMALE_NAMES:
         return "PERSON"
-    if prev_word in PERSON_TITLES:
+    if prev_word in PERSON_TITLES or prev_word in _KINSHIP_HEADS:
         return "PERSON"
     # generational / regnal suffix: "Barack Hussein Obama II",
     # "John Smith Jr." — a multi-token run ending in a suffix is a person
