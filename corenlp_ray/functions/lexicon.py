@@ -258,6 +258,39 @@ ORDINAL_WORDS = {
     "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
 }
 
+# country-level names (drives the reference's type-split relation names:
+# per:country_of_birth vs per:city_of_birth etc., KBPRelationExtractor
+# COUNTRY/STATE_OR_PROVINCE/CITY NER subtypes)
+COUNTRIES = {
+    "america", "england", "france", "germany", "china", "japan", "india",
+    "russia", "brazil", "canada", "mexico", "spain", "italy",
+    "australia", "u.s.", "u.k.", "usa", "uk", "united states",
+    "united kingdom",
+}
+US_STATES = {
+    "california", "texas", "florida", "ohio", "virginia", "georgia",
+    "michigan", "illinois", "arizona", "colorado", "oregon", "nevada",
+    "alaska", "hawaii", "kansas", "iowa", "utah", "maine", "idaho",
+    "montana", "wyoming", "vermont", "delaware", "maryland", "indiana",
+    "missouri", "alabama", "louisiana", "kentucky", "tennessee",
+    "oklahoma", "arkansas", "mississippi", "nebraska", "minnesota",
+    "wisconsin", "pennsylvania", "connecticut", "massachusetts",
+    "new jersey", "new hampshire", "new mexico", "north dakota",
+    "south dakota", "north carolina", "south carolina", "west virginia",
+    "rhode island",
+}
+
+
+def geo_subtype(name: str) -> str:
+    """'country' | 'state' | 'city' for a LOCATION surface form."""
+    lw = name.lower().strip()
+    if lw in COUNTRIES:
+        return "country"
+    if lw in US_STATES:
+        return "state"
+    return "city"
+
+
 LOCATIONS = {
     # countries / regions
     "america", "england", "france", "germany", "china", "japan", "india",

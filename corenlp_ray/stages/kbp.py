@@ -11,11 +11,18 @@ banks as a dependency/lemma rule library (the semgrex-analogue DSL is
 plain predicates over the dep columns); the stage is an actor-pool class
 (pattern banks bind once per actor — the LR-weights slot).
 
-Relations emitted (TAC-KBP inventory subset):
-  per:title per:employee_of per:city_of_birth per:date_of_birth
-  per:city_of_death per:date_of_death per:cities_of_residence per:spouse
-  per:schools_attended org:city_of_headquarters org:founded_by
-  org:date_founded org:parents org:subsidiaries org:top_members_employees
+Relations emitted (TAC-KBP inventory subset, ~27 of the reference's
+~45 after the round-2 bank expansion — geo relations split by
+country/state/city subtype like the reference's fine NER types):
+  per:title per:employee_of per:{city,stateorprovince,country}_of_birth
+  per:date_of_birth per:{city,stateorprovince,country}_of_death
+  per:date_of_death per:{cities,stateorprovinces,countries}_of_residence
+  per:spouse per:siblings per:parents per:children per:other_family
+  per:charges per:cause_of_death per:alternate_names per:age per:origin
+  per:schools_attended org:{city,stateorprovince,country}_of_headquarters
+  org:founded_by org:date_founded org:parents org:subsidiaries
+  org:top_members_employees org:alternate_names org:shareholders
+  org:member_of
 
 Subjects/objects are canonical-mention surfaces (coref representative),
 dates are normalized TIMEX-style values. Per-sentence dedup keeps the
@@ -81,6 +88,31 @@ def load_dep_rules(path: str) -> List[DepRule]:
 
 
 DEFAULT_RULES_PATH = __file__.rsplit("/", 2)[0] + "/resources/kbp_dep_rules.tsv"
+
+
+
+# the reference picks the relation name from the slot's fine NER type
+# (COUNTRY / STATE_OR_PROVINCE / CITY, ie/KBPRelationExtractor.java
+# relation inventory); this engine subtypes via the lexicon
+_GEO_REL = {
+    "per:city_of_birth": ("per:country_of_birth",
+                          "per:stateorprovince_of_birth"),
+    "per:city_of_death": ("per:country_of_death",
+                          "per:stateorprovince_of_death"),
+    "per:cities_of_residence": ("per:countries_of_residence",
+                                "per:stateorprovinces_of_residence"),
+    "org:city_of_headquarters": ("org:country_of_headquarters",
+                                 "org:stateorprovince_of_headquarters"),
+}
+
+
+def geo_relation(city_relation: str, place: str) -> str:
+    from corenlp_ray.functions.lexicon import geo_subtype
+
+    country_rel, state_rel = _GEO_REL[city_relation]
+    sub = geo_subtype(place)
+    return country_rel if sub == "country" else \
+        state_rel if sub == "state" else city_relation
 
 
 class Mention:
@@ -175,7 +207,7 @@ def kbp_sentence(
             if se:
                 for m in obls(v, ("in", "at")):
                     if m.type == "LOCATION":
-                        emit(se[0], "per:city_of_birth", m.canonical,
+                        emit(se[0], geo_relation("per:city_of_birth", m.canonical), m.canonical,
                              "PERSON", "LOCATION", 0.99)
                     elif m.type == "DATE":
                         emit(se[0], "per:date_of_birth", m.norm,
@@ -189,7 +221,7 @@ def kbp_sentence(
             if se:
                 for m in obls(v, ("in", "at")):
                     if m.type == "LOCATION":
-                        emit(se[0], "per:city_of_death", m.canonical,
+                        emit(se[0], geo_relation("per:city_of_death", m.canonical), m.canonical,
                              "PERSON", "LOCATION", 0.99)
                     elif m.type == "DATE":
                         emit(se[0], "per:date_of_death", m.norm,
@@ -210,7 +242,7 @@ def kbp_sentence(
             if se:
                 for m in obls(v, ("in",)):
                     if m.type == "LOCATION":
-                        emit(se[0], "per:cities_of_residence", m.canonical,
+                        emit(se[0], geo_relation("per:cities_of_residence", m.canonical), m.canonical,
                              "PERSON", "LOCATION", 0.95)
         elif lem == "marry" or words[v].lower() == "married":
             se = subj_entity(v, ("PERSON",))
@@ -242,7 +274,7 @@ def kbp_sentence(
             if se:
                 for m in obls(v, ("in", "at")):
                     if m.type == "LOCATION":
-                        emit(se[0], "org:city_of_headquarters", m.canonical,
+                        emit(se[0], geo_relation("org:city_of_headquarters", m.canonical), m.canonical,
                              "ORGANIZATION", "LOCATION", 0.98)
         elif lem == "graduate":
             se = subj_entity(v, ("PERSON",))

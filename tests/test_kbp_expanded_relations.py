@@ -62,3 +62,18 @@ def test_shareholders():
 def test_no_false_family_without_kinship_noun():
     assert not _rel("Bill Gates met Rory yesterday.", "per:children")
     assert not _rel("Bill Gates met Rory yesterday.", "per:siblings")
+
+
+@pytest.mark.parametrize("text,rel,obj", [
+    ("John Smith lives in France.", "per:countries_of_residence",
+     "France"),
+    ("John Smith lives in Texas.", "per:stateorprovinces_of_residence",
+     "Texas"),
+    ("John Smith lives in Chicago.", "per:cities_of_residence",
+     "Chicago"),
+    ("Acme Corp. is based in Germany.", "org:country_of_headquarters",
+     "Germany"),
+])
+def test_geo_subtype_splits_relation(text, rel, obj):
+    got = _rel(text, rel)
+    assert any(o == obj for _, o in got), got
