@@ -127,8 +127,15 @@ _HOLIDAY = (r"(?:new year(?:'|’)?s(?: eve| day)?|inauguration day"
 
 # ordered alternation: longest/most-specific first. Lookahead-free (the
 # same pattern text must be usable from DuckDB RE2 oracles).
+_CLOCK = (r"(?:\d{1,2}(?::\d{2})? ?(?:a\.?m\.?|p\.?m\.?)"
+          r"|\d{1,2}:\d{2})")
+
 RELATIVE_PATTERN = (
-    r"(?:" + _NUM + r" (?:days?|weeks?) from next " + _WD
+    r"(?:" + _CLOCK + r" (?:yesterday|today|tomorrow)"
+    r"|(?:yesterday|today|tomorrow) at " + _CLOCK
+    + r"|(?:the )?(?:last|past|next) " + _NUM
+    + r" (?:days?|weeks?|months?|years?)"
+    + r"|" + _NUM + r" (?:days?|weeks?) from next " + _WD
     + r"|" + _NUM + r" (?:days?|weeks?|months?|years?) before yesterday"
     + r"|" + _NUM + r" (?:days?|weeks?|months?|years?) after tomorrow"
     + r"|" + _NUM + r" (?:days?|weeks?|months?|years?) (?:ago|earlier)"
@@ -193,6 +200,38 @@ def resolve_relative(phrase: str, docdate: dt.date | str) -> Optional[str]:
         docdate = dt.date.fromisoformat(docdate[:10])
     p = re.sub(r"\s+", " ", phrase.strip().lower())
     p = re.sub(r"^the ", "", p)
+
+    # clock time + relative day: '9 a.m. tomorrow' → 1998-04-18T09:00
+    # (SUTimeITest.java:670 resolved values)
+    m = re.fullmatch(r"(" + _CLOCK + r") (yesterday|today|tomorrow)", p) \
+        or re.fullmatch(r"(yesterday|today|tomorrow) at (" + _CLOCK + r")",
+                        p)
+    if m:
+        a, b = m.group(1), m.group(2)
+        clock, day = (a, b) if b in ("yesterday", "today",
+                                     "tomorrow") else (b, a)
+        cm = re.fullmatch(
+            r"(\d{1,2})(?::(\d{2}))? ?(a\.?m\.?|p\.?m\.?)?", clock)
+        hh = int(cm.group(1))
+        mm = int(cm.group(2) or 0)
+        ampm = (cm.group(3) or "").replace(".", "")
+        if ampm == "pm" and hh < 12:
+            hh += 12
+        elif ampm == "am" and hh == 12:
+            hh = 0
+        off = {"yesterday": -1, "today": 0, "tomorrow": 1}[day]
+        d = docdate + dt.timedelta(days=off)
+        return f"{d.isoformat()}T{hh:02d}:{mm:02d}"
+
+    # duration: 'the last 3 months' → P3M (TIMEX3 DURATION value,
+    # SUTimeITest.java:848/866)
+    m = re.fullmatch(r"(?:last|past|next) (\S+) "
+                     r"(day|week|month|year)s?", p)
+    if m:
+        n = _num(m.group(1))
+        if n is None:
+            return None
+        return f"P{n}{m.group(2)[0].upper()}"
 
     if p in ("today", "tonight"):
         return docdate.isoformat()

@@ -108,3 +108,26 @@ def test_pattern_is_lookahead_free_for_re2():
     assert "(?=" not in RELATIVE_RE.pattern
     assert "(?!" not in RELATIVE_RE.pattern
     assert "(?<" not in RELATIVE_RE.pattern
+
+
+def test_clock_time_with_relative_day():
+    # SUTimeITest.java:670 (docdate 19980417)
+    assert resolve_relative("9 a.m. tomorrow", D98) == "1998-04-18T09:00"
+    assert resolve_relative("6:15 yesterday", D98) == "1998-04-16T06:15"
+    assert resolve_relative("tomorrow at 3 pm", D98) == "1998-04-18T15:00"
+    assert resolve_relative("today at 12 am", D98) == "1998-04-17T00:00"
+
+
+def test_durations():
+    # SUTimeITest.java:848/866: 'the last 3 months' → P3M
+    assert resolve_relative("the last 3 months", D98) == "P3M"
+    assert resolve_relative("past two weeks", D98) == "P2W"
+    assert resolve_relative("next 5 days", D98) == "P5D"
+    assert resolve_relative("last 2 years", D98) == "P2Y"
+
+
+def test_duration_does_not_shadow_plain_relatives():
+    import datetime as dt
+    assert resolve_relative("last week", dt.date(2003, 4, 14)) == \
+        "2003-W15"
+    assert resolve_relative("3 days ago", D95) == "1995-07-17"
