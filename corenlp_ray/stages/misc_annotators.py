@@ -97,7 +97,14 @@ _CLOSE_Q = {'"', "''", "”", "»"}
 
 def find_quotes(words: List[str]) -> List[Tuple[int, int]]:
     """Pure kernel: token spans (begin, end) of quoted content (exclusive
-    of the quote marks). Straight quotes toggle; curly/PTB pairs nest."""
+    of the quote marks). Straight quotes toggle; curly/PTB pairs nest.
+
+    This is the token-level fast path used by the column pipeline. The
+    reference-faithful CHARACTER-level extractor — latex quotes,
+    same-kind embedding control, unclosed-quote recovery, max-length —
+    lives in functions/quotes.py (extract_quotes) and passes the
+    reference's own QuoteAnnotatorITest cases verbatim
+    (tests/test_quotes_reference.py)."""
     spans = []
     stack = []
     for i, w in enumerate(words):
