@@ -202,6 +202,9 @@ FEMALE_NAMES = {
     "betty", "helen", "sandra", "donna", "carol", "ruth", "sharon",
     "michelle", "laura", "sarah", "kimberly", "deborah", "jessica",
     "anna", "emma", "olivia", "sophia", "kate", "jane", "alice", "sue",
+    "heather", "amy", "angela", "melissa", "rebecca", "stephanie",
+    "nicole", "katherine", "christine", "rachel", "catherine", "diana",
+    "julia", "grace", "victoria", "natalie", "hannah", "emily",
 }
 
 # ------------------------------------------------------------- gazetteers ----

@@ -57,12 +57,44 @@ KNOWN_ACRONYMS = {"ibm", "nasa", "fbi", "cia", "un", "eu", "gdp", "ceo",
                   "usa", "uk", "tv", "ai", "it"}
 
 
+# ambiguous surnames: capitalized only next to another proper token
+# ("Heather brown" → Brown; "the brown dog" stays lower)
+_SURNAMES = {"brown", "smith", "johnson", "williams", "jones", "miller",
+             "davis", "garcia", "wilson", "anderson", "taylor", "thomas",
+             "moore", "martin", "jackson", "thompson", "white", "harris",
+             "clark", "lewis", "walker", "young", "allen", "king",
+             "wright", "hill", "scott", "green", "adams", "baker"}
+# institution heads: capitalized after a proper token (Duke University)
+_INSTITUTION_HEADS = {"university", "college", "institute", "hospital",
+                      "museum", "corporation", "academy"}
+# multiword proper names (TrueCaseAnnotatorITest: "Good Morning America",
+# "Duke University")
+_PROPER_PHRASES = {
+    ("duke", "university"): ("Duke", "University"),
+    ("good", "morning", "america"): ("Good", "Morning", "America"),
+    ("new", "york", "times"): ("New", "York", "Times"),
+    ("wall", "street", "journal"): ("Wall", "Street", "Journal"),
+    ("united", "nations"): ("United", "Nations"),
+    ("world", "health", "organization"):
+        ("World", "Health", "Organization"),
+    ("stanford", "university"): ("Stanford", "University"),
+    ("harvard", "university"): ("Harvard", "University"),
+}
+_MAX_PHRASE = max(len(k) for k in _PROPER_PHRASES)
+
+
 def truecase_word(lw: str, sent_initial: bool) -> str:
-    """Pure kernel: lowercase word → truecased form."""
+    """Pure kernel: lowercase word → truecased form (context-free)."""
     if lw in KNOWN_ACRONYMS:
         return lw.upper()
     if lw in _PROPER:
         return lw.capitalize()
+    if (lw.startswith("mc") and len(lw) > 3) or \
+            (lw.startswith("mac") and len(lw) > 5):
+        # McVey / MacArthur prefix capitalization
+        k = 2 if lw.startswith("mc") else 3
+        return lw[:k].capitalize()[:1].upper() + lw[1:k] + \
+            lw[k].upper() + lw[k + 1:]
     parts = lw.split(" ")
     if len(parts) > 1:
         return " ".join(truecase_word(p, False) for p in parts)
@@ -71,17 +103,56 @@ def truecase_word(lw: str, sent_initial: bool) -> str:
     return lw
 
 
+def truecase_words(words: List[str],
+                   sent_initials=frozenset((0,))) -> List[str]:
+    """Sentence-level truecasing with the context rules the word kernel
+    can't see (phrase lexicon, surname-next-to-name, institution heads)
+    — TrueCaseAnnotatorITest.java:55-76 behavior."""
+    lws = [w.lower() for w in words]
+    n = len(words)
+    out: List[str] = [None] * n
+    proper = [False] * n     # capitalized on PROPER evidence (not just
+    i = 0                    # sentence-initial position)
+    while i < n:
+        matched = False
+        for k in range(min(_MAX_PHRASE, n - i), 1, -1):
+            tpl = tuple(lws[i:i + k])
+            if tpl in _PROPER_PHRASES:
+                out[i:i + k] = list(_PROPER_PHRASES[tpl])
+                for j in range(i, i + k):
+                    proper[j] = True
+                i += k
+                matched = True
+                break
+        if matched:
+            continue
+        out[i] = truecase_word(lws[i], i in sent_initials)
+        proper[i] = out[i] != lws[i] and i not in sent_initials or \
+            lws[i] in _PROPER or lws[i] in KNOWN_ACRONYMS
+        i += 1
+    # context passes: surname / institution-head after a proper token
+    for i in range(1, n):
+        if out[i] != lws[i]:
+            continue
+        if lws[i] in _SURNAMES and proper[i - 1]:
+            out[i] = lws[i].capitalize()
+            proper[i] = True
+        elif lws[i] in _INSTITUTION_HEADS and proper[i - 1]:
+            out[i] = lws[i].capitalize()
+            proper[i] = True
+    return out
+
+
 def truecase_batch(batch: pa.Table) -> pa.Table:
     """+ tok_truecase: restored casing for caseless text (requires tok_*;
-    applies only the deterministic lexicon rules)."""
+    applies the deterministic lexicon + context rules)."""
     out = []
     words_col = batch.column("tok_word").to_pylist()
     sb_col = batch.column("sent_begin").to_pylist()
     for r in range(batch.num_rows):
         words = words_col[r]
         initials = set(sb_col[r])
-        out.append([truecase_word(w.lower(), i in initials)
-                    for i, w in enumerate(words)])
+        out.append(truecase_words(words, initials))
     return batch.append_column("tok_truecase",
                                pa.array(out, type=pa.list_(pa.string())))
 

@@ -202,3 +202,38 @@ def test_embedded_quotes_multiline():       # :300 testEmbeddedQuotes
     _, q = _run(text, [text], single_quotes=True)
     _assert_embedded("'Enter,'", text, text, q)
     _assert_embedded(second, text, text, q)
+
+
+# --------------------------------------------------- truecase (itest) ----
+
+def test_truecase_itest_sentences():
+    """TrueCaseAnnotatorITest.java:55-76: all three case variants map to
+    the same truecased answer."""
+    from corenlp_ray.stages.misc_annotators import truecase_words
+
+    ans1 = ["Heather", "Brown", "was", "lead", "woman", "at", "Duke",
+            "University", "."]
+    for variant in (
+            ["HEATHER", "BROWN", "WAS", "LEAD", "WOMAN", "AT", "DUKE",
+             "UNIVERSITY", "."],
+            ["heather", "brown", "was", "lead", "woman", "at", "duke",
+             "university", "."]):
+        assert truecase_words([w.lower() for w in variant], {0}) == ans1
+
+    ans4 = ['"', "Good", "Morning", "America", "from", "McVey", "!",
+            '"']
+    for variant in (
+            ['"', "GOOD", "MORNING", "AMERICA", "FROM", "MCVEY", "!",
+             '"'],
+            ['"', "good", "morning", "america", "from", "mcvey", "!",
+             '"']):
+        assert truecase_words([w.lower() for w in variant], {0}) == ans4
+
+
+def test_truecase_leaves_common_words_alone():
+    from corenlp_ray.stages.misc_annotators import truecase_words
+
+    assert truecase_words("the brown dog ran .".split(), {0}) == \
+        ["The", "brown", "dog", "ran", "."]
+    assert truecase_words("nasa met john smith .".split(), {0}) == \
+        ["NASA", "met", "John", "Smith", "."]
