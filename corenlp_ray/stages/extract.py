@@ -89,6 +89,22 @@ def canonicalize_text(text: str) -> str:
     return "\n\n".join(lines)
 
 
+# token-level CleanXml (the reference's actual annotator shape:
+# PTBTokenizer emits SGML tags as tokens, CleanXmlAnnotator drops them
+# while PRESERVING character offsets into the original string —
+# src/edu/stanford/nlp/pipeline/CleanXmlAnnotator.java:27-41; behavior
+# pinned by test/pipeline/CleanXmlAnnotatorTest.java cases in
+# tests/test_cleanxml_reference.py)
+_SGML_TOKEN_RE = re.compile(r"^</?[A-Za-z][^>]*>$|^<!--.*-->$", re.S)
+
+
+def cleanxml_tokens(toks):
+    """[(word, orig, begin, end)] → same with tag tokens removed; the
+    survivors keep their original char offsets (the invertibility
+    contract CleanXmlAnnotatorTest.testInvertible checks)."""
+    return [t for t in toks if not _SGML_TOKEN_RE.match(t[0])]
+
+
 def extract_text_batch(batch: pa.Table) -> pa.Table:
     """map_batches stage: pages(url, warc_ts, html, ...) → + text_extracted.
 
