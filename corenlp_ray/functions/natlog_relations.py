@@ -123,3 +123,81 @@ def for_dependency_deletion(label: str, is_subject: bool = True,
                             ) -> NatLogRelation:
     return insertion_to_deletion(
         for_dependency_insertion(label, is_subject, dependent))
+
+
+# ------------------------------------------------------------ polarity ----
+# Monotonicity projection (naturalli/Polarity.java:40-183: project() per
+# operator; constructor composes operators outermost-last; Monotonicity
+# / MonotonicityType per naturalli/Monotonicity*.java)
+
+MONOTONE, ANTITONE, NONMONOTONE = "monotone", "antitone", "nonmonotone"
+TYPE_NONE, ADDITIVE, MULTIPLICATIVE, BOTH = \
+    "none", "additive", "multiplicative", "both"
+
+
+def _project(rel: NatLogRelation, mono: str, mtype: str) -> NatLogRelation:
+    """One operator's projection of a lexical relation."""
+    if rel is _EQ:
+        return _EQ
+    if rel is _IND:
+        return _IND
+    if rel is _FE:
+        return _FE if mono == MONOTONE else \
+            _RE if mono == ANTITONE else _IND
+    if rel is _RE:
+        return _RE if mono == MONOTONE else \
+            _FE if mono == ANTITONE else _IND
+    if rel is _NEG:
+        if mtype == TYPE_NONE or mono == NONMONOTONE:
+            return _IND
+        if mtype == BOTH:
+            return _NEG
+        if mtype == ADDITIVE:
+            return _COV if mono == MONOTONE else _ALT
+        return _ALT if mono == MONOTONE else _COV   # multiplicative
+    if rel is _ALT:
+        if mono == NONMONOTONE or mtype in (TYPE_NONE, ADDITIVE):
+            return _IND
+        return _ALT if mono == MONOTONE else _COV
+    # COVER
+    if mono == NONMONOTONE or mtype in (TYPE_NONE, MULTIPLICATIVE):
+        return _IND
+    return _COV if mono == MONOTONE else _ALT
+
+
+class Polarity:
+    """Composition of in-scope operators (innermost first) → a
+    projection function over the seven relations."""
+
+    def __init__(self, operators):
+        ops = list(operators)
+        if not ops:
+            self.projection = {rel: rel for rel in NatLogRelation}
+        else:
+            self.projection = {}
+            for rel in NatLogRelation:
+                cur = rel
+                for mono, mtype in reversed(ops):
+                    cur = _project(cur, mono, mtype)
+                self.projection[rel] = cur
+
+    def project_lexical_relation(self, rel: NatLogRelation
+                                 ) -> NatLogRelation:
+        return self.projection[rel]
+
+    @property
+    def is_upwards(self) -> bool:
+        return (self.projection[_FE] is _FE
+                and self.projection[_RE] is _RE)
+
+    @property
+    def is_downwards(self) -> bool:
+        return (self.projection[_FE] is _RE
+                and self.projection[_RE] is _FE)
+
+    def __str__(self) -> str:
+        return "up" if self.is_upwards else \
+            "down" if self.is_downwards else "flat"
+
+
+POLARITY_DEFAULT = Polarity([(MONOTONE, BOTH)])

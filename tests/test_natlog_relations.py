@@ -74,3 +74,102 @@ def test_prefix_fallbacks():
 def test_neither_preconj():
     assert for_dependency_insertion(
         "cc:preconj", False, "neither") is R.INDEPENDENCE
+
+
+# ----------------------------------------------------------- Polarity ----
+# (test/src/edu/stanford/nlp/naturalli/PolarityTest.java — operator
+# fixtures and every projection assertion mirrored)
+
+from corenlp_ray.functions.natlog_relations import (   # noqa: E402
+    ADDITIVE, ANTITONE, BOTH, MONOTONE, MULTIPLICATIVE, Polarity)
+
+_none = Polarity([])
+_additive = Polarity([(MONOTONE, ADDITIVE)])
+_multiplicative = Polarity([(MONOTONE, MULTIPLICATIVE)])
+_antimultiplicative = Polarity([(MONOTONE, ADDITIVE),
+                                (ANTITONE, MULTIPLICATIVE)])
+_add_antimult = Polarity([(MONOTONE, ADDITIVE),
+                          (ANTITONE, MULTIPLICATIVE)])
+_mult_antimult = Polarity([(MONOTONE, MULTIPLICATIVE),
+                           (ANTITONE, MULTIPLICATIVE)])
+
+
+def test_none_projects_identity():          # PolarityTest:63
+    for rel in R:
+        assert _none.project_lexical_relation(rel) is rel
+
+
+def test_additive_antimultiplicative_project():     # :75
+    p = _add_antimult
+    assert p.project_lexical_relation(R.EQUIVALENT) is R.EQUIVALENT
+    assert p.project_lexical_relation(R.FORWARD_ENTAILMENT) is \
+        R.REVERSE_ENTAILMENT
+    assert p.project_lexical_relation(R.REVERSE_ENTAILMENT) is \
+        R.FORWARD_ENTAILMENT
+    assert p.project_lexical_relation(R.NEGATION) is R.COVER
+    assert p.project_lexical_relation(R.ALTERNATION) is R.COVER
+    assert p.project_lexical_relation(R.COVER) is R.INDEPENDENCE
+    assert p.project_lexical_relation(R.INDEPENDENCE) is R.INDEPENDENCE
+
+
+def test_multiplicative_antimultiplicative_project():   # :85
+    p = _mult_antimult
+    assert p.project_lexical_relation(R.EQUIVALENT) is R.EQUIVALENT
+    assert p.project_lexical_relation(R.FORWARD_ENTAILMENT) is \
+        R.REVERSE_ENTAILMENT
+    assert p.project_lexical_relation(R.REVERSE_ENTAILMENT) is \
+        R.FORWARD_ENTAILMENT
+    assert p.project_lexical_relation(R.NEGATION) is R.INDEPENDENCE
+    assert p.project_lexical_relation(R.ALTERNATION) is R.INDEPENDENCE
+    assert p.project_lexical_relation(R.COVER) is R.INDEPENDENCE
+
+
+def test_additive_project():                # :96
+    p = _additive
+    assert p.project_lexical_relation(R.FORWARD_ENTAILMENT) is \
+        R.FORWARD_ENTAILMENT
+    assert p.project_lexical_relation(R.REVERSE_ENTAILMENT) is \
+        R.REVERSE_ENTAILMENT
+    assert p.project_lexical_relation(R.NEGATION) is R.COVER
+    assert p.project_lexical_relation(R.ALTERNATION) is R.INDEPENDENCE
+    assert p.project_lexical_relation(R.COVER) is R.COVER
+
+
+def test_antimultiplicative_project():      # :108
+    p = _antimultiplicative
+    assert p.project_lexical_relation(R.FORWARD_ENTAILMENT) is \
+        R.REVERSE_ENTAILMENT
+    assert p.project_lexical_relation(R.REVERSE_ENTAILMENT) is \
+        R.FORWARD_ENTAILMENT
+    assert p.project_lexical_relation(R.NEGATION) is R.COVER
+    assert p.project_lexical_relation(R.ALTERNATION) is R.COVER
+    assert p.project_lexical_relation(R.COVER) is R.INDEPENDENCE
+
+
+def test_multiplicative_truth():            # :119
+    p = _multiplicative
+    maintains = {rel: p.project_lexical_relation(rel).maintains_truth
+                 for rel in R}
+    negates = {rel: p.project_lexical_relation(rel).negates_truth
+               for rel in R}
+    assert maintains[R.EQUIVALENT] and maintains[R.FORWARD_ENTAILMENT]
+    assert not any(maintains[r] for r in (
+        R.REVERSE_ENTAILMENT, R.NEGATION, R.ALTERNATION, R.COVER,
+        R.INDEPENDENCE))
+    assert negates[R.NEGATION] and negates[R.ALTERNATION]
+    assert not any(negates[r] for r in (
+        R.EQUIVALENT, R.FORWARD_ENTAILMENT, R.REVERSE_ENTAILMENT,
+        R.COVER, R.INDEPENDENCE))
+
+
+def test_upward_downward():                 # :138
+    assert _multiplicative.is_upwards
+    assert _additive.is_upwards
+    assert not _antimultiplicative.is_upwards
+    assert not _mult_antimult.is_upwards
+    assert not _add_antimult.is_upwards
+    assert not _multiplicative.is_downwards
+    assert not _additive.is_downwards
+    assert _antimultiplicative.is_downwards
+    assert _mult_antimult.is_downwards
+    assert _add_antimult.is_downwards
