@@ -127,3 +127,68 @@ def acronym_of(long_tokens) -> str:
     if len(toks) < 2:
         return ""
     return "".join(t[0].upper() for t in toks)
+
+
+# ------------------------------------------------------ chris2 shapes ----
+
+_GREEK = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta",
+          "iota", "kappa", "lambda", "omicron", "rho", "sigma", "tau",
+          "upsilon", "omega")
+_BOUNDARY = 2
+
+
+def word_shape_chris2(s: str, known_lc=None) -> str:
+    """The reference's WORDSHAPECHRIS2 word shape
+    (process/WordShapeClassifier.java:361-506): digits→d, lower→x,
+    upper/title→X, spelled Greek letters→g (consumed as a unit), other
+    chars kept; words longer than 2×BOUNDARY keep their first/last two
+    classes verbatim with the middle collapsed to the sorted set of
+    classes; all-letter words in ``known_lc`` get a 'k' suffix. Pinned
+    by the reference's own WordShapeClassifierTest arrays
+    (tests/test_wordshape_reference.py)."""
+    n = len(s)
+    begin, end, seen = [], [], set()
+    short = n <= _BOUNDARY * 2
+    out_short = []
+    non_letters = False
+    i = 0
+    while i < n:
+        c = s[i]
+        if c.isdigit():
+            m = "d"
+        elif c.islower():
+            m = "x"
+        elif c.isupper() or c.istitle():
+            m = "X"
+        else:
+            m = c
+        incr = 0
+        for gr in _GREEK:
+            if s.startswith(gr, i):
+                m = "g"
+                incr = len(gr) - 1
+                break
+        if m not in ("x", "X"):
+            non_letters = True
+        if short:
+            out_short.append(m)
+        elif i < _BOUNDARY:
+            begin.append(m)
+        elif i < n - _BOUNDARY:
+            seen.add(m)
+        else:
+            end.append(m)
+        i += incr + 1
+    if short:
+        shape = "".join(out_short)
+    else:
+        shape = "".join(begin) + "".join(sorted(seen)) + "".join(end)
+    if known_lc is not None and not non_letters \
+            and s.lower() in known_lc:
+        shape += "k"
+    return shape
+
+
+def word_shape_digits(s: str) -> str:
+    """WORDSHAPEDIGITS: every digit becomes 9, all else verbatim."""
+    return "".join("9" if c.isdigit() else c for c in s)
