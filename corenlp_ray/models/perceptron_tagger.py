@@ -25,12 +25,11 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 
 
 def _shape(word: str) -> str:
-    out = []
-    for ch in word[:4]:
-        out.append("X" if ch.isupper() else
-                   "x" if ch.islower() else
-                   "d" if ch.isdigit() else ch)
-    return "".join(out)
+    # the reference tagger's actual shape extractor
+    # (ExtractorWordShapeClassifier → WordShapeClassifier chris2)
+    from corenlp_ray.functions.shapes import word_shape_chris2
+
+    return word_shape_chris2(word)
 
 
 def features(words: Sequence[str], i: int, prev: str, prev2: str) \
