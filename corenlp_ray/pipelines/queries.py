@@ -714,6 +714,44 @@ def q_wikidict_linking(sf_dir: str):
     return wikidict_link_join(toks, dict_ds)
 
 
+def q_parse_trees(sf_dir: str):
+    """Constituency surface (dep→constituency projection, stages/
+    parse_tree.py): one PTB-style bracketing per sentence over the
+    annotated docs (rows-only; tree well-formedness is golden-tested)."""
+    from corenlp_ray.pipelines.queries import q_tokenize  # reuse chain
+
+    from corenlp_ray.stages.depparse import depparse_batch
+    from corenlp_ray.stages.parse_tree import parse_tree_batch
+    from corenlp_ray.stages.pos import pos_batch
+
+    base = _annotated_tokens(sf_dir) if "_annotated_tokens" in globals()         else None
+    import ray.data as rd
+
+    from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
+
+    ds = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(tokenize_ssplit_batch, batch_format="pyarrow")
+          .map_batches(pos_batch, batch_format="pyarrow")
+          .map_batches(depparse_batch, batch_format="pyarrow")
+          .map_batches(parse_tree_batch, batch_format="pyarrow"))
+
+    def flatten(b):
+        import pyarrow as _pa
+
+        rows = {"doc_id": [], "sent_idx": [], "tree": []}
+        for doc_id, trees in zip(b.column("doc_id").to_pylist(),
+                                 b.column("parse_tree").to_pylist()):
+            for k, t in enumerate(trees):
+                rows["doc_id"].append(doc_id)
+                rows["sent_idx"].append(k)
+                rows["tree"].append(t)
+        return _pa.Table.from_pydict(rows, schema=_pa.schema(
+            [("doc_id", _pa.int64()), ("sent_idx", _pa.int32()),
+             ("tree", _pa.string())]))
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str):
     from corenlp_ray.ops.textstats import langid_batch
 
@@ -912,6 +950,7 @@ QUERIES = {
     "sutime_relative": q_sutime_relative,
     "wikidict_linking": q_wikidict_linking,
     "multilingual_tokens": q_multilingual_tokens,
+    "parse_trees": q_parse_trees,
     "langid": q_langid,
     "doc_valence": q_doc_valence,
     "sentiment": q_sentiment,
