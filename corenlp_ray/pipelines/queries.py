@@ -724,9 +724,6 @@ def q_parse_trees(sf_dir: str):
     from corenlp_ray.stages.parse_tree import parse_tree_batch
     from corenlp_ray.stages.pos import pos_batch
 
-    base = _annotated_tokens(sf_dir) if "_annotated_tokens" in globals()         else None
-    import ray.data as rd
-
     from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
 
     ds = (_docs(sf_dir, ["doc_id", "text"])
