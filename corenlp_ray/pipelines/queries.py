@@ -718,7 +718,6 @@ def q_parse_trees(sf_dir: str):
     """Constituency surface (dep→constituency projection, stages/
     parse_tree.py): one PTB-style bracketing per sentence over the
     annotated docs (rows-only; tree well-formedness is golden-tested)."""
-    from corenlp_ray.pipelines.queries import q_tokenize  # reuse chain
 
     from corenlp_ray.stages.depparse import depparse_batch
     from corenlp_ray.stages.parse_tree import parse_tree_batch
