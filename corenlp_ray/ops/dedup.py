@@ -549,3 +549,44 @@ def embedding_neardup_pairs(embeds_ds, threshold: float = 0.95,
 
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(
         Max("cosine", alias_name="cosine"))
+
+def dedup_keep_first(docs_ds):
+    """Materialize the DEDUPLICATED corpus: keep exactly the canonical
+    (min doc_id) row of every exact-duplicate group — the
+    training-data-pipeline shape of exact dedup (corpus out, not report
+    out). One groupby to find canonicals + one bucketed join back."""
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    canon = _as_arrow(exact_dedup(docs_ds)).map_batches(
+        lambda b: b.select(["canonical_doc_id"]).rename_columns(
+            ["doc_id"]),
+        batch_format="pyarrow")
+    return bucketed_hash_join(docs_ds, canon, on="doc_id", how="inner")
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup clustering: verified Hamming-≤k pairs →
+    distributed connected components → (doc_id, cluster_id) over the
+    whole corpus (same CC machinery as minhash_dedup)."""
+    edges = _as_arrow(simhash_pairs(docs_ds, max_hamming)).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")         .repartition(16).materialize()
+    ids = docs_ds.select_columns(["doc_id"])
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"doc_id": b.column("doc_id"),
+                 "cluster_id": b.column("doc_id")}),
+            batch_format="pyarrow")
+    labels = connected_components(edges)
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    joined = bucketed_hash_join(
+        ids, _renamed(labels, {"node": "doc_id", "label": "cluster_id"}),
+        on="doc_id", how="left")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cluster_id"] = batch["cluster_id"].fillna(
+            batch["doc_id"]).astype("int64")
+        return batch
+
+    return joined.map_batches(finish, batch_format="pandas")

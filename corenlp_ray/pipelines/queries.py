@@ -150,6 +150,12 @@ ORACLE_SQL = {
     "dedup_exact": (
         "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, "
         "count(*) AS dup_count FROM documents GROUP BY md5(text)"),
+    "dedup_corpus": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20) "
+        "SELECT d.doc_id, d.text FROM aug d JOIN ("
+        "SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)"
+        ") c USING (doc_id)"),
     "top_tokens": (
         "SELECT t AS token, count(*) AS cnt FROM (SELECT unnest("
         "regexp_split_to_array(lower(text), '[^a-z]+')) AS t "
@@ -748,6 +754,39 @@ def q_parse_trees(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_dedup_corpus(sf_dir: str):
+    """The deduplicated corpus itself (training-data shape of exact
+    dedup): only the canonical row of each duplicate group survives.
+    The sf tables have no exact duplicates, so docs with doc_id < 20
+    are re-emitted under doc_id + 1_000_000 (deterministic, mirrored in
+    the oracle) — the planted copies must all be dropped in favor of
+    their canonical originals."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops.dedup import dedup_keep_first
+
+    def plant(batch: pa.Table) -> pa.Table:
+        dup = batch.filter(pc.less(batch.column("doc_id"), 20))
+        if dup.num_rows:
+            dup = dup.set_column(
+                dup.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(dup.column("doc_id"), 1_000_000))
+            return pa.concat_tables([batch, dup])
+        return batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    return dedup_keep_first(docs)
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup clusters via the distributed connected
+    components (rows-only; pair discovery is LSH-dependent)."""
+    from corenlp_ray.ops.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_langid(sf_dir: str):
     from corenlp_ray.ops.textstats import langid_batch
 
@@ -917,6 +956,8 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "stopword_ratio": q_stopword_ratio,
     "dedup_exact": q_dedup_exact,
+    "dedup_corpus": q_dedup_corpus,
+    "simhash_dedup": q_simhash_dedup,
     "top_tokens": q_top_tokens,
     "lang_counts": q_lang_counts,
     "event_windows": q_event_windows,

@@ -223,3 +223,35 @@ def test_bpe_token_count():
     out = bpe_token_count_batch(tbl).column("n_bpe_tokens").to_pylist()
     # Hello| world|'s| 123|! → 5 pieces
     assert out == [5, 0, 0]
+
+
+def test_dedup_keep_first_drops_planted_dups(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.dedup import dedup_keep_first
+
+    rows = [{"doc_id": 1, "text": "alpha"},
+            {"doc_id": 2, "text": "beta"},
+            {"doc_id": 3, "text": "alpha"},      # dup of 1
+            {"doc_id": 4, "text": "gamma"},
+            {"doc_id": 5, "text": "beta"}]       # dup of 2
+    out = {r["doc_id"] for r in
+           dedup_keep_first(rd.from_items(rows)).take_all()}
+    assert out == {1, 2, 4}
+
+
+def test_simhash_dedup_clusters_neardups(ray_session):
+    import ray.data as rd
+
+    base = ("the quick brown fox jumped over the lazy dog and ran far "
+            "into the woods before nightfall came down on the valley")
+    rows = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base + " extra"},   # Hamming 3 of base
+            {"doc_id": 2, "text": "completely different text about "
+                                  "ray data pipelines and shuffles"}]
+    from corenlp_ray.ops.dedup import simhash_dedup
+
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in simhash_dedup(rd.from_items(rows)).take_all()}
+    assert cl[0] == cl[1]
+    assert cl[2] != cl[0]
