@@ -97,6 +97,9 @@ def write_partitioned_resumable(
     skipped = num_buckets - len(missing)
     if not missing:
         return {"written": 0, "skipped": skipped}
+    import time as _time
+
+    t0 = _time.time()
     ds = ds_factory(missing)
     tmp_root = os.path.join(out_dir, "_tmp")
     shutil.rmtree(tmp_root, ignore_errors=True)
@@ -104,6 +107,7 @@ def write_partitioned_resumable(
     # one streaming pass; rows accumulate per bucket file
     writers = {}
     counts = {b: 0 for b in missing}
+    nbytes = {b: 0 for b in missing}
     for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         if batch.num_rows == 0:
             continue
@@ -122,6 +126,7 @@ def write_partitioned_resumable(
                     part.schema)
             writers[b].write_table(part)
             counts[b] += part.num_rows
+            nbytes[b] += part.nbytes
     for w in writers.values():
         w.close()
     # atomic publish: rename each bucket dir into place, then mark
@@ -132,9 +137,28 @@ def write_partitioned_resumable(
             os.makedirs(src, exist_ok=True)  # empty bucket is still complete
         shutil.rmtree(dst, ignore_errors=True)
         os.replace(src, dst)
-        man.mark(b, fingerprint, counts[b])
+        man.mark(b, fingerprint, counts[b],
+                 extra={"bytes": nbytes[b]})
     shutil.rmtree(tmp_root, ignore_errors=True)
-    return {"written": len(missing), "skipped": skipped}
+    # job-level metrics sidecar (north_rule: per-partition lineage +
+    # METRICS): elapsed, rows/bytes per partition, throughput
+    elapsed = round(_time.time() - t0, 3)
+    total_rows = sum(counts.values())
+    metrics = {
+        "elapsed_sec": elapsed,
+        "buckets_written": len(missing),
+        "buckets_skipped": skipped,
+        "rows": total_rows,
+        "bytes": sum(nbytes.values()),
+        "rows_per_sec": round(total_rows / elapsed, 2) if elapsed else 0,
+        "per_bucket": {str(b): {"rows": counts[b], "bytes": nbytes[b]}
+                       for b in missing},
+    }
+    with open(os.path.join(out_dir, "_manifest", "_job_metrics.json"),
+              "w") as fh:
+        json.dump(metrics, fh, indent=1)
+    return {"written": len(missing), "skipped": skipped,
+            "metrics": metrics}
 
 
 def kg_job(sf_dir: str, out_dir: str, num_buckets: int = 16,

@@ -42,7 +42,8 @@ def test_resumable_write_skips_complete(ray_session, tmp_path):
     out = str(tmp_path / "kg")
     fp = "fp1"
     r1 = write_partitioned_resumable(factory, out, 4, fp)
-    assert r1 == {"written": 4, "skipped": 0}
+    assert r1["written"] == 4 and r1["skipped"] == 0
+    assert r1["metrics"]["rows"] == 12    # per-partition metrics sidecar
     r2 = write_partitioned_resumable(factory, out, 4, fp)
     assert r2 == {"written": 0, "skipped": 4}
     assert calls == [[0, 1, 2, 3]]  # factory not called on full resume
