@@ -54,7 +54,7 @@ def test_resumable_write_skips_complete(ray_session, tmp_path):
     assert calls[-1] == [2]
     # new fingerprint invalidates everything
     r4 = write_partitioned_resumable(factory, out, 4, "fp2")
-    assert r4 == {"written": 4, "skipped": 0}
+    assert r4["written"] == 4 and r4["skipped"] == 0
 
 
 def test_kg_job_end_to_end_resume(ray_session, tmp_path):
