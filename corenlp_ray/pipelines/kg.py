@@ -77,6 +77,36 @@ register(Stage("truecase", ("tok_word",), ("tok_truecase",),
 register(Stage("quote", ("tok_lemma", "men_begin"),
                ("quo_begin", "quo_text", "quo_speaker"), quote_batch))
 
+from corenlp_ray.stages.parse_tree import parse_tree_batch  # noqa: E402
+
+register(Stage("parse", ("tok_pos", "dep_head"), ("parse_tree",),
+               parse_tree_batch))
+
+
+def register_weighted_models(pos_model_path: str | None = None,
+                             dep_model_path: str | None = None) -> None:
+    """Swap the rule cascades for TRAINED weights (the pinned-model
+    actor stages in models/): re-registers 'pos' and/or 'depparse' so
+    every pipeline built afterwards (incl. the flagship KG chain) runs
+    the weighted path. The reference's equivalent is pointing
+    pos.model / depparse.model at different .ser.gz files."""
+    if pos_model_path is not None:
+        from corenlp_ray.stages.pos import WeightedPosTagger
+
+        register(Stage("pos", ("tok_word",), ("tok_pos",),
+                       WeightedPosTagger,
+                       lambda: {**(_pool() if callable(_pool) else _pool),
+                                "fn_constructor_kwargs":
+                                    {"model_path": pos_model_path}}))
+    if dep_model_path is not None:
+        from corenlp_ray.stages.depparse import WeightedDepParser
+
+        register(Stage("depparse", ("tok_pos",),
+                       ("dep_head", "dep_label"), WeightedDepParser,
+                       lambda: {**(_pool() if callable(_pool) else _pool),
+                                "fn_constructor_kwargs":
+                                    {"model_path": dep_model_path}}))
+
 ANNOTATE_STAGES = ("cleanxml", "tokenize", "pos", "lemma", "ner",
                    "depparse", "coref")
 

@@ -81,11 +81,12 @@ def apply(ds, names: Sequence[str], distributed: bool = True):
     distributed=False forces plain task stages with the stateless variants
     (useful under tight CPU budgets / unit tests)."""
     for st in build(names):
-        kwargs = (st.compute() if callable(st.compute) else dict(st.compute)) \
-            if distributed else {}
+        all_kwargs = st.compute() if callable(st.compute) \
+            else dict(st.compute)
+        kwargs = all_kwargs if distributed else {}
         fn = st.fn
         if not distributed and isinstance(fn, type):
-            inst = fn()
+            inst = fn(**all_kwargs.get("fn_constructor_kwargs", {}))
             fn = lambda b, _i=inst: _i(b)  # noqa: E731
         ds = ds.map_batches(fn, batch_format="pyarrow", **kwargs)
     return ds

@@ -90,3 +90,28 @@ def test_feature_template_shape():
     f = features(["The", "dog", "ran"], 1, "DT", "<s>")
     assert "w=dog" in f and "t-1=DT" in f and "w-1=the" in f
     assert any(x.startswith("s3=") for x in f)
+
+
+def test_registry_weighted_swap(tmp_path, distilled, ray_session):
+    """register_weighted_models re-points the 'pos' stage at trained
+    weights; the demand-driven pipeline then runs the weighted actor."""
+    import ray.data as rd
+
+    from corenlp_ray.pipelines import kg as _kg
+    from corenlp_ray.pipelines.registry import apply, get
+
+    p = str(tmp_path / "pos.json")
+    distilled.save(p)
+    orig = get("pos")
+    try:
+        _kg.register_weighted_models(pos_model_path=p)
+        assert get("pos").fn.__name__ == "WeightedPosTagger"
+        words = "The quick brown fox jumped .".split()
+        ds = rd.from_items([{
+            "tok_word": words, "sent_begin": [0],
+            "sent_end": [len(words)]}])
+        out = apply(ds, ["pos"], distributed=False).take_all()
+        assert len(out[0]["tok_pos"]) == len(words)
+    finally:
+        from corenlp_ray.pipelines.registry import register
+        register(orig)
