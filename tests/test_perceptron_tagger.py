@@ -105,12 +105,16 @@ def test_registry_weighted_swap(tmp_path, distilled, ray_session):
     orig = get("pos")
     try:
         _kg.register_weighted_models(pos_model_path=p)
-        assert get("pos").fn.__name__ == "WeightedPosTagger"
+        st = get("pos")
+        assert st.fn.__name__ == "WeightedPosTagger"
+        kwargs = st.compute() if callable(st.compute) else dict(st.compute)
+        inst = st.fn(**kwargs["fn_constructor_kwargs"])
         words = "The quick brown fox jumped .".split()
         ds = rd.from_items([{
             "tok_word": words, "sent_begin": [0],
             "sent_end": [len(words)]}])
-        out = apply(ds, ["pos"], distributed=False).take_all()
+        out = ds.map_batches(lambda b: inst(b),
+                             batch_format="pyarrow").take_all()
         assert len(out[0]["tok_pos"]) == len(words)
     finally:
         from corenlp_ray.pipelines.registry import register
