@@ -82,6 +82,11 @@ from corenlp_ray.stages.parse_tree import parse_tree_batch  # noqa: E402
 register(Stage("parse", ("tok_pos", "dep_head"), ("parse_tree",),
                parse_tree_batch))
 
+from corenlp_ray.stages.sentiment import sentiment_tree_batch  # noqa: E402
+
+register(Stage("sentiment_tree", ("parse_tree",),
+               ("sent_sentiment_tree",), sentiment_tree_batch))
+
 
 def register_weighted_models(pos_model_path: str | None = None,
                              dep_model_path: str | None = None) -> None:

@@ -76,3 +76,91 @@ def sentiment_batch(batch: pa.Table) -> pa.Table:
                     for b, e in zip(sbs, ses)])
     return batch.append_column("sent_sentiment",
                                pa.array(out, type=pa.list_(pa.string())))
+
+
+# ----------------------------------------------- tree composition ----
+
+def sentiment_tree(tree: str) -> str:
+    """Compositional sentiment over a constituency bracketing (the
+    RNTN-shaped slot, reference sentiment/SentimentCoreAnnotations +
+    RNNCoreAnnotations: per-node scores composed bottom-up). Without the
+    trained tensor, composition is deterministic: leaf valence from the
+    lexicon; at each phrase node child scores sum, a negator child
+    flips the sibling sum's sign, an intensifier child scales it —
+    scope follows the TREE (the advantage over the flat window kernel:
+    'not (good at all)' flips everything under the phrase, however far
+    the window is).
+
+    Input: a bracketing from stages/parse_tree.py. Output: 5-class
+    label (same bands as sentiment_sentence)."""
+    pos = 0
+
+    def parse_node():
+        nonlocal pos
+        assert tree[pos] == "("
+        pos += 1
+        # label
+        while pos < len(tree) and tree[pos] not in " ()":
+            pos += 1
+        children = []
+        leaf_word = None
+        while pos < len(tree):
+            if tree[pos] == " ":
+                pos += 1
+                continue
+            if tree[pos] == "(":
+                children.append(parse_node())
+            elif tree[pos] == ")":
+                pos += 1
+                break
+            else:
+                start = pos
+                while pos < len(tree) and tree[pos] not in " ()":
+                    pos += 1
+                leaf_word = tree[start:pos]
+        if leaf_word is not None and not children:
+            lw = leaf_word.lower()
+            if lw in NEGATORS:
+                return ("mod", -1.0, 1.0)
+            if lw in INTENSIFIERS:
+                return ("mod", 1.0, INTENSIFIERS[lw])
+            return ("val", float(POSITIVE.get(lw, 0)
+                                 + NEGATIVE.get(lw, 0)), 0.0)
+        total = 0.0
+        flip = 1.0
+        scale = 1.0
+        for child in children:
+            if child[0] == "mod":
+                flip *= child[1]
+                scale *= child[2]
+            else:
+                total += child[1]
+        if total == 0.0 and (flip != 1.0 or scale != 1.0):
+            # modifier with nothing local to modify — applies at the
+            # parent ("was not" VP next to the ADJP it negates)
+            return ("mod", flip, scale)
+        return ("val", total * flip * scale, 0.0)
+
+    try:
+        node = parse_node()
+    except (AssertionError, IndexError):
+        return LABELS[2]
+    score = node[1] if node[0] == "val" else 0.0
+    if score <= -2:
+        return LABELS[0]
+    if score < 0:
+        return LABELS[1]
+    if score == 0:
+        return LABELS[2]
+    if score < 2:
+        return LABELS[3]
+    return LABELS[4]
+
+
+def sentiment_tree_batch(batch: pa.Table) -> pa.Table:
+    """+ sent_sentiment_tree (requires parse_tree)."""
+    out = []
+    for trees in batch.column("parse_tree").to_pylist():
+        out.append([sentiment_tree(t) for t in trees])
+    return batch.append_column(
+        "sent_sentiment_tree", pa.array(out, type=pa.list_(pa.string())))

@@ -49,3 +49,44 @@ def test_batch_stages():
     assert shapes[0] == "XXX"
     assert sents[0] in ("Positive", "Very positive")
     assert sents[1] in ("Negative", "Very negative")
+
+
+# ---------------------------------------------- tree-composed sentiment ----
+
+def _tree_of(s):
+    from corenlp_ray.stages.depparse import parse_sentence
+    from corenlp_ray.stages.parse_tree import dep_to_constituency
+    from corenlp_ray.stages.pos import tag_sentence
+
+    w = s.split()
+    t = tag_sentence(w)
+    h, _ = parse_sentence(w, t)
+    return dep_to_constituency(w, t, h)
+
+
+def test_tree_sentiment_basic():
+    from corenlp_ray.stages.sentiment import sentiment_tree
+
+    assert sentiment_tree(_tree_of("The movie was good .")) == "Positive"
+    assert sentiment_tree(_tree_of("The movie was terrible .")) == \
+        "Very negative"
+    assert sentiment_tree(_tree_of("The report was neutral stuff .")) \
+        == "Neutral"
+
+
+def test_tree_sentiment_negation_scopes_over_phrase():
+    from corenlp_ray.stages.sentiment import sentiment_tree
+
+    assert sentiment_tree(_tree_of("The movie was not good .")) == \
+        "Negative"
+    assert sentiment_tree(_tree_of("The movie was very good .")) == \
+        "Very positive"
+    assert sentiment_tree(_tree_of("The movie was not very good .")) \
+        == "Very negative"
+
+
+def test_tree_sentiment_malformed_is_neutral():
+    from corenlp_ray.stages.sentiment import sentiment_tree
+
+    assert sentiment_tree("((broken") == "Neutral"
+    assert sentiment_tree("") == "Neutral"
