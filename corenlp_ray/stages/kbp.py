@@ -56,13 +56,40 @@ class DepRule:
     """One data-driven extraction rule: a DepPattern + relation mapping
     (the semgrex-rule-bank entry shape)."""
 
-    __slots__ = ("pattern", "relation", "sv", "ov", "conf", "sym")
+    __slots__ = ("pattern", "relation", "sv", "ov", "conf", "sym",
+                 "gates")
 
     def __init__(self, pattern_src: str, relation: str, sv: str, ov: str,
                  conf: float, sym: bool):
+        import re as _re
+
         from corenlp_ray.functions.tokenpattern import DepPattern
 
         self.pattern = DepPattern(pattern_src)
+        # cheap per-sentence CONJUNCTIVE gate: every attribute constraint
+        # anywhere in the pattern tree must be satisfiable by some token
+        # in the sentence before the full matcher runs (26 ungated rules
+        # x 40 tokens of regex fullmatch per sentence doubled KG wall
+        # time at sf0.1; a kinship rule now only fires in sentences that
+        # actually contain a kinship lemma)
+        self.gates = []
+
+        def _walk(node):
+            cons = node.cons
+            if cons.attr is not None:
+                if cons.literal is not None:
+                    self.gates.append((cons.attr, cons.literal, None))
+                elif cons.rx is not None:
+                    raw = cons.rx.pattern
+                    if raw.endswith("\\Z"):
+                        raw = raw[:-2]
+                    self.gates.append(
+                        (cons.attr, None,
+                         _re.compile(r"(?m)^(?:" + raw + r")$")))
+            for _edge, child in node.children:
+                _walk(child)
+
+        _walk(self.pattern.root)
         self.relation = relation
         self.sv = sv
         self.ov = ov
@@ -393,7 +420,32 @@ def kbp_sentence(
                             "who", "which", "that"):
                         tok_ner[c] = tok_ner[heads[v]]
         toks = toks_of(words, lemmas, tags, tok_ner)
+        # attribute-value sets for the per-rule gates (one regex search
+        # per rule per sentence instead of per token)
+        _gate_sets = {
+            "lemma": set(lemmas), "ner": set(tok_ner),
+            "word": set(words),
+            "lower": {w.lower() for w in words},
+            "pos": set(tags),
+        }
+        _gate_vals = {k: chr(10).join(v)
+                      for k, v in _gate_sets.items()}
         for rule in dep_rules:
+            ok = True
+            for attr, lit, rx in rule.gates:
+                vs = _gate_sets.get(attr)
+                if vs is None:
+                    continue
+                if lit is not None:
+                    if lit not in vs:
+                        ok = False
+                        break
+                elif rx is not None \
+                        and rx.search(_gate_vals[attr]) is None:
+                    ok = False
+                    break
+            if not ok:
+                continue
             for binding in rule.pattern.match(toks, heads, labels):
                 si = binding.get(rule.sv)
                 oi = binding.get(rule.ov)
