@@ -190,3 +190,23 @@ def stopword_ratio_batch(batch: pa.Table) -> pa.Table:
                    if toks else 0.0)
     return batch.append_column("stop_ratio",
                                pa.array(out, type=pa.float64()))
+
+
+def grouped_top_k(ds, key: str, order_col: str, k: int = 3):
+    """Per-key top-k (largest ``order_col`` per ``key``, ties broken by
+    the smallest doc_id) — the scale shape is a per-batch LOCAL top-k
+    (bounded heap per key) before one groupby, so the shuffle carries at
+    most k rows per (key, batch), never the full table."""
+    import pandas as pd
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values([order_col, "doc_id"],
+                                  ascending=[False, True])
+                .groupby(key, sort=False).head(k))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values([order_col, "doc_id"],
+                                  ascending=[False, True]).head(k))
+
+    partial = ds.map_batches(local_topk, batch_format="pandas")
+    return partial.groupby(key).map_groups(merge, batch_format="pandas")

@@ -70,3 +70,40 @@ def session_windows(events_ds, gap_minutes: int = 30):
     return partitioned_group_apply(
         events_ds.select_columns(["user_id", "ts"]), ("user_id",),
         sessions, inner_is_partition=True)
+
+
+def hopping_window(events_ds, size_minutes: int = 60,
+                   hop_minutes: int = 30):
+    """Hopping (sliding) windows: each event lands in size/hop
+    overlapping windows; per (user_id, window_start) counts and sums.
+    Same two-phase shape as ``tumbling_window`` — the per-batch partial
+    explodes each event into its windows BEFORE the (small) groupby, so
+    the shuffle moves pre-aggregated rows, not raw events."""
+    import numpy as np
+
+    k = size_minutes // hop_minutes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "value"]).to_pandas()
+        base = df["ts"].dt.floor(f"{hop_minutes}min")
+        frames = []
+        for i in range(k):
+            f = pd.DataFrame({
+                "user_id": df["user_id"],
+                "window_start": base - pd.Timedelta(
+                    minutes=hop_minutes * i),
+                "value": df["value"],
+            })
+            frames.append(f)
+        exploded = pd.concat(frames, ignore_index=True)
+        g = (exploded.groupby(["user_id", "window_start"],
+                              as_index=False)
+             .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby(["user_id", "window_start"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_value", alias_name="sum_value")))

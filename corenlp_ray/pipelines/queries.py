@@ -167,6 +167,18 @@ ORACLE_SQL = {
         "SELECT user_id, date_trunc('hour', ts) AS window_start, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2"),
+    "hopping_windows": (
+        "SELECT user_id, time_bucket(INTERVAL 30 MINUTE, ts) "
+        "- i * INTERVAL 30 MINUTE AS window_start, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events, range(2) t(i) GROUP BY 1, 2"),
+    "top_docs_per_lang": (
+        "SELECT doc_id, lang, n_tokens FROM ("
+        "SELECT doc_id, lang, n_tokens, row_number() OVER ("
+        "PARTITION BY lang ORDER BY n_tokens DESC, doc_id ASC) AS rn "
+        "FROM (SELECT doc_id, lang, CASE WHEN trim(text)='' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents)) WHERE rn <= 3"),
     "session_windows": (
         "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
         "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
@@ -787,6 +799,33 @@ def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_hopping_windows(sf_dir: str):
+    """Hopping (sliding) event-time windows: 60-minute windows every 30
+    minutes — each event pre-exploded into its windows per batch before
+    the small two-phase groupby."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.windows import hopping_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = hopping_window(ev, size_minutes=60, hop_minutes=30)
+    return out.map_batches(lambda b: _round_col(b, "sum_value"),
+                           batch_format="pyarrow")
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: the 3 longest documents (by whitespace token
+    count, ties → smaller doc_id) per language — per-batch local top-k
+    so the shuffle carries ≤ k rows per key per batch."""
+    from corenlp_ray.ops.textstats import grouped_top_k, token_count_batch
+
+    ds = (_docs(sf_dir, ["doc_id", "text", "lang"])
+          .map_batches(token_count_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "lang", "n_tokens"]))
+    return grouped_top_k(ds, key="lang", order_col="n_tokens", k=3)
+
+
 def q_langid(sf_dir: str):
     from corenlp_ray.ops.textstats import langid_batch
 
@@ -961,6 +1000,8 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "lang_counts": q_lang_counts,
     "event_windows": q_event_windows,
+    "hopping_windows": q_hopping_windows,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "session_windows": q_session_windows,
     "ann_topk": q_ann_topk,
     "customer_orders": q_customer_orders,

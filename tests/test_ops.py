@@ -255,3 +255,42 @@ def test_simhash_dedup_clusters_neardups(ray_session):
           for r in simhash_dedup(rd.from_items(rows)).take_all()}
     assert cl[0] == cl[1]
     assert cl[2] != cl[0]
+
+
+def test_hopping_window_counts(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    rows = [{"user_id": 1,
+             "ts": dt.datetime(2024, 1, 1, 10, 15), "value": 1.0},
+            {"user_id": 1,
+             "ts": dt.datetime(2024, 1, 1, 10, 45), "value": 2.0}]
+    from corenlp_ray.ops.windows import hopping_window
+
+    out = {(r["user_id"], str(r["window_start"])): r["n_events"]
+           for r in hopping_window(rd.from_items(rows), 60, 30).take_all()}
+    # 10:15 event → windows starting 09:30 and 10:00;
+    # 10:45 event → windows starting 10:00 and 10:30
+    assert out[(1, "2024-01-01 10:00:00")] == 2
+    assert out[(1, "2024-01-01 09:30:00")] == 1
+    assert out[(1, "2024-01-01 10:30:00")] == 1
+
+
+def test_grouped_top_k(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.textstats import grouped_top_k
+
+    rows = [{"doc_id": i, "lang": l, "n_tokens": n}
+            for i, (l, n) in enumerate([
+                ("en", 5), ("en", 9), ("en", 7), ("en", 9), ("de", 3),
+                ("de", 1)])]
+    out = grouped_top_k(rd.from_items(rows), "lang", "n_tokens",
+                        k=2).take_all()
+    en = sorted((r["doc_id"], r["n_tokens"]) for r in out
+                if r["lang"] == "en")
+    de = sorted((r["doc_id"], r["n_tokens"]) for r in out
+                if r["lang"] == "de")
+    assert en == [(1, 9), (3, 9)]     # ties broken by smaller doc_id
+    assert de == [(4, 3), (5, 1)]
