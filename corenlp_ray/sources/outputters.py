@@ -109,3 +109,53 @@ def doc_to_text(row: Dict) -> str:
                 f"{row['tok_word'][k]}/{row['tok_pos'][k]}"
                 for k in range(b, e)))
     return "\n".join(out) + "\n"
+
+
+def doc_to_conll(row: Dict) -> str:
+    """CoNLLOutputter-style columnar rendering (pipeline/
+    CoNLLOutputter.java:98-137 default keys): per token
+    ``idx word lemma pos ner head deprel`` tab-separated, 1-based
+    sentence-local indices, blank line between sentences, '_' for
+    absent values."""
+    def _or(v):
+        return "_" if v in (None, "", -1) else str(v)
+
+    lines = []
+    words = row["tok_word"]
+    lemmas = row.get("tok_lemma") or [None] * len(words)
+    pos = row.get("tok_pos") or [None] * len(words)
+    ner = row.get("tok_ner") or [None] * len(words)
+    heads = row.get("dep_head") or [-1] * len(words)
+    rels = row.get("dep_label") or [None] * len(words)
+    for b, e in zip(row["sent_begin"], row["sent_end"]):
+        for k in range(b, e):
+            h = heads[k]
+            head_local = (h - b + 1) if (h is not None and b <= h < e) \
+                else 0 if h == -1 else "_"
+            lines.append("\t".join([
+                str(k - b + 1), _or(words[k]), _or(lemmas[k]),
+                _or(pos[k]), _or(ner[k]), str(head_local),
+                _or(rels[k])]))
+        lines.append("")
+    return "\n".join(lines) + "\n"
+
+
+def write_conll(docs_ds, path: str):
+    """Distributed CoNLL sink: one .conll file per block under
+    ``path`` (same sharding pattern as write_json)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        rows = batch.to_pylist()
+        name = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.conll")
+        with open(name, "w") as f:
+            for r in rows:
+                f.write(doc_to_conll(r))
+        return pa.Table.from_pydict({"file": [name],
+                                     "docs": [len(rows)]})
+
+    return docs_ds.map_batches(write_block, batch_format="pyarrow")

@@ -98,3 +98,42 @@ def test_write_sinks(ray_session, tmp_path):
     assert files and all(f.endswith(".jsonl") for f in files)
     cout = write_conllu(ds, str(tmp_path / "conllu")).take_all()
     assert sum(r["docs"] for r in cout) == 4
+
+
+def test_doc_to_conll_columns():
+    from corenlp_ray.sources.outputters import doc_to_conll
+
+    row = {"tok_word": ["The", "dog", "ran", "."],
+           "tok_lemma": ["the", "dog", "run", "."],
+           "tok_pos": ["DT", "NN", "VBD", "."],
+           "tok_ner": ["O", "O", "O", "O"],
+           "dep_head": [1, 2, -1, 2],
+           "dep_label": ["det", "nsubj", "root", "punct"],
+           "sent_begin": [0], "sent_end": [4]}
+    out = doc_to_conll(row)
+    lines = [l for l in out.splitlines() if l]
+    assert lines[0].split("\t") == ["1", "The", "the", "DT", "O", "2",
+                                    "det"]
+    assert lines[2].split("\t") == ["3", "ran", "run", "VBD", "O", "0",
+                                    "root"]
+    # blank line terminates the sentence
+    assert out.endswith("\n\n") or out.endswith("\n")
+
+
+def test_write_conll_roundtrip(tmp_path, ray_session):
+    import glob
+
+    import ray.data as rd
+
+    from corenlp_ray.sources.outputters import write_conll
+
+    row = {"tok_word": ["Hi", "."], "tok_lemma": ["hi", "."],
+           "tok_pos": ["UH", "."], "tok_ner": ["O", "O"],
+           "dep_head": [-1, 0], "dep_label": ["root", "punct"],
+           "sent_begin": [0], "sent_end": [2]}
+    out = str(tmp_path / "conll")
+    write_conll(rd.from_items([row]), out).take_all()
+    files = glob.glob(out + "/*.conll")
+    assert files
+    content = open(files[0]).read()
+    assert content.splitlines()[0].startswith("1\tHi\thi\tUH")
