@@ -284,7 +284,10 @@ def resolve_relative(phrase: str, docdate: dt.date | str) -> Optional[str]:
     if m:
         wd = WEEKDAYS[m.group(2)]
         if m.group(1) == "this":
-            return _closest_weekday(docdate, wd).isoformat()
+            # same ISO week's occurrence (SUTimeTest.testThis: anchor
+            # Sunday 2016-06-19, THIS Monday → 2016-06-13)
+            monday = docdate - dt.timedelta(days=docdate.weekday())
+            return (monday + dt.timedelta(days=wd)).isoformat()
         if m.group(1) == "next":
             off = (wd - docdate.weekday()) % 7 or 7
             return (docdate + dt.timedelta(days=off)).isoformat()
@@ -363,3 +366,46 @@ def find_relative_expressions(text: str, docdate) \
         if v is not None:
             out.append((m.start(), m.end(), m.group(0), v))
     return out
+
+
+_SEASON_START = {"SP": 3, "SU": 6, "FA": 9, "WI": 12}
+
+
+def value_range(value: str) -> str:
+    """Resolved TIMEX value → its ISO range "begin/end" (the TIMEX3
+    ``range`` attribute; golden forms from the reference's
+    test/time/SUTimeTest.java testNext/testThis expected strings).
+    Durations (PnU) and times pass through unchanged."""
+    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", value)
+    if m:
+        return f"{value}/{value}"
+    m = re.fullmatch(r"(\d{4})-W(\d{2})", value)
+    if m:
+        monday = dt.date.fromisocalendar(int(m.group(1)),
+                                         int(m.group(2)), 1)
+        return f"{monday.isoformat()}/" \
+               f"{(monday + dt.timedelta(days=6)).isoformat()}"
+    m = re.fullmatch(r"(\d{4})-(\d{2})", value)
+    if m:
+        y, mo = int(m.group(1)), int(m.group(2))
+        nxt = dt.date(y + (mo == 12), mo % 12 + 1, 1)
+        last = nxt - dt.timedelta(days=1)
+        return f"{y:04d}-{mo:02d}-01/{last.isoformat()}"
+    m = re.fullmatch(r"(\d{4})-Q([1-4])", value)
+    if m:
+        y, q = int(m.group(1)), int(m.group(2))
+        mo = 3 * (q - 1) + 1
+        nxt = dt.date(y + (q == 4), (mo + 3 - 1) % 12 + 1, 1)
+        last = nxt - dt.timedelta(days=1)
+        return f"{y:04d}-{mo:02d}-01/{last.isoformat()}"
+    m = re.fullmatch(r"(\d{4})-(SP|SU|FA|WI)", value)
+    if m:
+        y, mo = int(m.group(1)), _SEASON_START[m.group(2)]
+        # the reference renders season ranges as start-date / end-MONTH
+        # ("2016-12-01/2016-03" for winter — SUTimeTest.java:100-103)
+        end_mo = (mo + 3 - 1) % 12 + 1
+        return f"{y:04d}-{mo:02d}-01/{y:04d}-{end_mo:02d}"
+    m = re.fullmatch(r"(\d{4})", value)
+    if m:
+        return f"{value}-01-01/{value}-12-31"
+    return value

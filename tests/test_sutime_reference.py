@@ -131,3 +131,48 @@ def test_duration_does_not_shadow_plain_relatives():
     assert resolve_relative("last week", dt.date(2003, 4, 14)) == \
         "2003-W15"
     assert resolve_relative("3 days ago", D95) == "1995-07-17"
+
+
+# ------------------------------------------ testNext/testThis ranges ----
+# (test/src/edu/stanford/nlp/time/SUTimeTest.java:38-110 — anchor
+# Sunday 2016-06-19; expected range strings mirrored)
+
+D16 = dt.date(2016, 6, 19)
+
+
+def _rng(phrase, d=D16):
+    from corenlp_ray.functions.sutime import value_range
+    return value_range(resolve_relative(phrase, d))
+
+
+def test_sutime_test_next_ranges():
+    assert _rng("next Monday") == "2016-06-20/2016-06-20"
+    assert _rng("next Saturday") == "2016-06-25/2016-06-25"
+    assert _rng("next Sunday") == "2016-06-26/2016-06-26"
+    assert _rng("next week") == "2016-06-20/2016-06-26"
+    assert _rng("next month") == "2016-07-01/2016-07-31"
+    assert _rng("next quarter") == "2016-07-01/2016-09-30"
+    assert _rng("next year") == "2017-01-01/2017-12-31"
+
+
+def test_sutime_test_this_ranges():
+    assert _rng("this Monday") == "2016-06-13/2016-06-13"
+    assert _rng("this Friday") == "2016-06-17/2016-06-17"
+    assert _rng("this week") == "2016-06-13/2016-06-19"
+    assert _rng("this month") == "2016-06-01/2016-06-30"
+    assert _rng("this quarter") == "2016-04-01/2016-06-30"
+    assert _rng("this year") == "2016-01-01/2016-12-31"
+
+
+def test_season_range_format():
+    from corenlp_ray.functions.sutime import value_range
+    # SUTimeTest.java:100-103 rendering
+    assert value_range("2016-WI") == "2016-12-01/2016-03"
+    assert value_range("2016-SP") == "2016-03-01/2016-06"
+    assert value_range("2016-SU") == "2016-06-01/2016-09"
+    assert value_range("2016-FA") == "2016-09-01/2016-12"
+
+
+def test_duration_passes_through():
+    from corenlp_ray.functions.sutime import value_range
+    assert value_range("P3M") == "P3M"
