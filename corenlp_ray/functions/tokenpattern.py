@@ -128,7 +128,7 @@ def toks_of(words, lemmas=None, tags=None, ners=None) -> List[Dict[str, str]]:
 _NODE_RE = re.compile(
     r"\{\s*(?:(\w+)\s*:\s*(?:/((?:[^/\\]|\\.)*)/|([^}\s]+)))?\s*\}"
     r"(?:=(\w+))?")
-_EDGE_RE = re.compile(r">(?:/((?:[^/\\]|\\.)*)/|(\S+))")
+_EDGE_RE = re.compile(r"([<>])(?:/((?:[^/\\]|\\.)*)/|(\S+))")
 
 
 class _EdgeMatcher:
@@ -150,12 +150,13 @@ class _EdgeMatcher:
 class _DepNode:
     """One node in a (possibly nested) dep pattern tree."""
 
-    __slots__ = ("cons", "name", "children")
+    __slots__ = ("cons", "name", "children", "parents")
 
     def __init__(self, cons, name: str):
         self.cons = cons
         self.name = name
         self.children: List[Tuple[_EdgeMatcher, "_DepNode"]] = []
+        self.parents: List[Tuple[_EdgeMatcher, "_DepNode"]] = []
 
 
 class DepPattern:
@@ -188,12 +189,13 @@ class DepPattern:
         s = s[m.end():].lstrip()
         while True:
             s = s.lstrip()
-            if not s.startswith(">"):
+            if not (s.startswith(">") or s.startswith("<")):
                 break
             em = _EDGE_RE.match(s)
             if not em:
                 raise ValueError(f"bad edge at {s!r}")
-            edge = _EdgeMatcher(em.group(1), em.group(2))
+            direction = em.group(1)
+            edge = _EdgeMatcher(em.group(2), em.group(3))
             s = s[em.end():].lstrip()
             if s.startswith("("):
                 child, s = self._parse_node(s[1:])
@@ -203,7 +205,12 @@ class DepPattern:
                 s = s[1:].lstrip()
             else:
                 child, s = self._parse_subleaf(s)
-            node.children.append((edge, child))
+            if direction == ">":
+                node.children.append((edge, child))
+            else:
+                # <edge: the OTHER node governs this one (semgrex
+                # '{} <nsubj {}' = current node is an nsubj dependent)
+                node.parents.append((edge, child))
         return node, s
 
     def _parse_subleaf(self, s: str) -> Tuple[_DepNode, str]:
@@ -221,16 +228,32 @@ class DepPattern:
 
     # ------------------------------------------------------ matching ----
     def _match_node(self, node: _DepNode, g: int, toks, kids,
-                    labels) -> List[Dict[str, int]]:
+                    labels, heads=()) -> List[Dict[str, int]]:
         if not node.cons.ok(toks[g]):
             return []
         bind_sets: List[Dict[str, int]] = [{node.name: g}]
+        for edge, parent in node.parents:
+            h = heads[g] if g < len(heads) else -1
+            if h < 0 or h >= len(toks) or not edge.ok(labels[g]):
+                return []
+            sub = self._match_node(parent, h, toks, kids, labels,
+                                   heads)
+            if not sub:
+                return []
+            new_sets = []
+            for sp in sub:
+                for bs in bind_sets:
+                    merged = dict(bs)
+                    merged.update(sp)
+                    new_sets.append(merged)
+            bind_sets = new_sets
         for edge, child in node.children:
             new_sets: List[Dict[str, int]] = []
             for c in kids.get(g, ()):
                 if not edge.ok(labels[c]):
                     continue
-                for sub in self._match_node(child, c, toks, kids, labels):
+                for sub in self._match_node(child, c, toks, kids,
+                                            labels, heads):
                     for bs in bind_sets:
                         merged = dict(bs)
                         merged.update(sub)
@@ -249,7 +272,8 @@ class DepPattern:
                 kids.setdefault(h, []).append(i)
         out = []
         for g in range(len(toks)):
-            out.extend(self._match_node(self.root, g, toks, kids, labels))
+            out.extend(self._match_node(self.root, g, toks, kids,
+                                        labels, heads))
         return out
 
     # backwards-compat accessors (round-1 callers/tests)

@@ -86,3 +86,25 @@ def test_mapping_file(tmp_path):
     f.write_text("# comment\n[lower:foo]\tFOO\t2.0\n[lower:bar]\tBAR\n")
     entries = load_mapping_file(str(f))
     assert entries == [("[lower:foo]", "FOO", 2.0), ("[lower:bar]", "BAR", 0.0)]
+
+
+def test_dep_pattern_governor_operator():
+    """Semgrex '<' relation: the node is a dependent of the matched
+    governor (SemgrexPattern.java child/parent relations)."""
+    from corenlp_ray.functions.tokenpattern import DepPattern, toks_of
+
+    words = "Cats eat meat".split()
+    toks = toks_of(words, lemmas=["cat", "eat", "meat"],
+                   tags=["NNS", "VBP", "NN"])
+    heads = [1, -1, 1]
+    labels = ["nsubj", "root", "obj"]
+    p = DepPattern("{lemma:cat}=s <nsubj {pos:/VB.*/}=v")
+    assert p.match(toks, heads, labels) == [{"s": 0, "v": 1}]
+    # wrong edge label → no match
+    p2 = DepPattern("{lemma:cat}=s <obj {pos:/VB.*/}=v")
+    assert p2.match(toks, heads, labels) == []
+    # governor with its own child clause
+    p3 = DepPattern("{lemma:meat}=o <obj ( {pos:/VB.*/}=v "
+                    ">nsubj {ner:}=s )")
+    m3 = p3.match(toks, heads, labels)
+    assert m3 and m3[0]["v"] == 1 and m3[0]["s"] == 0
