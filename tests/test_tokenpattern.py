@@ -105,6 +105,6 @@ def test_dep_pattern_governor_operator():
     assert p2.match(toks, heads, labels) == []
     # governor with its own child clause
     p3 = DepPattern("{lemma:meat}=o <obj ( {pos:/VB.*/}=v "
-                    ">nsubj {ner:}=s )")
+                    ">nsubj {lemma:cat}=s )")
     m3 = p3.match(toks, heads, labels)
     assert m3 and m3[0]["v"] == 1 and m3[0]["s"] == 0
