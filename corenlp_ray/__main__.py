@@ -52,6 +52,25 @@ def main(argv=None) -> int:
     q.add_argument("--sf-dir", required=True)
     q.add_argument("--limit", type=int, default=20)
 
+    tr = sub.add_parser(
+        "train", help="train a model slot (pos | depparse | ner | "
+        "clause); real corpora drop into the same flags")
+    tr.add_argument("--model", required=True,
+                    choices=["pos", "depparse", "ner", "clause"])
+    tr.add_argument("--out", required=True,
+                    help="weights JSON output path")
+    tr.add_argument("--conllu", default=None,
+                    help="CoNLL-U training file (pos/depparse)")
+    tr.add_argument("--conll2003", default=None,
+                    help="CoNLL-2003 training file (ner)")
+    tr.add_argument("--tsv", default=None,
+                    help="word<TAB>tag training file (pos)")
+    tr.add_argument("--distill-sf-dir", default=None,
+                    help="distill from the rule cascade over this "
+                         "sf dir's documents instead of a corpus")
+    tr.add_argument("--n-iter", type=int, default=8)
+    tr.add_argument("--limit-docs", type=int, default=200)
+
     args = ap.parse_args(argv)
     _ensure_ray()
 
@@ -90,10 +109,88 @@ def main(argv=None) -> int:
             rows = out.to_pylist()[:args.limit]
         for r in rows:
             print(json.dumps(r, default=str))
+    elif args.cmd == "train":
+        out = _train(args)
+        print(json.dumps(out))
     import ray
 
     ray.shutdown()
     return 0
+
+
+def _distill_sentences(sf_dir: str, limit: int):
+    import pyarrow.parquet as pq
+
+    from corenlp_ray.stages.pos import tag_sentence
+    from corenlp_ray.stages.tokenize import ssplit, tokenize
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["text"]).slice(0, limit)
+    sents = []
+    for text in t.column("text").to_pylist():
+        toks = [w for w, _, _, _ in tokenize(text or "")]
+        for b, e in ssplit(toks):
+            words = toks[b:e]
+            if words:
+                sents.append((words, tag_sentence(words)))
+    return sents
+
+
+def _train(args) -> dict:
+    if args.cmd != "train":
+        raise ValueError
+    if args.model == "pos":
+        from corenlp_ray.models.perceptron_tagger import (PerceptronTagger,
+                                                          read_conllu)
+        if args.conllu:
+            m = PerceptronTagger.train(read_conllu(args.conllu),
+                                       n_iter=args.n_iter)
+        elif args.tsv:
+            from corenlp_ray.sources.conll2003 import read_tsv_tagged
+
+            m = PerceptronTagger.train(read_tsv_tagged(args.tsv),
+                                       n_iter=args.n_iter)
+        else:
+            sents = _distill_sentences(args.distill_sf_dir,
+                                       args.limit_docs)
+            m = PerceptronTagger.distill([w for w, _ in sents],
+                                         n_iter=args.n_iter)
+    elif args.model == "depparse":
+        from corenlp_ray.models.transition_parser import (
+            TransitionParser, read_conllu_trees)
+        if args.conllu:
+            m = TransitionParser.train(read_conllu_trees(args.conllu),
+                                       n_iter=args.n_iter)
+        else:
+            m = TransitionParser.distill(
+                _distill_sentences(args.distill_sf_dir,
+                                   args.limit_docs),
+                n_iter=args.n_iter)
+    elif args.model == "ner":
+        from corenlp_ray.models.perceptron_ner import PerceptronNER
+        if args.conll2003:
+            from corenlp_ray.sources.conll2003 import read_conll2003
+
+            m = PerceptronNER.train(read_conll2003(args.conll2003),
+                                    n_iter=args.n_iter)
+        else:
+            m = PerceptronNER.distill(
+                _distill_sentences(args.distill_sf_dir,
+                                   args.limit_docs),
+                n_iter=args.n_iter)
+    else:                              # clause
+        from corenlp_ray.models.clause_classifier import ClauseClassifier
+        from corenlp_ray.stages.depparse import parse_sentence
+
+        parsed = []
+        for words, tags in _distill_sentences(args.distill_sf_dir,
+                                              args.limit_docs):
+            heads, labels = parse_sentence(words, tags)
+            parsed.append((words, tags, heads, labels))
+        m = ClauseClassifier.distill(parsed, n_iter=args.n_iter)
+    m.save(args.out)
+    return {"job": "train", "model": args.model, "out": args.out,
+            "n_features": len(m.weights)}
 
 
 if __name__ == "__main__":

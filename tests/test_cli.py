@@ -37,3 +37,23 @@ def test_cli_unknown_query():
     r = run_cli("query", "--name", "nope", "--sf-dir", "/root/testdata/sf0.001")
     assert r.returncode == 2
     assert "unknown query" in r.stderr
+
+
+def test_train_cli_pos(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "pos.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "corenlp_ray", "train", "--model", "pos",
+         "--out", out, "--distill-sf-dir", "/root/testdata/sf0.001",
+         "--n-iter", "2", "--limit-docs", "20"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["model"] == "pos" and payload["n_features"] > 0
+    from corenlp_ray.models.perceptron_tagger import PerceptronTagger
+
+    m = PerceptronTagger.load(out)
+    assert m.tag(["The", "dog", "ran", "."])
