@@ -409,3 +409,22 @@ def value_range(value: str) -> str:
     if m:
         return f"{value}-01-01/{value}-12-31"
     return value
+
+
+def parse_datetime_instant(s: str) -> Optional[int]:
+    """ISO instant / local datetime string → epoch millis (UTC), the
+    SUTime.parseDateTime contract (test/time/SUTimeTest.java
+    parseDateTimeStandardInstantFormat / LocalDateTimeFormat: naive
+    datetimes are interpreted as UTC)."""
+    t = s.strip()
+    if not t:
+        return None
+    if t.endswith("Z"):
+        t = t[:-1] + "+00:00"
+    try:
+        d = dt.datetime.fromisoformat(t)
+    except ValueError:
+        return None
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp() * 1000)

@@ -176,3 +176,14 @@ def test_season_range_format():
 def test_duration_passes_through():
     from corenlp_ray.functions.sutime import value_range
     assert value_range("P3M") == "P3M"
+
+
+def test_parse_datetime_instant_formats():
+    # SUTimeTest.java:113-133
+    from corenlp_ray.functions.sutime import parse_datetime_instant
+
+    assert parse_datetime_instant("2017-11-02T19:30:00Z") == \
+        1509651000000
+    # naive local datetime interpreted as UTC (the test's resolution)
+    assert parse_datetime_instant("2017-11-02T15:30") == 1509636600000
+    assert parse_datetime_instant("not a date") is None
