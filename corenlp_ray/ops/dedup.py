@@ -590,3 +590,34 @@ def simhash_dedup(docs_ds, max_hamming: int = 3):
         return batch
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def embedding_dedup(embeds_ds, threshold: float = 0.95):
+    """Embedding near-dup CLUSTERS: OR-amplified hyperplane-LSH pairs →
+    exact cosine verify (inside the bucket) → distributed connected
+    components → (vec_id, cluster_id) over the whole corpus."""
+    edges = _as_arrow(
+        embedding_neardup_pairs(embeds_ds, threshold)).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_a": b.column("vec_a"), "doc_b": b.column("vec_b")}),
+        batch_format="pyarrow").repartition(16).materialize()
+    ids = embeds_ds.select_columns(["vec_id"])
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"vec_id": b.column("vec_id"),
+                 "cluster_id": b.column("vec_id")}),
+            batch_format="pyarrow")
+    labels = connected_components(edges)
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    joined = bucketed_hash_join(
+        ids, _renamed(labels, {"node": "vec_id", "label": "cluster_id"}),
+        on="vec_id", how="left")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cluster_id"] = batch["cluster_id"].fillna(
+            batch["vec_id"]).astype("int64")
+        return batch
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -56,3 +56,19 @@ def test_band_collision_amplification():
         # the round-1 single 16-plane band missed about half of these
         single_band_recall = p ** 16
         assert single_band_recall < 0.75
+
+
+def test_embedding_dedup_clusters(planted, ray_session):
+    """Planted noisy dups must land in their base vector's cluster."""
+    from corenlp_ray.ops.dedup import embedding_dedup
+
+    ds, expected = planted
+    cl = {r["vec_id"]: r["cluster_id"]
+          for r in embedding_dedup(ds, threshold=0.95).take_all()}
+    for base, dup in expected:
+        assert cl[base] == cl[dup] == base
+    # non-planted vectors stay singleton clusters
+    planted_ids = {i for pair in expected for i in pair}
+    for vid, c in cl.items():
+        if vid not in planted_ids:
+            assert c == vid
