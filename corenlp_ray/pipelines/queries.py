@@ -226,6 +226,11 @@ ORACLE_SQL = {
         "WHEN 'last year' THEN printf('%04d', year(dd) - 1) "
         "WHEN 'next year' THEN printf('%04d', year(dd) + 1) END AS value "
         "FROM m"),
+    "embedding_dedup": (
+        "WITH aug AS (SELECT vec_id FROM embeddings UNION ALL "
+        "SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 20) "
+        "SELECT vec_id, CASE WHEN vec_id >= 1000000 THEN "
+        "vec_id - 1000000 ELSE vec_id END AS cluster_id FROM aug"),
     "embedding_neardup": (
         "WITH aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings UNION ALL "
@@ -826,6 +831,33 @@ def q_top_docs_per_lang(sf_dir: str):
     return grouped_top_k(ds, key="lang", order_col="n_tokens", k=3)
 
 
+def q_embedding_dedup(sf_dir: str):
+    """Embedding near-dup clusters (LSH pairs → cosine verify →
+    distributed connected components). Same planted-duplicate
+    augmentation as ``embedding_neardup`` (the corpus has no natural
+    pairs above 0.95), which makes the cluster assignment exactly
+    SQL-expressible: every planted copy joins its base's cluster."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from corenlp_ray.ops.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        dup = batch.filter(pc.less(batch.column("vec_id"), 20))
+        if dup.num_rows:
+            dup = dup.set_column(
+                dup.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(dup.column("vec_id"), 1_000_000))
+            return pa.concat_tables([batch, dup])
+        return batch
+
+    return embedding_dedup(ds.map_batches(plant, batch_format="pyarrow"),
+                           threshold=0.95)
+
+
 def q_langid(sf_dir: str):
     from corenlp_ray.ops.textstats import langid_batch
 
@@ -1024,6 +1056,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_dedup": q_embedding_dedup,
     "ivf_ann": q_ivf_ann,
     "sutime_relative": q_sutime_relative,
     "wikidict_linking": q_wikidict_linking,
