@@ -148,23 +148,59 @@ class _EdgeMatcher:
 
 
 class _DepNode:
-    """One node in a (possibly nested) dep pattern tree."""
+    """One node in a (possibly nested) dep pattern tree: a conjunction
+    of attribute constraints (optionally negated) plus a list of
+    semgrex relations to other nodes."""
 
-    __slots__ = ("cons", "name", "children", "parents")
+    __slots__ = ("conss", "negate", "name", "rels")
 
-    def __init__(self, cons, name: str):
-        self.cons = cons
+    def __init__(self, conss, negate: bool, name: str):
+        self.conss = conss          # list of _Constraint (ANDed)
+        self.negate = negate
         self.name = name
-        self.children: List[Tuple[_EdgeMatcher, "_DepNode"]] = []
-        self.parents: List[Tuple[_EdgeMatcher, "_DepNode"]] = []
+        # (op, _EdgeMatcher|None, _DepNode); op: child parent desc anc conn
+        self.rels: List[tuple] = []
+
+    @property
+    def cons(self):
+        """First constraint (back-compat accessor for gate builders);
+        negated nodes expose match-any so gates stay sound."""
+        if self.negate or not self.conss:
+            return _Constraint(None, None, None, 1, 1)
+        return self.conss[0]
+
+    @property
+    def children(self):
+        return [(e, n) for op, e, n in self.rels if op == "child"]
+
+    def ok(self, tok) -> bool:
+        hit = all(c.ok(tok) for c in self.conss)
+        return (not hit) if self.negate else hit
+
+
+_REL_OPS = ("<<", ">>", "<>", ">", "<")
+_OP_KIND = {">": "child", "<": "parent", ">>": "desc", "<<": "anc",
+            "<>": "conn"}
 
 
 class DepPattern:
-    """Semgrex-style dependency pattern with nesting:
-    ``{ner:PERSON}=s >/nmod|obl/ ( {ner:PERSON}=o >case {lemma:of} )``
-    — governor, regex-or-literal edge labels, parenthesized nested
-    child patterns (the shape of the reference's KBP semgrex banks,
-    data/edu/stanford/nlp/kbp/en/semgrex/*.rules)."""
+    """Semgrex-style dependency pattern (semgraph/semgrex/
+    SemgrexPattern.java:239 relation set, the subset the engine's rule
+    banks and the reference's own SemgrexTest cases exercise):
+
+        {pos:/VB.*/}=v >nsubj {ner:PERSON}=s >obj {}=o
+        {word:muffins} >compound {word:blueberry}
+        {} << {word:ate}        ancestor (transitive governor)
+        {} >> {tag:NNP}         descendant (transitive dependent)
+        {} <> {word:muffins}    connected (direct parent or child)
+        {word:Bill;tag:NNP}     attribute conjunction  (tag == pos)
+        !{word:ate}             negated node
+        >/nmod|obl/ ( {}=o >case {lemma:of} )   regex edges + nesting
+
+    Edge labels are optional on > and < (bare = any label) and not
+    supported on the transitive ops. Behavior is pinned by
+    tests/test_semgrex_reference.py (mirrored from the reference's own
+    SemgrexTest.java)."""
 
     def __init__(self, pattern: str):
         self.src = pattern
@@ -174,85 +210,118 @@ class DepPattern:
             raise ValueError(f"trailing input {rest!r} in {pattern!r}")
 
     # ------------------------------------------------------- parsing ----
-    def _parse_node(self, s: str) -> Tuple[_DepNode, str]:
+    _ATTR_RE = re.compile(
+        r"\s*(\w+)\s*:\s*(?:/((?:[^/\\]|\\.)*)/|([^};\s]+))\s*")
+    _NAME_RE = re.compile(r"=(\w+)")
+    _EDGE_LABEL_RE = re.compile(r"/((?:[^/\\]|\\.)*)/|([^\s({<>=]+)")
+
+    def _parse_nodespec(self, s: str) -> Tuple[_DepNode, str]:
         s = s.lstrip()
-        m = _NODE_RE.match(s)
-        if not m:
-            raise ValueError(f"bad dep pattern node at {s!r}")
-        attr, rx, lit, name = m.groups()
-        if attr is not None and attr not in _ATTRS:
-            raise ValueError(f"unknown attribute {attr!r}")
+        negate = False
+        if s.startswith("!"):
+            negate = True
+            s = s[1:].lstrip()
+        if not s.startswith("{"):
+            raise ValueError(f"expected node at {s!r}")
+        s = s[1:]
+        conss = []
+        while True:
+            s = s.lstrip()
+            if s.startswith("}"):
+                s = s[1:]
+                break
+            m = self._ATTR_RE.match(s)
+            if not m:
+                raise ValueError(f"bad node attribute at {s!r}")
+            attr, rx, lit = m.groups()
+            if attr == "tag":
+                attr = "pos"            # semgrex alias
+            if attr not in _ATTRS:
+                raise ValueError(f"unknown attribute {attr!r}")
+            conss.append(_Constraint(attr, rx, lit, 1, 1))
+            s = s[m.end():].lstrip()
+            if s.startswith(";"):
+                s = s[1:]
+        name = None
+        nm = self._NAME_RE.match(s)
+        if nm:
+            name = nm.group(1)
+            s = s[nm.end():]
         if name is None:
             name = "gov" if self._auto == 0 else f"c{self._auto - 1}"
         self._auto += 1
-        node = _DepNode(_Constraint(attr, rx, lit, 1, 1), name)
-        s = s[m.end():].lstrip()
+        return _DepNode(conss, negate, name), s
+
+    def _parse_node(self, s: str) -> Tuple[_DepNode, str]:
+        node, s = self._parse_nodespec(s)
         while True:
             s = s.lstrip()
-            if not (s.startswith(">") or s.startswith("<")):
+            op = next((o for o in _REL_OPS if s.startswith(o)), None)
+            if op is None:
                 break
-            em = _EDGE_RE.match(s)
-            if not em:
-                raise ValueError(f"bad edge at {s!r}")
-            direction = em.group(1)
-            edge = _EdgeMatcher(em.group(2), em.group(3))
-            s = s[em.end():].lstrip()
+            s = s[len(op):].lstrip()
+            edge = None
+            if op in (">", "<"):
+                em = self._EDGE_LABEL_RE.match(s)
+                if em and not s.startswith(("{", "(", "!")):
+                    edge = _EdgeMatcher(em.group(1), em.group(2))
+                    s = s[em.end():].lstrip()
             if s.startswith("("):
-                child, s = self._parse_node(s[1:])
+                other, s = self._parse_node(s[1:])
                 s = s.lstrip()
                 if not s.startswith(")"):
                     raise ValueError(f"expected ')' at {s!r}")
-                s = s[1:].lstrip()
+                s = s[1:]
             else:
-                child, s = self._parse_subleaf(s)
-            if direction == ">":
-                node.children.append((edge, child))
-            else:
-                # <edge: the OTHER node governs this one (semgrex
-                # '{} <nsubj {}' = current node is an nsubj dependent)
-                node.parents.append((edge, child))
+                other, s = self._parse_nodespec(s)
+            node.rels.append((_OP_KIND[op], edge, other))
         return node, s
 
-    def _parse_subleaf(self, s: str) -> Tuple[_DepNode, str]:
-        m = _NODE_RE.match(s.lstrip())
-        if not m:
-            raise ValueError(f"expected node at {s!r}")
-        attr, rx, lit, name = m.groups()
-        if attr is not None and attr not in _ATTRS:
-            raise ValueError(f"unknown attribute {attr!r}")
-        if name is None:
-            name = f"c{self._auto - 1}"
-        self._auto += 1
-        return (_DepNode(_Constraint(attr, rx, lit, 1, 1), name),
-                s.lstrip()[m.end():])
-
     # ------------------------------------------------------ matching ----
-    def _match_node(self, node: _DepNode, g: int, toks, kids,
-                    labels, heads=()) -> List[Dict[str, int]]:
-        if not node.cons.ok(toks[g]):
+    @staticmethod
+    def _descendants(g, kids):
+        out = []
+        stack = list(kids.get(g, ()))
+        while stack:
+            c = stack.pop(0)
+            out.append(c)
+            stack.extend(kids.get(c, ()))
+        return out
+
+    @staticmethod
+    def _ancestors(g, heads, n):
+        out = []
+        seen = set()
+        h = heads[g] if g < len(heads) else -1
+        while 0 <= h < n and h not in seen:
+            out.append(h)
+            seen.add(h)
+            h = heads[h] if h < len(heads) else -1
+        return out
+
+    def _match_node(self, node, g, toks, kids, labels, heads):
+        if not node.ok(toks[g]):
             return []
-        bind_sets: List[Dict[str, int]] = [{node.name: g}]
-        for edge, parent in node.parents:
-            h = heads[g] if g < len(heads) else -1
-            if h < 0 or h >= len(toks) or not edge.ok(labels[g]):
-                return []
-            sub = self._match_node(parent, h, toks, kids, labels,
-                                   heads)
-            if not sub:
-                return []
+        bind_sets = [{node.name: g}]
+        n = len(toks)
+        for op, edge, other in node.rels:
+            if op == "child":
+                cands = [c for c in kids.get(g, ())
+                         if edge is None or edge.ok(labels[c])]
+            elif op == "parent":
+                h = heads[g] if g < len(heads) else -1
+                cands = [h] if 0 <= h < n and (
+                    edge is None or edge.ok(labels[g])) else []
+            elif op == "desc":
+                cands = self._descendants(g, kids)
+            elif op == "anc":
+                cands = self._ancestors(g, heads, n)
+            else:                       # conn: direct parent + children
+                h = heads[g] if g < len(heads) else -1
+                cands = ([h] if 0 <= h < n else []) +                     list(kids.get(g, ()))
             new_sets = []
-            for sp in sub:
-                for bs in bind_sets:
-                    merged = dict(bs)
-                    merged.update(sp)
-                    new_sets.append(merged)
-            bind_sets = new_sets
-        for edge, child in node.children:
-            new_sets: List[Dict[str, int]] = []
-            for c in kids.get(g, ()):
-                if not edge.ok(labels[c]):
-                    continue
-                for sub in self._match_node(child, c, toks, kids,
+            for c in cands:
+                for sub in self._match_node(other, c, toks, kids,
                                             labels, heads):
                     for bs in bind_sets:
                         merged = dict(bs)
@@ -276,7 +345,6 @@ class DepPattern:
                                         labels, heads))
         return out
 
-    # backwards-compat accessors (round-1 callers/tests)
     @property
     def gov(self):
         return self.root.cons
