@@ -268,7 +268,11 @@ COUNTRIES = {
     "america", "england", "france", "germany", "china", "japan", "india",
     "russia", "brazil", "canada", "mexico", "spain", "italy",
     "australia", "u.s.", "u.k.", "usa", "uk", "united states",
-    "united kingdom",
+    "united kingdom", "u.s.a.", "us", "the united states",
+    "the united states of america", "united states of america",
+    "the united kingdom", "great britain", "the netherlands",
+    "netherlands", "south korea", "north korea", "saudi arabia",
+    "new zealand", "south africa",
 }
 US_STATES = {
     "california", "texas", "florida", "ohio", "virginia", "georgia",

@@ -139,6 +139,13 @@ def _oracle_action(c: _Config, gold_heads: List[int],
                 all(gold_heads[d] != s1 or c.heads[d] == s1
                     for d in range(1, len(gold_heads))):
             return "R:" + gold_labels[s1]
+    if not c.buf:
+        # non-projective gold (or exhausted buffer): no legal shift —
+        # reduce with the gold label rather than crashing buf.pop()
+        # (nndep filters these rows up front; train() now does too, this
+        # is the belt-and-braces path for direct oracle callers)
+        s1 = c.stack[-1]
+        return "R:" + (gold_labels[s1] if s1 < len(gold_labels) else "dep")
     return "S"
 
 
@@ -195,8 +202,17 @@ class TransitionParser:
                                       List[str]]],
               n_iter: int = 6, seed: int = 17) -> "TransitionParser":
         """corpus rows: (words, tags, heads (1-based, 0=root), labels).
-        Averaged perceptron over oracle transition sequences."""
+        Averaged perceptron over oracle transition sequences.
+
+        Non-projective gold trees are filtered here (not only in
+        distill): arc-standard cannot derive them and the static oracle
+        would otherwise dead-end — mirroring nndep's Util.loadConll
+        projectivity check, so ``train --conllu <real UD treebank>``
+        works on real data."""
         import random
+
+        corpus = [row for row in corpus
+                  if row[2] and _is_projective(list(row[2]))]
 
         w: Dict[str, Dict[str, float]] = defaultdict(
             lambda: defaultdict(float))

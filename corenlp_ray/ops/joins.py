@@ -6,7 +6,7 @@ Three shapes, matching the guide's decision table:
     merge per batch. No shuffle. (Dimension tables, dictionaries — the
     wikidict path.)
   * ``bucketed_hash_join`` — both sides large: tag rows with a side
-    marker, co-partition both sides on crc32(key) buckets, merge inside
+    marker, co-partition both sides on vectorized hash(key) buckets, merge inside
     each bucket with pandas. Explicit partitioned hash join; salt knob
     for hot keys is the partition count.
   * ``asof_join`` — ordered semantics: co-partition by key, sort by
@@ -16,11 +16,12 @@ All deterministic; oracle-SQL checkable (see pipelines/queries.py).
 """
 from __future__ import annotations
 
-import zlib
 from typing import List, Sequence
 
 import pandas as pd
 import pyarrow as pa
+
+from corenlp_ray.ops._partition import partition_codes
 
 
 def _npart() -> int:
@@ -48,8 +49,10 @@ def broadcast_join(left_ds, right: pa.Table, on: Sequence[str] | str,
             df = batch.to_pandas().merge(self.right, on=on, how=how)
             return pa.Table.from_pandas(df, preserve_index=False)
 
+    from corenlp_ray.ops._partition import fixed_pool
+
     return left_ds.map_batches(Joiner, batch_format="pyarrow",
-                               concurrency=(1, 4))
+                               concurrency=fixed_pool())
 
 
 def _pandas_dtypes(ds_schema) -> dict:
@@ -104,20 +107,19 @@ def _dtype_restorer(schema):
 
 def _tag_and_bucket(batch: pa.Table, side: int, on: List[str],
                     npart: int) -> pa.Table:
-    keys = zip(*(batch.column(c).to_pylist() for c in on))
-    part = [zlib.crc32("|".join(map(str, k)).encode()) % npart
-            for k in keys]
+    part = partition_codes(batch, on, npart)
     return (batch
             .append_column("_side", pa.array([side] * batch.num_rows,
                                              type=pa.int8()))
-            .append_column("_part", pa.array(part, type=pa.int32())))
+            .append_column("_part", part))
 
 
 def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
                        how: str = "inner", npart: int | None = None):
     """Partitioned hash join of two Datasets on equality keys.
 
-    Implementation: tag each side, co-partition on crc32(key) % npart,
+    Implementation: tag each side, co-partition on a vectorized
+    hash(key) % npart (one polars row-hash per batch),
     one Ray group per partition, pandas merge inside. Key skew is
     bounded by the per-partition data volume; raise npart (or pre-salt
     hot keys into the key) for pathological skew."""

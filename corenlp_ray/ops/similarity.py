@@ -76,8 +76,10 @@ def brute_force_topk(embeds_ds, query_vecs, query_ids=None, k: int = 10):
         Q = Q[None, :]
     qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
     ref = ray.put({"vecs": Q, "ids": qids})
+    from corenlp_ray.ops._partition import fixed_pool
+
     local = embeds_ds.map_batches(_BatchTopK, batch_format="pyarrow",
-                                  concurrency=(1, 8),
+                                  concurrency=fixed_pool(),
                                   fn_constructor_args=(ref, k))
     # global merge: k smallest of (-cosine, vec_id) per query
     heaps = {q: [] for q in qids}
@@ -198,6 +200,8 @@ def cosine_pairs_exact(embeds_ds, threshold: float = 0.3):
     corpus_ref = ray.put((whole.column("vec_id").to_pylist(),
                           np.array(whole.column("embedding").to_pylist(),
                                    dtype=np.float64)))
+    from corenlp_ray.ops._partition import fixed_pool
+
     return embeds_ds.map_batches(
-        _BatchPairScan, batch_format="pyarrow", concurrency=(1, 8),
+        _BatchPairScan, batch_format="pyarrow", concurrency=fixed_pool(),
         fn_constructor_args=(corpus_ref, threshold))

@@ -81,6 +81,12 @@ def hopping_window(events_ds, size_minutes: int = 60,
     the shuffle moves pre-aggregated rows, not raw events."""
     import numpy as np
 
+    if size_minutes % hop_minutes != 0:
+        # e.g. size=45/hop=30 would silently collapse to k=1 (one
+        # 30-min-aligned window): neither 45-minute coverage nor an error
+        raise ValueError(
+            f"hopping_window requires size_minutes ({size_minutes}) to be "
+            f"a multiple of hop_minutes ({hop_minutes})")
     k = size_minutes // hop_minutes
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -134,13 +134,37 @@ def resolve_coref(
 
     heads = {i: head_of(i) for i in entity_like}
 
-    def cluster_members(i: int) -> List[int]:
+    # Incremental root→{members, words, heads} maps, updated on each
+    # union — the naive per-check rescan of entity_like made the O(m²)
+    # pair loop O(m³) on mention-heavy docs (round-3 ADVICE).
+    _members: Dict[int, List[int]] = {}
+    _cwords: Dict[int, set] = {}
+    _cheads: Dict[int, set] = {}
+    for i in entity_like:
         r = uf.find(i)
-        return [j for j in entity_like if uf.find(j) == r]
+        _members.setdefault(r, []).append(i)
+        _cwords.setdefault(r, set()).update(surfaces[i].lower().split())
+        _cheads.setdefault(r, set()).add(heads[i])
+
+    def union_tracked(a: int, b: int) -> None:
+        ra, rb = uf.find(a), uf.find(b)
+        if ra == rb:
+            return
+        uf.union(ra, rb)
+        r = uf.find(ra)
+        o = rb if r == ra else ra
+        _members[r].extend(_members.pop(o, []))
+        _cwords[r].update(_cwords.pop(o, set()))
+        _cheads[r].update(_cheads.pop(o, set()))
+
+    def cluster_members(i: int) -> List[int]:
+        return _members.get(uf.find(i), [i])
 
     def cluster_words(i: int) -> set:
-        return {w for j in cluster_members(i)
-                for w in surfaces[j].lower().split()}
+        return _cwords.get(uf.find(i), set())
+
+    def cluster_heads(i: int) -> set:
+        return _cheads.get(uf.find(i), set())
 
     def words_included(i: int, j: int) -> bool:
         """All of cluster(i)'s non-stop words (minus i's head) appear in
@@ -173,20 +197,17 @@ def resolve_coref(
                 if j >= i or uf.find(i) == uf.find(j):
                     continue
                 if type_ok(i, j) and check(i, j):
-                    uf.union(j, i)
+                    union_tracked(j, i)
                     break
 
     # StrictHeadMatch1: heads agree + word inclusion + compatible mods
-    run_head_sieve(lambda i, j: heads[i] in {heads[m] for m in
-                                             cluster_members(j)}
+    run_head_sieve(lambda i, j: heads[i] in cluster_heads(j)
                    and words_included(i, j) and compatible_modifiers(i, j))
     # StrictHeadMatch2: heads agree + word inclusion
-    run_head_sieve(lambda i, j: heads[i] in {heads[m] for m in
-                                             cluster_members(j)}
+    run_head_sieve(lambda i, j: heads[i] in cluster_heads(j)
                    and words_included(i, j))
     # StrictHeadMatch3: heads agree + compatible modifiers
-    run_head_sieve(lambda i, j: heads[i] in {heads[m] for m in
-                                             cluster_members(j)}
+    run_head_sieve(lambda i, j: heads[i] in cluster_heads(j)
                    and compatible_modifiers(i, j))
     # RelaxedHeadMatch: mention head ∈ antecedent cluster words + word
     # inclusion ("Sanders" → cluster of "Bernard Sanders")

@@ -83,15 +83,28 @@ _PROPER_PHRASES = {
 _MAX_PHRASE = max(len(k) for k in _PROPER_PHRASES)
 
 
+# Gaelic Mac- surnames that take internal capitalization (MacArthur);
+# a lexicon, not a prefix rule — see truecase_word
+_MAC_SURNAMES = {
+    "macarthur", "macdonald", "macgregor", "macintyre", "mackenzie",
+    "macleod", "maclean", "macmillan", "macpherson", "macallister",
+    "macnamara", "macdowell", "macfarlane", "mackay", "macneil",
+    "maccarthy", "macbride", "maccormack", "macdougall", "macintosh"}
+
+
 def truecase_word(lw: str, sent_initial: bool) -> str:
     """Pure kernel: lowercase word → truecased form (context-free)."""
     if lw in KNOWN_ACRONYMS:
         return lw.upper()
     if lw in _PROPER:
         return lw.capitalize()
-    if (lw.startswith("mc") and len(lw) > 3) or \
-            (lw.startswith("mac") and len(lw) > 5):
+    if (lw.startswith("mc") and len(lw) > 3) or lw in _MAC_SURNAMES:
         # McVey / MacArthur prefix capitalization
+        # (TrueCaseAnnotatorITest.java:61-64 pins McVey). The Mac- branch
+        # is gated on a surname lexicon: a bare prefix rule corrupted
+        # common words (machine→MacHine, mackerel→MacKerel). English has
+        # essentially no common words starting "mc", so that branch
+        # stays lexicon-free.
         k = 2 if lw.startswith("mc") else 3
         return lw[:k].capitalize()[:1].upper() + lw[1:k] + \
             lw[k].upper() + lw[k + 1:]

@@ -307,10 +307,6 @@ def ner_sentence(words: List[str], tags: List[str],
             continue
         # ---- proper-noun runs ----
         if t in ("NNP", "NNPS") and lw not in MONTHS:
-            # a leading title ("Dr.", "Sen.") stays outside the mention span
-            if lw in PERSON_TITLES and i + 1 < n and tags[i + 1] in ("NNP", "NNPS"):
-                i += 1
-                w, lw, t = words[i], lowers[i], tags[i]
             # a leading nationality adjective ("American John Smith") is
             # its own MISC mention, not part of the name run
             if GAZETTEER.get(lw) == "MISC" and i + 1 < n \
@@ -322,6 +318,19 @@ def ner_sentence(words: List[str], tags: List[str],
             j = i
             while j < n and tags[j] in ("NNP", "NNPS") and lowers[j] not in MONTHS:
                 j += 1
+            # a leading title ("Dr.", "Sen.") stays outside the mention
+            # span — but only when the rest of the run still looks like a
+            # person: never strip it off an ORG-suffixed or gazetteered
+            # run ("General Dynamics Land Systems" keeps "General";
+            # round-2 verdict residue)
+            run_key = " ".join(lowers[i:j])
+            if (lw in PERSON_TITLES and j - i >= 2
+                    and not any(l2 in ORG_SUFFIXES for l2 in lowers[i:j])
+                    and lowers[j - 1] not in _GEO_FEATURES
+                    and run_key not in LOCATIONS
+                    and run_key not in GAZETTEER):
+                i += 1
+                w, lw, t = words[i], lowers[i], tags[i]
             prev_word = lowers[i - 1] if i > 0 else ""
             etype = _type_nnp_run(words, lowers, i, j, prev_word)
             for k in range(i, j):

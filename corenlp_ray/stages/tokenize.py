@@ -144,10 +144,11 @@ _OPEN_CTX = set(" \t\n\r([{\u201c\u2018`'\"")
 def tokenize(text: str) -> List[Tuple[str, str, int, int]]:
     """Pure kernel: text → list of (word, orig, char_begin, char_end).
 
-    Invertible: text[begin:end] == orig for every token; tokens are
-    non-overlapping and in order; inter-token gaps are whitespace only.
-    (One zero-width exception: the duplicated sentence-final period after
-    an abbreviation — "Kemper Corp. ." — carries orig == "".)
+    Invertible: text[begin:end] == orig for every token; tokens are in
+    order; inter-token gaps are whitespace only. (One overlap exception:
+    the duplicated sentence-final period after an abbreviation — "Kemper
+    Corp." → "Corp." + "." — SHARES the abbreviation's final-period span
+    [e-1, e), so text[begin:end] == orig still holds for it.)
     """
     toks: List[Tuple[str, str, int, int]] = []
 

@@ -104,7 +104,9 @@ class AssignEntityIds:
 
 def with_entity_ids(kg_ds, num_shards: int = 4):
     """KG Dataset → + subj_id/obj_id via the shared index actors."""
+    from corenlp_ray.ops._partition import fixed_pool
+
     index = EntityIndex(num_shards)
     return kg_ds.map_batches(AssignEntityIds, batch_format="pyarrow",
-                             concurrency=(1, 4),
+                             concurrency=fixed_pool(divisor=4),
                              fn_constructor_args=(index,)), index
