@@ -54,9 +54,9 @@ def main(argv=None) -> int:
 
     tr = sub.add_parser(
         "train", help="train a model slot (pos | depparse | ner | "
-        "clause); real corpora drop into the same flags")
+        "clause | kbp); real corpora drop into the same flags")
     tr.add_argument("--model", required=True,
-                    choices=["pos", "depparse", "ner", "clause"])
+                    choices=["pos", "depparse", "ner", "clause", "kbp"])
     tr.add_argument("--out", required=True,
                     help="weights JSON output path")
     tr.add_argument("--conllu", default=None,
@@ -136,6 +136,44 @@ def _distill_sentences(sf_dir: str, limit: int):
     return sents
 
 
+def _distill_kbp_sentences(sf_dir: str, limit: int):
+    """Fully annotated sentences (words, tags, lemmas, heads, labels,
+    ners, mentions) for KbpClassifier.distill — runs the same kernels
+    the KbpExtractor stage sees, via the simple API."""
+    import pyarrow.parquet as pq
+
+    from corenlp_ray.api import Document
+    from corenlp_ray.sources.pages import make_page
+    from corenlp_ray.stages.kbp import Mention
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).slice(0, limit)
+    out = []
+    for doc_id, filler in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist()):
+        # same page synthesis the KG pipeline annotates (read_pages):
+        # entity-bearing text, not the raw word-soup filler
+        text = make_page(int(doc_id), filler=filler or "")["text"]
+        doc = Document(text or "")
+        doc._need(*Document._transitive("kbp"))
+        r = doc._row
+        mens = [Mention(b, e, ty, nv, cv) for b, e, ty, nv, cv in zip(
+            r["men_begin"], r["men_end"], r["men_ner"], r["men_norm"],
+            r["men_canonical"])]
+        for b, e in zip(r["sent_begin"], r["sent_end"]):
+            heads = [(h - b) if h >= 0 else -1 for h in r["dep_head"][b:e]]
+            l_mens = [Mention(m.b - b, m.e - b, m.type, m.norm, m.canonical)
+                      for m in mens if b <= m.b and m.e <= e]
+            ners = ["O"] * (e - b)
+            for m in l_mens:
+                for k in range(m.b, min(m.e, e - b)):
+                    ners[k] = m.type
+            out.append((r["tok_word"][b:e], r["tok_pos"][b:e],
+                        r["tok_lemma"][b:e], heads,
+                        r["dep_label"][b:e], ners, l_mens))
+    return out
+
+
 def _train(args) -> dict:
     if args.cmd != "train":
         raise ValueError
@@ -178,7 +216,7 @@ def _train(args) -> dict:
                 _distill_sentences(args.distill_sf_dir,
                                    args.limit_docs),
                 n_iter=args.n_iter)
-    else:                              # clause
+    elif args.model == "clause":
         from corenlp_ray.models.clause_classifier import ClauseClassifier
         from corenlp_ray.stages.depparse import parse_sentence
 
@@ -188,6 +226,12 @@ def _train(args) -> dict:
             heads, labels = parse_sentence(words, tags)
             parsed.append((words, tags, heads, labels))
         m = ClauseClassifier.distill(parsed, n_iter=args.n_iter)
+    else:                              # kbp statistical extractor slot
+        from corenlp_ray.models.kbp_classifier import KbpClassifier
+
+        m = KbpClassifier.distill(
+            _distill_kbp_sentences(args.distill_sf_dir, args.limit_docs),
+            n_iter=args.n_iter)
     m.save(args.out)
     return {"job": "train", "model": args.model, "out": args.out,
             "n_features": len(m.weights)}

@@ -64,6 +64,10 @@ CLOSED_CLASS = {
     "soon": "RB", "later": "RB", "once": "RB", "too": "RB", "well": "RB",
     "more": "RBR", "most": "RBS", "less": "RBR", "least": "RBS",
     "however": "RB", "yesterday": "NN", "today": "NN", "tomorrow": "NN",
+    # comparatives (closed class; previously fell through to the NN
+    # suffix default — caught by the sample_tagged.txt accuracy band)
+    "than": "IN", "rather": "RB", "quite": "RB", "almost": "RB",
+    "perhaps": "RB", "instead": "RB",
 }
 
 # high-frequency open-class entries (beats suffix heuristics)
@@ -89,6 +93,9 @@ OPEN_CLASS = {
     "visited": "VBD", "studied": "VBD", "jumped": "VBD", "joined": "VBD",
     "works": "VBZ", "lives": "VBZ", "studies": "VBZ", "eats": "VBZ",
     "owns": "VBZ", "leads": "VBZ", "makes": "VBZ", "says": "VBZ",
+    "employ": "VB", "employs": "VBZ", "dissolve": "VB",
+    "disband": "VB", "liquidate": "VB", "convert": "VB",
+    "sits": "VBZ", "practices": "VBZ", "embraces": "VBZ",
     # nouns
     "man": "NN", "woman": "NN", "time": "NN", "year": "NN", "people": "NNS",
     "way": "NN", "day": "NN", "thing": "NN", "child": "NN", "world": "NN",
@@ -219,6 +226,12 @@ GAZETTEER = {
     "monday": "DATE", "tuesday": "DATE", "wednesday": "DATE",
     "thursday": "DATE", "friday": "DATE", "saturday": "DATE",
     "sunday": "DATE",
+    # major intergovernmental bodies with no ORG-suffix token (the
+    # reference carries these in its CRF gazetteer features)
+    "united nations": "ORGANIZATION", "nato": "ORGANIZATION",
+    "red cross": "ORGANIZATION", "opec": "ORGANIZATION",
+    "interpol": "ORGANIZATION", "unesco": "ORGANIZATION",
+    "unicef": "ORGANIZATION",
 }
 
 ORG_SUFFIXES = {

@@ -15,7 +15,8 @@ The default registry below is the annotator-name table
 from __future__ import annotations
 
 from corenlp_ray.pipelines.registry import Stage, apply, register
-from corenlp_ray.stages.canonicalize import build_alias_map, build_kg, write_kg
+from corenlp_ray.stages.canonicalize import (build_alias_map, build_kg,
+                                             resolve_alias_scale, write_kg)
 from corenlp_ray.stages.coref import coref_batch
 from corenlp_ray.stages.depparse import DepParser
 from corenlp_ray.stages.extract import extract_text_batch
@@ -88,8 +89,16 @@ register(Stage("sentiment_tree", ("parse_tree",),
                ("sent_sentiment_tree",), sentiment_tree_batch))
 
 
+# KBP statistical-extractor slot (KBPEnsembleExtractor's last
+# fallback): set via register_weighted_models(kbp_model_path=...);
+# read at pipeline-construction time on the driver and shipped to the
+# extraction actors as a constructor kwarg.
+_KBP_MODEL_PATH: str | None = None
+
+
 def register_weighted_models(pos_model_path: str | None = None,
-                             dep_model_path: str | None = None) -> None:
+                             dep_model_path: str | None = None,
+                             kbp_model_path: str | None = None) -> None:
     """Swap the rule cascades for TRAINED weights (the pinned-model
     actor stages in models/): re-registers 'pos' and/or 'depparse' so
     every pipeline built afterwards (incl. the flagship KG chain) runs
@@ -111,6 +120,9 @@ def register_weighted_models(pos_model_path: str | None = None,
                        lambda: {**(_pool() if callable(_pool) else _pool),
                                 "fn_constructor_kwargs":
                                     {"model_path": dep_model_path}}))
+    if kbp_model_path is not None:
+        global _KBP_MODEL_PATH
+        _KBP_MODEL_PATH = kbp_model_path
 
 ANNOTATE_STAGES = ("cleanxml", "tokenize", "pos", "lemma", "ner",
                    "depparse", "coref")
@@ -127,8 +139,9 @@ class TripleExtractor:
     annotation chain once per branch — the lazy-Dataset double-consume
     trap). Actor-pool stage: the KBP pattern banks bind once."""
 
-    def __init__(self):
-        self.kbp = KbpExtractor()
+    def __init__(self, kbp_classifier_path=None):
+        self.kbp = KbpExtractor(classifier_path=kbp_classifier_path
+                                or _KBP_MODEL_PATH)
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -139,8 +152,10 @@ class TripleExtractor:
 def extract_triples(docs_ds, distributed: bool = True):
     """annotated docs → triples Dataset (openie ∪ kbp, single pass)."""
     if distributed:
-        return docs_ds.map_batches(TripleExtractor, batch_format="pyarrow",
-                                   **_pool())
+        return docs_ds.map_batches(
+            TripleExtractor, batch_format="pyarrow",
+            fn_constructor_kwargs={"kbp_classifier_path": _KBP_MODEL_PATH},
+            **_pool())
     inst = TripleExtractor()
     return docs_ds.map_batches(lambda b: inst(b), batch_format="pyarrow")
 
@@ -159,11 +174,11 @@ class FusedDocAnnotator:
     pipelines and demand-driven outputs; kernels are IDENTICAL, so both
     paths produce identical triples (tested)."""
 
-    def __init__(self):
+    def __init__(self, kbp_classifier_path=None):
         self.pos = PosTagger()
         self.ner = NerTagger()
         self.dep = DepParser()
-        self.triples = TripleExtractor()
+        self.triples = TripleExtractor(kbp_classifier_path)
 
     def __call__(self, batch):
         b = extract_text_batch(batch)
@@ -185,7 +200,9 @@ def pages_to_triples(pages_ds, distributed: bool = True):
         # the upstream read tasks starve and the pipeline wedges
         return pages_ds.map_batches(
             FusedDocAnnotator, batch_format="pyarrow", batch_size=16,
-            concurrency=max(1, n - 1), num_cpus=1)
+            concurrency=max(1, n - 1), num_cpus=1,
+            fn_constructor_kwargs={
+                "kbp_classifier_path": _KBP_MODEL_PATH})
     inst = FusedDocAnnotator()
     return pages_ds.map_batches(lambda b: inst(b), batch_format="pyarrow")
 
@@ -197,8 +214,9 @@ class DocsToTriples(FusedDocAnnotator):
     fusion instead of relying on the planner's operator-fusion
     heuristics)."""
 
-    def __init__(self, pages_per_doc: int = 1, lang_filter: str = "en"):
-        super().__init__()
+    def __init__(self, pages_per_doc: int = 1, lang_filter: str = "en",
+                 kbp_classifier_path=None):
+        super().__init__(kbp_classifier_path)
         self.pages_per_doc = pages_per_doc
         self.lang_filter = lang_filter
 
@@ -237,7 +255,8 @@ def documents_to_triples(sf_dir: str, pages_per_doc: int | None = None,
         DocsToTriples, batch_format="pyarrow",
         concurrency=max(1, n - 1), num_cpus=1,
         fn_constructor_kwargs={"pages_per_doc": pages_per_doc,
-                               "lang_filter": lang_filter})
+                               "lang_filter": lang_filter,
+                               "kbp_classifier_path": _KBP_MODEL_PATH})
 
 
 def kg_pipeline(pages_ds, num_buckets: int = 16, canonicalize: bool = True,
@@ -275,7 +294,9 @@ def kg_pipeline(pages_ds, num_buckets: int = 16, canonicalize: bool = True,
             # the wide phases — groupby fan-out scales with block count,
             # and triples rows are tiny relative to the pages they came from
             triples = triples.repartition(_ncpus()).materialize()
-        alias = build_alias_map(triples)
+        # broadcast dict below ALIAS_VOCAB_BROADCAST_MAX surface forms,
+        # fully distributed argmax + bucketed-join rewrite above it
+        alias, triples = resolve_alias_scale(triples)
     else:
         alias = None
     return build_kg(triples, alias_map=alias, num_buckets=num_buckets)
@@ -295,7 +316,7 @@ def kg_from_documents(sf_dir: str, num_buckets: int = 16,
         triples = rd.read_parquet(checkpoint_dir)
     else:
         triples = triples.repartition(_ncpus()).materialize()
-    alias = build_alias_map(triples)
+    alias, triples = resolve_alias_scale(triples)
     return build_kg(triples, alias_map=alias, num_buckets=num_buckets)
 
 

@@ -715,11 +715,12 @@ def q_multilingual_tokens(sf_dir: str):
     es/fr MWT expansion over ALL docs regardless of lang. Golden-tested
     against the reference's own es-example.conllu MWT ranges
     (tests/test_mwt.py); rows-only here (RE2's ASCII \\w can't mirror
-    the Unicode-aware tokenizer in SQL)."""
-    from corenlp_ray.stages.mwt import mwt_tokenize_batch
+    the Unicode-aware tokenizer in SQL). Routes zh/ar rows through the
+    MaxMatch / ATB-clitic segmenters (stages/segmenter.py)."""
+    from corenlp_ray.stages.segmenter import segment_text_batch
 
     return (_docs(sf_dir, ["doc_id", "text", "lang"])
-            .map_batches(mwt_tokenize_batch, batch_format="pyarrow")
+            .map_batches(segment_text_batch, batch_format="pyarrow")
             .select_columns(["doc_id", "lang", "n_tokens"]))
 
 
@@ -1021,6 +1022,14 @@ def q_multimodal(sf_dir: str):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
+from corenlp_ray.pipelines.planted import (  # noqa: E402
+    entity_mentions_planted_sql, kbp_planted_sql, openie_planted_sql,
+    q_entity_mentions_planted, q_kbp_planted, q_openie_planted)
+
+ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
+ORACLE_SQL["kbp_planted"] = kbp_planted_sql()
+ORACLE_SQL["openie_planted"] = openie_planted_sql()
+
 QUERIES = {
     # SQL-oracled
     "token_count": q_token_count,
@@ -1043,6 +1052,10 @@ QUERIES = {
     "top_orders": q_top_orders,
     "region_suppliers": q_region_suppliers,
     "cosine_pairs": q_cosine_pairs,
+    # SQL-oracled full-chain planted oracles (pipelines/planted.py)
+    "entity_mentions_planted": q_entity_mentions_planted,
+    "kbp_planted": q_kbp_planted,
+    "openie_planted": q_openie_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

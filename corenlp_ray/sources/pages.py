@@ -58,10 +58,10 @@ TEMPLATES: List[Tuple[str, List[Tuple[str, str, str]]]] = [
     ("{P} is the chief executive officer of {O}.",
      [("P", "per:title", "chief executive officer"),
       ("P", "per:employee_of", "O"),
-      ("O", "org:top_members_employees", "P")]),
+      ("O", "org:top_members/employees", "P")]),
     ("{O} is headquartered in {C}.", [("O", "org:city_of_headquarters", "C")]),
     ("{P} founded {O} in {Y}.",
-     [("O", "org:founded_by", "P"), ("O", "org:date_founded", "Y")]),
+     [("O", "org:founded_by", "P"), ("O", "org:founded", "Y")]),
     ("{P} is married to {P2}.",
      [("P", "per:spouse", "P2"), ("P2", "per:spouse", "P")]),
     ("{P} died in {C}.", [("P", "per:city_of_death", "C")]),

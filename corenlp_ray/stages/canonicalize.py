@@ -84,7 +84,18 @@ def _surface_partial_counts(batch: pa.Table) -> pa.Table:
                           ("n", pa.int64())]))
 
 
-def build_alias_map(triples_ds) -> Dict[str, str]:
+def _alias_totals(triples_ds):
+    """(norm, surface, n) aggregated vocabulary Dataset — the shared
+    front half of both alias-resolution paths."""
+    from ray.data.aggregate import Sum
+
+    partials = triples_ds.map_batches(_surface_partial_counts,
+                                      batch_format="pyarrow")
+    return partials.groupby(["norm", "surface"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def build_alias_map(triples_ds, totals=None) -> Dict[str, str]:
     """Cross-document surface-form clustering → {norm: canonical}.
 
     Two-phase aggregate: vectorized per-batch partials → native hash
@@ -92,13 +103,12 @@ def build_alias_map(triples_ds) -> Dict[str, str]:
     canonical pick (max support, ties lexicographic) runs on the driver
     over the AGGREGATED vocabulary table, which is entity-vocabulary-
     sized (≪ corpus; it is about to become a broadcast dict anyway).
+    This is the BROADCAST regime — above ``ALIAS_VOCAB_BROADCAST_MAX``
+    entries the pipeline switches to ``build_alias_assignments`` +
+    ``resolve_aliases_join`` (fully distributed; no driver dict).
     """
-    from ray.data.aggregate import Sum
-
-    partials = triples_ds.map_batches(_surface_partial_counts,
-                                      batch_format="pyarrow")
-    totals = partials.groupby(["norm", "surface"]).aggregate(
-        Sum("n", alias_name="n"))
+    if totals is None:
+        totals = _alias_totals(triples_ds)
     best: Dict[str, tuple] = {}
     for b in totals.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for n, s, c in zip(b.column("norm").to_pylist(),
@@ -109,6 +119,118 @@ def build_alias_map(triples_ds) -> Dict[str, str]:
             if cur is None or (-c, s) < cur:
                 best[n] = (-c, s)
     return {n: s for n, (_, s) in best.items()}
+
+
+# vocabulary size above which the driver-dict broadcast path is replaced
+# by the distributed argmax + bucketed-join path (at 10^12 web documents
+# the surface-form vocabulary is billions of rows — no driver dict)
+ALIAS_VOCAB_BROADCAST_MAX = 2_000_000
+
+
+def _pick_canonical_group(df):
+    """Per-norm canonical pick: max support, ties lexicographically
+    smallest surface — one vectorized pandas pass per group."""
+    sub = df.sort_values(["n", "surface"], ascending=[False, True])
+    return sub.iloc[:1][["norm", "surface"]].rename(
+        columns={"surface": "canonical"})
+
+
+def build_alias_assignments(triples_ds, totals=None):
+    """Distributed alias resolution: → Dataset(norm, canonical).
+
+    The scale path: canonical picks computed via groupby(norm) argmax
+    inside the cluster — the vocabulary never lands on the driver.
+    Uses the coarse hash-partition + vectorized in-partition groupby
+    (ops/dedup.partitioned_group_apply) rather than per-norm map_groups:
+    at billions of norms a per-tiny-group Python dispatch is the
+    map_groups trap the repo's groupbys all avoid."""
+    from corenlp_ray.ops.dedup import partitioned_group_apply
+
+    if totals is None:
+        totals = _alias_totals(triples_ds)
+
+    def pick_partition(df):
+        sub = df.sort_values(["n", "surface"], ascending=[False, True])
+        out = sub.groupby("norm", sort=False).head(1)[["norm", "surface"]]
+        return out.rename(columns={"surface": "canonical"})
+
+    return partitioned_group_apply(totals, ["norm"], pick_partition,
+                                   inner_is_partition=True)
+
+
+def resolve_alias_scale(triples_ds, vocab_broadcast_max: int | None = None):
+    """Route alias canonicalization by vocabulary size.
+
+    → ``(alias_map, triples_ds)``: below the threshold the broadcast
+    regime returns the driver dict (``ray.put`` once, read per actor);
+    above it (billions of surface forms at web scale) ``alias_map`` is
+    None and the returned triples are ALREADY rewritten via the fully
+    distributed argmax + bucketed-join path."""
+    limit = ALIAS_VOCAB_BROADCAST_MAX if vocab_broadcast_max is None \
+        else vocab_broadcast_max
+    # vocabulary-sized (≪ corpus) and consumed twice (count + pick):
+    # pin it once
+    totals = _alias_totals(triples_ds).materialize()
+    if totals.count() <= limit:
+        return build_alias_map(None, totals=totals), triples_ds
+    # the assignments Dataset feeds TWO bucketed joins (subj, obj) —
+    # pin it once so the argmax isn't recomputed per consumer
+    assignments = build_alias_assignments(None, totals=totals).materialize()
+    return None, resolve_aliases_join(triples_ds, assignments)
+
+
+def _norm_cols_batch(batch: pa.Table) -> pa.Table:
+    subs = [normalize_surface(s or "")
+            for s in batch.column("subj_canonical").to_pylist()]
+    objs = [normalize_surface(o or "")
+            for o in batch.column("obj_canonical").to_pylist()]
+    return (batch
+            .append_column("_subj_norm", pa.array(subs, type=pa.string()))
+            .append_column("_obj_norm", pa.array(objs, type=pa.string())))
+
+
+def resolve_aliases_join(triples_ds, alias_ds, num_partitions: int = 32):
+    """Join-based alias resolve (the >broadcast-regime path): two
+    bucketed hash joins (subj norm, then obj norm) against the
+    distributed (norm, canonical) assignments — the same co-partitioned
+    join kernel the wikidict linker uses (ops/joins.bucketed_hash_join).
+    Output schema matches the broadcast resolver (combiner NOT fused —
+    the caller's partial-agg stage follows)."""
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    def _renamed(ds, key_name, canon_name):
+        def rn(b: pa.Table) -> pa.Table:
+            return b.select(["norm", "canonical"]).rename_columns(
+                [key_name, canon_name])
+        return ds.map_batches(rn, batch_format="pyarrow")
+
+    withnorm = triples_ds.map_batches(_norm_cols_batch,
+                                      batch_format="pyarrow")
+    j1 = bucketed_hash_join(
+        withnorm, _renamed(alias_ds, "_subj_norm", "sal_canonical"),
+        on="_subj_norm", how="left", npart=num_partitions)
+    j2 = bucketed_hash_join(
+        j1, _renamed(alias_ds, "_obj_norm", "oal_canonical"),
+        on="_obj_norm", how="left", npart=num_partitions)
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sc = pc.coalesce(batch.column("sal_canonical"),
+                         batch.column("subj_canonical"))
+        oc = pc.coalesce(batch.column("oal_canonical"),
+                         batch.column("obj_canonical"))
+        out = (batch
+               .set_column(batch.schema.get_field_index("subj_canonical"),
+                           "subj_canonical", sc)
+               .set_column(batch.schema.get_field_index("obj_canonical"),
+                           "obj_canonical", oc))
+        drop = [c for c in out.column_names
+                if c.startswith(("_subj_norm", "_obj_norm", "sal_",
+                                 "oal_"))]
+        return out.drop_columns(drop)
+
+    return j2.map_batches(_apply, batch_format="pyarrow")
 
 
 class ResolveAliases:

@@ -112,7 +112,12 @@ def resolve_coref(
         b2, e2, t2, _ = men[i + 1]
         if t1 in ("PERSON", "ORGANIZATION", "LOCATION") and e1 < len(words) \
                 and words[e1] == "," and b2 == e1 + 1 \
-                and tok_sent[b1] == tok_sent[b2]:
+                and tok_sent[b1] == tok_sent[b2] \
+                and (t2 == t1 or t2 not in ("PERSON", "ORGANIZATION",
+                                            "LOCATION")):
+            # two DIFFERENT named types ("Hello"/ORG , "Mary Johnson"/
+            # PERSON) are a list, not an appositive — dcoref requires
+            # entityAttributesAgree (Rules.java:150) before this merge
             uf.union(i, i + 1)
 
     # Sieves 4-7: head-match family (StrictHeadMatch1-3, RelaxedHeadMatch;

@@ -20,8 +20,8 @@ country/state/city subtype like the reference's fine NER types):
   per:spouse per:siblings per:parents per:children per:other_family
   per:charges per:cause_of_death per:alternate_names per:age per:origin
   per:schools_attended org:{city,stateorprovince,country}_of_headquarters
-  org:founded_by org:date_founded org:parents org:subsidiaries
-  org:top_members_employees org:alternate_names org:shareholders
+  org:founded_by org:founded org:parents org:subsidiaries
+  org:top_members/employees org:alternate_names org:shareholders
   org:member_of
 
 Subjects/objects are canonical-mention surfaces (coref representative),
@@ -48,8 +48,24 @@ _TITLE_NOUNS = {
 }
 _SPOUSE_NOUNS = {"wife", "husband", "spouse"}
 
+# ideology/religion modifiers for org:political/religious_affiliation
+# (reference NER IDEOLOGY/RELIGION fine types,
+# ie/KBPRelationExtractor.java ORG_POLITICAL_RELIGIOUS_AFFILIATION)
+_IDEOLOGIES = {
+    "islamic", "islamist", "christian", "catholic", "jewish", "hindu",
+    "buddhist", "communist", "socialist", "conservative", "nationalist",
+    "marxist", "secular", "evangelical", "liberal", "democratic",
+    "republican", "leftist", "rightist", "fascist", "zionist",
+}
+
 # sentence-length guard, the reference's kbp.maxlen (KBPAnnotator.java:87)
 KBP_MAXLEN = 100
+
+import re as _re_mod
+
+# URL-shaped token (the reference's URL fine NER type, org:website slot)
+_URL_RE = _re_mod.compile(
+    r"(?:https?://|www\.)\S+$|[A-Za-z0-9-]+\.(?:com|org|net|gov|edu)$")
 
 
 class DepRule:
@@ -133,13 +149,31 @@ _GEO_REL = {
 }
 
 
+# umbrella LOCATION relations for places whose fine geo type is unknown
+# (PER_LOC_OF_BIRTH / PER_LOC_OF_DEATH / PER_LOC_OF_RESIDENCE /
+# ORG_LOC_OF_HEADQUARTERS, ie/KBPRelationExtractor.java:129-131,154)
+_GEO_UMBRELLA = {
+    "per:city_of_birth": "per:LOCATION_of_birth",
+    "per:city_of_death": "per:LOCATION_of_death",
+    "per:cities_of_residence": "per:LOCATION_of_residence",
+    "org:city_of_headquarters": "org:LOCATION_of_headquarters",
+}
+
+
 def geo_relation(city_relation: str, place: str) -> str:
-    from corenlp_ray.functions.lexicon import geo_subtype
+    from corenlp_ray.functions.lexicon import LOCATIONS, geo_subtype
 
     country_rel, state_rel = _GEO_REL[city_relation]
     sub = geo_subtype(place)
-    return country_rel if sub == "country" else \
-        state_rel if sub == "state" else city_relation
+    if sub == "country":
+        return country_rel
+    if sub == "state":
+        return state_rel
+    if place.lower().strip() not in LOCATIONS:
+        # not a known city either: the reference backs off to the
+        # umbrella LOCATION_of_* relation instead of guessing CITY
+        return _GEO_UMBRELLA[city_relation]
+    return city_relation
 
 
 class Mention:
@@ -293,7 +327,7 @@ def kbp_sentence(
                              "ORGANIZATION", se[1], 0.97)
                         for d in obls(v, ("in", "on")):
                             if d.type == "DATE":
-                                emit(m.canonical, "org:date_founded", d.norm,
+                                emit(m.canonical, "org:founded", d.norm,
                                      "ORGANIZATION", "DATE", 0.97)
         elif lem in ("headquarter", "base", "locate") or words[v].lower() in (
                 "headquartered", "based", "located"):
@@ -362,6 +396,17 @@ def kbp_sentence(
                          "ORGANIZATION", "ORGANIZATION", 0.95)
                     emit(acro, "org:alternate_names", m.canonical,
                          "ORGANIZATION", "ORGANIZATION", 0.95)
+        # org:political/religious_affiliation — ideology/religion word
+        # inside or immediately before the ORG mention ("the Islamic
+        # Salvation Front", "Communist Party"): the modifier is part of
+        # the NNP run so no out-of-mention amod edge exists for the
+        # dep-rule bank to catch
+        if m.type == "ORGANIZATION":
+            for k in range(max(0, m.b - 1), m.e):
+                wl = words[k].lower()
+                if wl in _IDEOLOGIES:
+                    emit(m.canonical, "org:political/religious_affiliation",
+                         words[k], "ORGANIZATION", "IDEOLOGY", 0.9)
         # per:title + per:employee_of — appositive "X, TITLE of ORG"
         if m.type == "PERSON" and m.e < n and words[m.e] == ",":
             j = m.e + 1
@@ -380,8 +425,27 @@ def kbp_sentence(
                     if org:
                         emit(m.canonical, "per:employee_of", org.canonical,
                              "PERSON", "ORGANIZATION", 0.93)
-                        emit(org.canonical, "org:top_members_employees",
+                        emit(org.canonical, "org:top_members/employees",
                              m.canonical, "ORGANIZATION", "PERSON", 0.93)
+
+    # ---- org:website: URL-shaped token parenthesized after the ORG or
+    # following a "website" token (ORG_WEBSITE slot; parse shapes around
+    # URLs are too degraded for the dep-rule bank) ----
+    url_toks = [k for k in range(n) if _URL_RE.match(words[k])]
+    if url_toks:
+        for m in mentions:
+            if m.type != "ORGANIZATION":
+                continue
+            if m.e < n and words[m.e] in ("(", "-LRB-") \
+                    and m.e + 2 < n and _URL_RE.match(words[m.e + 1]) \
+                    and words[m.e + 2] in (")", "-RRB-"):
+                emit(m.canonical, "org:website", words[m.e + 1],
+                     "ORGANIZATION", "URL", 0.95)
+        if any(lemmas[k] == "website" for k in range(n)):
+            orgs = [m for m in mentions if m.type == "ORGANIZATION"]
+            if len(orgs) == 1:
+                emit(orgs[0].canonical, "org:website", words[url_toks[0]],
+                     "ORGANIZATION", "URL", 0.9)
 
     # ---- possessive spouse: "X's wife, Y" ----
     for i in range(n):
@@ -500,7 +564,7 @@ def kbp_sentence(
 
 def _copular_patterns(v, words, tags, ch, men_at, subj_entity, emit):
     """'X is the <title> of ORG' → per:title + per:employee_of +
-    org:top_members_employees; 'X is a subsidiary of Y' → org:parents."""
+    org:top_members/employees; 'X is a subsidiary of Y' → org:parents."""
     lw = words[v].lower()
     se_p = subj_entity(v, ("PERSON",))
     se_o = subj_entity(v, ("ORGANIZATION",))
@@ -521,7 +585,7 @@ def _copular_patterns(v, words, tags, ch, men_at, subj_entity, emit):
             if m:
                 emit(se_p[0], "per:employee_of", m.canonical,
                      "PERSON", "ORGANIZATION", 0.97)
-                emit(m.canonical, "org:top_members_employees", se_p[0],
+                emit(m.canonical, "org:top_members/employees", se_p[0],
                      "ORGANIZATION", "PERSON", 0.97)
     if lw == "subsidiary" and se_o and nmod_of is not None:
         m = men_at(nmod_of, ("ORGANIZATION",))
@@ -536,9 +600,17 @@ class KbpExtractor:
     """Actor-pool map_batches stage: docs → triples rows (source='kbp').
 
     ``rules_path``: optional extra dep-pattern rule bank (default ships
-    resources/kbp_dep_rules.tsv) — patterns compile ONCE per actor."""
+    resources/kbp_dep_rules.tsv) — patterns compile ONCE per actor.
 
-    def __init__(self, rules_path: Optional[str] = DEFAULT_RULES_PATH):
+    ``classifier_path``: optional trained KbpClassifier weights
+    (models/kbp_classifier.py). Ensemble order mirrors the reference's
+    KBPEnsembleExtractor.java:58-66 — rules run first and the
+    statistical model only classifies mention pairs no rule claimed
+    (first-extractor-wins union)."""
+
+    def __init__(self, rules_path: Optional[str] = DEFAULT_RULES_PATH,
+                 classifier_path: Optional[str] = None,
+                 classifier_threshold: float = 0.6):
         self.title_nouns = _TITLE_NOUNS  # pattern-bank binding point
         self.dep_rules: List[DepRule] = []
         if rules_path:
@@ -546,6 +618,34 @@ class KbpExtractor:
                 self.dep_rules = load_dep_rules(rules_path)
             except OSError:
                 self.dep_rules = []
+        self.classifier = None
+        self.classifier_threshold = classifier_threshold
+        if classifier_path:
+            from corenlp_ray.models.kbp_classifier import KbpClassifier
+
+            self.classifier = KbpClassifier.load(classifier_path)
+
+    def _classify_rest(self, words, tags, lemmas, heads, labels,
+                       mentions, claimed):
+        """Statistical fallback over pairs the rule bank left unclaimed
+        (the ensemble's last extractor)."""
+        from corenlp_ray.models.kbp_classifier import (NO_RELATION,
+                                                       candidate_pairs)
+
+        ners = ["O"] * len(words)
+        for m in mentions:
+            for k in range(m.b, min(m.e, len(words))):
+                ners[k] = m.type
+        out = []
+        for s, o, feats in candidate_pairs(words, tags, lemmas, heads,
+                                           labels, ners, mentions):
+            if (s.canonical, o.canonical) in claimed:
+                continue
+            rel, conf = self.classifier.predict(feats, s.type, o.type)
+            if rel != NO_RELATION and conf >= self.classifier_threshold:
+                out.append((s.canonical, rel, o.canonical, s.type,
+                            o.type, round(conf, 4)))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = {name: batch.column(name).to_pylist() for name in (
@@ -570,9 +670,16 @@ class KbpExtractor:
                                   m.canonical)
                           for m in mens if b <= m.b and m.e <= e]
                 l_pron = {k - b: v for k, v in pron.items() if b <= k < e}
-                for (s, rel, o, sner, oner, conf) in kbp_sentence(
+                triples = kbp_sentence(
+                    words[b:e], tags[b:e], lemmas[b:e], l_heads,
+                    labels[b:e], l_mens, l_pron, self.dep_rules)
+                if self.classifier is not None and len(words[b:e]) <= \
+                        KBP_MAXLEN:
+                    claimed = {(s, o) for (s, _, o, _, _, _) in triples}
+                    triples = triples + self._classify_rest(
                         words[b:e], tags[b:e], lemmas[b:e], l_heads,
-                        labels[b:e], l_mens, l_pron, self.dep_rules):
+                        labels[b:e], l_mens, claimed)
+                for (s, rel, o, sner, oner, conf) in triples:
                     rows.append({
                         "url": url, "sent_idx": si, "subj": s, "pred": rel,
                         "obj": o, "subj_canonical": s, "obj_canonical": o,

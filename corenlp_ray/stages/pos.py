@@ -134,6 +134,38 @@ def tag_sentence(words: List[str]) -> List[str]:
         if t == "VBD" and prev_w in ("was", "were", "is", "are", "be",
                                      "been", "has", "have", "had", "am"):
             tags[i] = "VBN"
+        # relative-clause predicate: "N which (RB)* X" — a relative
+        # pronoun is the clause subject, so a default-NN unknown right
+        # after it is its verb ("which develop", "which also contain").
+        # Gated off lexicon nouns and noun-suffix words ("which
+        # direction") so only fallback-tagged unknowns flip.
+        if lw == "which" and prev_t in ("NN", "NNS", "NNP", "NNPS",
+                                        ",", "IN"):
+            j = i + 1
+            while j < n and tags[j] == "RB":
+                j += 1
+            if j < n and tags[j] in ("NN", "NNS") \
+                    and lowers[j] not in POS_LEXICON \
+                    and not lowers[j].endswith(
+                        ("tion", "sion", "ment", "ness", "ity", "ance",
+                         "ence", "ship", "hood", "ism", "ure", "age")):
+                tags[j] = "VBZ" if tags[j] == "NNS" else "VBP"
+    # verbless-sentence repair: a clause needs a verb; an NNS right after
+    # a potential subject (NNP/PRP) whose stem is a known verb is almost
+    # surely VBZ ("Acme Corp. employs 5,000 people") — gated on the
+    # sentence having NO verbal tag so "GM plants closed" keeps NNS
+    if not any(t in _VERBAL for t in tags):
+        for i in range(1, n):
+            if tags[i] == "NNS" and tags[i - 1] in ("NNP", "NNPS", "PRP"):
+                lw = lowers[i]
+                cands = [lw[:-1]]
+                if lw.endswith("es"):
+                    cands.append(lw[:-2])
+                if lw.endswith("ies"):
+                    cands.append(lw[:-3] + "y")
+                if any(POS_LEXICON.get(c) in _VERBAL for c in cands):
+                    tags[i] = "VBZ"
+                    break
     return tags
 
 

@@ -42,7 +42,7 @@ def test_headquarters():
 def test_founded():
     t = kbp_for_text("Patricia Davis founded Hooli in 2004.")
     assert ("Hooli", "org:founded_by", "Patricia Davis") in t
-    assert ("Hooli", "org:date_founded", "2004") in t
+    assert ("Hooli", "org:founded", "2004") in t
 
 
 def test_spouse_symmetric():
@@ -55,7 +55,7 @@ def test_title_and_top_member():
     t = kbp_for_text(
         "Susan Clark is the chief executive officer of Umbrella Group.")
     assert ("Susan Clark", "per:employee_of", "Umbrella Group") in t
-    assert ("Umbrella Group", "org:top_members_employees", "Susan Clark") in t
+    assert ("Umbrella Group", "org:top_members/employees", "Susan Clark") in t
     assert any(p == "per:title" and s == "Susan Clark" for s, p, o in t)
 
 
@@ -116,7 +116,7 @@ def test_age():
 def test_appositive_title():
     t = kbp_for_text("Susan Clark, chief executive officer of Hooli, resigned.")
     assert ("Susan Clark", "per:employee_of", "Hooli") in t
-    assert ("Hooli", "org:top_members_employees", "Susan Clark") in t
+    assert ("Hooli", "org:top_members/employees", "Susan Clark") in t
     assert any(p == "per:title" and "officer" in o for s, p, o in t)
 
 

@@ -77,3 +77,80 @@ def test_no_false_family_without_kinship_noun():
 def test_geo_subtype_splits_relation(text, rel, obj):
     got = _rel(text, rel)
     assert any(o == obj for _, o in got), got
+
+
+# --- round-3 expansion: the final 12 relations completing the
+# reference's 47-relation TAC-KBP inventory
+# (ie/KBPRelationExtractor.java:121-170; per-relation semgrex dirs per
+# DefaultPaths.java:59-60: per_religion, per_member_of, org_members,
+# org_political_religious_affiliation,
+# org_number_of_employees_members, org_website, org_dissolved) ---
+
+def test_religion_converted_to():
+    assert ("John Smith", "Islam") in _rel(
+        "John Smith converted to Islam in 1990.", "per:religion")
+
+
+def test_religion_copular_adjective():
+    assert ("John Smith", "Catholic") in _rel(
+        "John Smith is a devout Catholic.", "per:religion")
+
+
+def test_religion_practices():
+    assert ("John Smith", "Buddhism") in _rel(
+        "John Smith practices Buddhism.", "per:religion")
+
+
+def test_per_member_of_copular():
+    assert ("Mary Jones", "National Rifle Association") in _rel(
+        "Mary Jones is a member of the National Rifle Association.",
+        "per:member_of")
+
+
+def test_per_member_of_board_seat():
+    assert ("John Smith", "Acme Corp.") in _rel(
+        "John Smith sits on the board of Acme Corp.", "per:member_of")
+
+
+def test_org_member_of_and_members_inverse():
+    text = "France is a member of the United Nations."
+    assert ("France", "United Nations") in _rel(text, "org:member_of")
+    assert ("United Nations", "France") in _rel(text, "org:members")
+
+
+def test_political_religious_affiliation_in_mention():
+    assert ("Islamic Salvation Front", "Islamic") in _rel(
+        "The Islamic Salvation Front won the election.",
+        "org:political/religious_affiliation")
+
+
+def test_number_of_employees_verb():
+    assert ("Acme Corp.", "5,000") in _rel(
+        "Acme Corp. employs 5,000 people.",
+        "org:number_of_employees/members")
+
+
+def test_number_of_employees_have():
+    assert ("Acme Corp.", "5,000") in _rel(
+        "Acme Corp. has 5,000 employees.",
+        "org:number_of_employees/members")
+
+
+def test_website_parenthesized():
+    assert ("Acme Corp.", "www.acme.com") in _rel(
+        "Acme Corp. ( www.acme.com ) announced profits.", "org:website")
+
+
+def test_website_copular():
+    assert ("Acme Corp.", "www.acme.com") in _rel(
+        "Acme Corp.'s website is www.acme.com.", "org:website")
+
+
+def test_dissolved_passive():
+    assert ("Acme Corp.", "1999") in _rel(
+        "Acme Corp. was dissolved in 1999.", "org:dissolved")
+
+
+def test_no_affiliation_for_plain_org():
+    assert not _rel("Acme Corp. hired John Smith.",
+                    "org:political/religious_affiliation")

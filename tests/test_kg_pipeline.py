@@ -99,3 +99,54 @@ def test_alias_map_two_phase(ray_session):
     alias = build_alias_map(ds)
     assert alias[normalize_surface("John Smith")] == "John Smith"
     assert alias["initech"] == "Initech"
+
+
+def test_alias_scale_join_path_matches_broadcast(ray_session):
+    """resolve_alias_scale above the vocab threshold (forced with
+    vocab_broadcast_max=0) must rewrite triples to the SAME canonical
+    surfaces the broadcast dict path produces — the round-2 verdict's
+    'bucketed-join default above vocabulary threshold' gate."""
+    import ray.data as rd
+
+    from corenlp_ray.stages.canonicalize import (ResolveAliases,
+                                                 resolve_alias_scale)
+
+    rows = [
+        {"url": f"u{i}", "subj_canonical": s, "pred": "x",
+         "obj_canonical": o, "confidence": 1.0}
+        for i, (s, o) in enumerate([
+            ("John Smith", "Initech"),
+            ("the John Smith", "Initech Inc."),
+            ("John Smith", "Dover"),
+            ("INITECH", "John Smith"),
+            ("Mary Jones", "the Dover"),
+        ] * 4)
+    ]
+    ds = rd.from_items(rows)
+
+    # broadcast regime (threshold high): returns the driver dict
+    alias, same_ds = resolve_alias_scale(ds, vocab_broadcast_max=10**9)
+    assert alias is not None and same_ds is ds
+    import ray as _ray
+    resolver = ResolveAliases(_ray.put(alias), combine=False)
+    want = []
+    for b in ds.to_arrow_refs():
+        t = _ray.get(b)
+        out = resolver(t)
+        want += list(zip(out.column("url").to_pylist(),
+                         out.column("subj_canonical").to_pylist(),
+                         out.column("obj_canonical").to_pylist()))
+
+    # join regime (threshold forced to 0): triples come back rewritten
+    alias2, resolved = resolve_alias_scale(ds, vocab_broadcast_max=0)
+    assert alias2 is None
+    got = []
+    for b in resolved.iter_batches(batch_format="pyarrow"):
+        got += list(zip(b.column("url").to_pylist(),
+                        b.column("subj_canonical").to_pylist(),
+                        b.column("obj_canonical").to_pylist()))
+    assert sorted(got) == sorted(want)
+    # schema preserved for the downstream combiner
+    cols = set(resolved.schema().names)
+    assert {"url", "subj_canonical", "pred", "obj_canonical",
+            "confidence"} <= cols
