@@ -51,8 +51,12 @@ def broadcast_join(left_ds, right: pa.Table, on: Sequence[str] | str,
 
     from corenlp_ray.ops._partition import fixed_pool
 
+    # num_cpus=0.5: full fixed width, but the pool only *reserves* a
+    # quarter of the cluster — chained broadcast joins (e.g. supplier ⋈
+    # nation ⋈ region) plus the read/aggregate task pools must all fit
+    # concurrently or the streaming executor deadlocks (seen at 4 CPUs).
     return left_ds.map_batches(Joiner, batch_format="pyarrow",
-                               concurrency=fixed_pool())
+                               concurrency=fixed_pool(), num_cpus=0.5)
 
 
 def _pandas_dtypes(ds_schema) -> dict:

@@ -79,7 +79,7 @@ def brute_force_topk(embeds_ds, query_vecs, query_ids=None, k: int = 10):
     from corenlp_ray.ops._partition import fixed_pool
 
     local = embeds_ds.map_batches(_BatchTopK, batch_format="pyarrow",
-                                  concurrency=fixed_pool(),
+                                  concurrency=fixed_pool(), num_cpus=0.5,
                                   fn_constructor_args=(ref, k))
     # global merge: k smallest of (-cosine, vec_id) per query
     heaps = {q: [] for q in qids}
@@ -204,4 +204,4 @@ def cosine_pairs_exact(embeds_ds, threshold: float = 0.3):
 
     return embeds_ds.map_batches(
         _BatchPairScan, batch_format="pyarrow", concurrency=fixed_pool(),
-        fn_constructor_args=(corpus_ref, threshold))
+        num_cpus=0.5, fn_constructor_args=(corpus_ref, threshold))

@@ -108,5 +108,5 @@ def with_entity_ids(kg_ds, num_shards: int = 4):
 
     index = EntityIndex(num_shards)
     return kg_ds.map_batches(AssignEntityIds, batch_format="pyarrow",
-                             concurrency=fixed_pool(divisor=4),
+                             concurrency=fixed_pool(divisor=4), num_cpus=0.5,
                              fn_constructor_args=(index,)), index
