@@ -235,6 +235,149 @@ def q_openie_planted(sf_dir: str):
                             "openie")
 
 
+# --------------------------------------------------------------- quotes
+
+# (text template, quote-token template): the quote text is the
+# TOKENIZED span inside the quotation marks; all three constructions
+# exercise different attribution sieves (tri-CVQ, tri-QVC) and are
+# pinned deterministic by tests/test_planted_oracles.py.
+QUOTE_PLANTED_TEMPLATES = [
+    ('{P} said, "{T} is essential."', "{T} is essential ."),
+    ('"{T} is vital," said {P}.', "{T} is vital ,"),
+    ('{P} added, "We value {T}."', "We value {T} ."),
+]
+
+
+def _quote_text(i: int) -> str:
+    return QUOTE_PLANTED_TEMPLATES[i % 3][0].format(
+        P=PERSONS[i % 12], T=TOPICS[i % 5])
+
+
+def q_quotes_planted(sf_dir: str):
+    """Full-chain quote oracle: planted speech sentences → tokenize→pos→
+    ner→depparse→coref → char-level quote extraction → multi-sieve
+    speaker attribution; (quote tokens, speaker) SQL-computable."""
+    from corenlp_ray.pipelines.kg import apply
+    from corenlp_ray.stages.misc_annotators import quote_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": ids,
+             "text": [_quote_text(int(i)) for i in ids]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string())]))
+
+    ann = apply(_docs_ids(sf_dir).map_batches(synth,
+                                              batch_format="pyarrow"),
+                ("coref",), distributed=False) \
+        .map_batches(quote_batch, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "quote": [], "speaker": []}
+        for r in range(b.num_rows):
+            did = b.column("doc_id")[r].as_py()
+            for qt, qs in zip(b.column("quo_text")[r].as_py(),
+                              b.column("quo_speaker")[r].as_py()):
+                rows["doc_id"].append(did)
+                rows["quote"].append(qt)
+                rows["speaker"].append(qs)
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("doc_id", pa.int64()), ("quote", pa.string()),
+             ("speaker", pa.string())]))
+
+    return ann.map_batches(explode, batch_format="pyarrow")
+
+
+def quotes_planted_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS t, "
+        f"list_extract({_sql_list(PERSONS)}, "
+        "CAST(doc_id % 12 AS INT) + 1) AS p, "
+        f"list_extract({_sql_list(TOPICS)}, "
+        "CAST(doc_id % 5 AS INT) + 1) AS tp FROM documents) "
+        "SELECT doc_id, "
+        "CASE t WHEN 0 THEN tp || ' is essential .' "
+        "WHEN 1 THEN tp || ' is vital ,' "
+        "ELSE 'We value ' || tp || ' .' END AS quote, "
+        "p AS speaker FROM d")
+
+
+# ------------------------------------------------------------ dedup chain
+
+# Planted near-dup corpus for the hash-based dedup pipelines: documents
+# in the same block of DEDUP_GROUP_SIZE consecutive doc_ids get
+# IDENTICAL text built from group-unique synthetic tokens, so
+#   * intra-group word-shingle Jaccard is exactly 1.0 (≥ any verify
+#     threshold; every LSH band collides) and SimHash Hamming is 0,
+#   * cross-group shingle sets are DISJOINT (Jaccard 0; band collisions
+#     and Hamming ≤ 3 across groups don't occur for these fixed texts —
+#     pinned by tests/test_planted_oracles.py),
+# which makes the full distributed pipeline's (doc_id, cluster_id)
+# output SQL-computable: cluster_id = MIN(doc_id) over the group.
+# Group size 10 stays under the hot-bucket cap (_MAX_BUCKET = 64) at
+# EVERY scale factor because groups are consecutive-id blocks, not
+# modular classes.
+
+DEDUP_GROUP_SIZE = 10
+
+
+def _dedup_text(i: int) -> str:
+    g = i // DEDUP_GROUP_SIZE
+    return " ".join(f"w{g}x{j}" for j in range(20))
+
+
+def _planted_dedup_docs(sf_dir: str):
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "text": [_dedup_text(int(i)) for i in ids]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string())]))
+
+    return _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow")
+
+
+def q_minhash_planted(sf_dir: str):
+    """The REAL minhash_dedup pipeline (LSH → in-cluster verify →
+    distributed connected components → label join) over the planted
+    near-dup corpus; cluster assignment fully oracle-checked."""
+    from corenlp_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_planted_dedup_docs(sf_dir), threshold=0.8)
+
+
+def q_simhash_planted(sf_dir: str):
+    """The REAL simhash_dedup pipeline (block explode → bucket verify →
+    distributed CC) over the same planted corpus; same oracle."""
+    from corenlp_ray.ops.dedup import simhash_dedup
+
+    return simhash_dedup(_planted_dedup_docs(sf_dir), max_hamming=3)
+
+
+def dedup_planted_sql() -> str:
+    return ("SELECT doc_id, MIN(doc_id) OVER "
+            f"(PARTITION BY doc_id // {DEDUP_GROUP_SIZE}) AS cluster_id "
+            "FROM documents")
+
+
+def q_ngram_jaccard_planted(sf_dir: str):
+    """The REAL ngram_jaccard_pairs operator (LSH candidates → two
+    bucketed text joins → per-batch exact-Jaccard kernel) over the
+    planted corpus: exactly the intra-group pairs at jaccard 1.0."""
+    from corenlp_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_planted_dedup_docs(sf_dir))
+
+
+def ngram_jaccard_planted_sql() -> str:
+    g = DEDUP_GROUP_SIZE
+    return ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "1.0 AS jaccard FROM documents a JOIN documents b "
+            f"ON a.doc_id // {g} = b.doc_id // {g} "
+            "AND a.doc_id < b.doc_id")
+
+
 def openie_planted_sql() -> str:
     return (
         "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS t, "

@@ -1023,12 +1023,19 @@ def q_multimodal(sf_dir: str):
 
 
 from corenlp_ray.pipelines.planted import (  # noqa: E402
-    entity_mentions_planted_sql, kbp_planted_sql, openie_planted_sql,
-    q_entity_mentions_planted, q_kbp_planted, q_openie_planted)
+    dedup_planted_sql, entity_mentions_planted_sql, kbp_planted_sql,
+    ngram_jaccard_planted_sql, openie_planted_sql,
+    q_entity_mentions_planted, q_kbp_planted, q_minhash_planted,
+    q_ngram_jaccard_planted, q_openie_planted, q_quotes_planted,
+    q_simhash_planted, quotes_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
 ORACLE_SQL["kbp_planted"] = kbp_planted_sql()
 ORACLE_SQL["openie_planted"] = openie_planted_sql()
+ORACLE_SQL["minhash_planted"] = dedup_planted_sql()
+ORACLE_SQL["simhash_planted"] = dedup_planted_sql()
+ORACLE_SQL["ngram_jaccard_planted"] = ngram_jaccard_planted_sql()
+ORACLE_SQL["quotes_planted"] = quotes_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1056,6 +1063,10 @@ QUERIES = {
     "entity_mentions_planted": q_entity_mentions_planted,
     "kbp_planted": q_kbp_planted,
     "openie_planted": q_openie_planted,
+    "minhash_planted": q_minhash_planted,
+    "simhash_planted": q_simhash_planted,
+    "ngram_jaccard_planted": q_ngram_jaccard_planted,
+    "quotes_planted": q_quotes_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

@@ -52,6 +52,50 @@ def test_kbp_plant_full_cross_product():
         assert got == want, (i, _kbp_text(i), got, want)
 
 
+def test_quote_plant_full_cross_product():
+    # 60 = lcm(3 templates, 12 persons, 5 topics)
+    import pyarrow as pa
+
+    from corenlp_ray.pipelines.planted import (QUOTE_PLANTED_TEMPLATES,
+                                               _quote_text)
+    from corenlp_ray.stages.misc_annotators import quote_batch
+
+    for i in range(60):
+        P, T = PERSONS[i % 12], TOPICS[i % 5]
+        d = Document(_quote_text(i))
+        d._need(*Document._transitive("coref"))
+        tbl = pa.Table.from_pydict({k: [v] for k, v in d._row.items()})
+        out = quote_batch(tbl)
+        want_quote = QUOTE_PLANTED_TEMPLATES[i % 3][1].format(T=T)
+        assert out.column("quo_text")[0].as_py() == [want_quote], i
+        assert out.column("quo_speaker")[0].as_py() == [P], i
+
+
+def test_dedup_plant_disjointness_pins():
+    """The planted dedup corpus's two load-bearing invariants: identical
+    text inside a consecutive-id group (word-shingle Jaccard 1.0,
+    SimHash Hamming 0) and ZERO cross-group affinity (disjoint shingle
+    sets → Jaccard 0; SimHash Hamming far above the ≤3 verify gate) for
+    every group pair in the first 1000 planted docs."""
+    from corenlp_ray.ops.dedup import jaccard, simhash64
+    from corenlp_ray.pipelines.planted import (DEDUP_GROUP_SIZE,
+                                               _dedup_text)
+
+    n_groups = 100
+    texts = [_dedup_text(g * DEDUP_GROUP_SIZE) for g in range(n_groups)]
+    for g in range(n_groups):
+        for i in range(1, DEDUP_GROUP_SIZE):
+            assert _dedup_text(g * DEDUP_GROUP_SIZE + i) == texts[g]
+    sims = [simhash64(t) for t in texts]
+    shingle_sets = [set(t.split()) for t in texts]
+    for a in range(n_groups):
+        for b in range(a + 1, n_groups):
+            assert not (shingle_sets[a] & shingle_sets[b])
+            assert jaccard(texts[a], texts[b], 3) == 0.0
+            d = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+            assert d > 3, (a, b, d)
+
+
 def test_openie_plant_full_cross_product():
     # 60 = lcm(4 templates, 12 persons, 5 topics, 10 orgs)
     for i in range(120):
