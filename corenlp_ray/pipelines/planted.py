@@ -235,6 +235,184 @@ def q_openie_planted(sf_dir: str):
                             "openie")
 
 
+# ------------------------------------------------- natlog / sentiment
+
+# (text or None=use person template, n_tokens, n_downward): polarity
+# marks follow the reference's NaturalLogicAnnotator operator scopes
+# (naturalli/Polarity.java; PolarityTest) — 'All' flips its restrictor
+# down, 'No'/'not' flip their scope down, 'Some' is upward-monotone.
+NATLOG_PLANTED_TEMPLATES = [
+    ("All rabbits eat vegetables.", 5, 1),
+    ("No students attended the lecture.", 6, 5),
+    ("Some cats have tails.", 5, 0),
+    (None, 7, 3),   # "{P} did not visit {C}." — P is always 2 tokens
+]
+
+
+def _natlog_text(i: int) -> str:
+    t = NATLOG_PLANTED_TEMPLATES[i % 4][0]
+    if t is not None:
+        return t
+    return "{} did not visit {}.".format(PERSONS[i % 12], CITIES[i % 10])
+
+
+def q_natlog_planted(sf_dir: str):
+    """Full-chain natlog oracle: planted quantifier/negation sentences →
+    tokenize→pos→depparse→natlog; per-doc downward-token counts are
+    template constants."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.pipelines.kg import apply
+    from corenlp_ray.stages.natlog import natlog_batch
+
+    ann = apply(_planted_doc_texts(sf_dir, _natlog_text),
+                ("depparse",), distributed=False) \
+        .map_batches(natlog_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        downs = [sum(1 for p in pol if p == "down")
+                 for pol in b.column("tok_polarity").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"),
+             "n_tokens": pc.cast(
+                 pc.list_value_length(b.column("tok_word")), pa.int64()),
+             "n_downward": pa.array(downs, type=pa.int64())},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("n_downward", pa.int64())]))
+
+    return ann.map_batches(project, batch_format="pyarrow")
+
+
+def natlog_planted_sql() -> str:
+    toks = ", ".join(str(t[1]) for t in NATLOG_PLANTED_TEMPLATES)
+    downs = ", ".join(str(t[2]) for t in NATLOG_PLANTED_TEMPLATES)
+    return (
+        "SELECT doc_id, "
+        f"list_extract([{toks}], CAST(doc_id % 4 AS INT) + 1) AS n_tokens, "
+        f"list_extract([{downs}], CAST(doc_id % 4 AS INT) + 1) "
+        "AS n_downward FROM documents")
+
+
+SENTIMENT_PLANTED_TEMPLATES = [
+    ("The excellent film was wonderful.", "Very positive"),
+    ("The terrible film was awful.", "Very negative"),
+    ("The film was shown in theaters.", "Neutral"),
+]
+
+
+def _sentiment_text(i: int) -> str:
+    return SENTIMENT_PLANTED_TEMPLATES[i % 3][0]
+
+
+def q_sentiment_planted(sf_dir: str):
+    """Tree-compositional sentiment over planted valence sentences
+    (dep→constituency projection + lexicon composition); the per-doc
+    class label is a template constant."""
+    from corenlp_ray.pipelines.kg import apply
+    from corenlp_ray.stages.sentiment import sentiment_batch
+
+    ann = apply(_planted_doc_texts(sf_dir, _sentiment_text),
+                ("depparse",), distributed=False) \
+        .map_batches(sentiment_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        labs = [s[0] if s else "" for s in
+                b.column("sent_sentiment").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"),
+             "sentiment": pa.array(labs, type=pa.string())},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("sentiment", pa.string())]))
+
+    return ann.map_batches(project, batch_format="pyarrow")
+
+
+def sentiment_planted_sql() -> str:
+    labs = ", ".join("'" + t[1] + "'" for t in SENTIMENT_PLANTED_TEMPLATES)
+    return ("SELECT doc_id, "
+            f"list_extract([{labs}], CAST(doc_id % 3 AS INT) + 1) "
+            "AS sentiment FROM documents")
+
+
+# ----------------------------------------------- entity linking + gender
+
+def _linking_text(i: int) -> str:
+    return "{} works for {} in {}.".format(
+        PERSONS[i % 12], ORGS[i % 10], CITIES[i % 10])
+
+
+def q_linking_planted(sf_dir: str):
+    """Entity-link + gender oracle: planted PERSON/ORG/LOCATION
+    sentences → ner → curated-dict linking + first-name gender; all
+    three mentions' (surface, ner, link, gender) SQL-computable.
+    Link normalization and the name→gender table are pinned by
+    tests/test_planted_oracles.py over the full slot cross-product."""
+    from corenlp_ray.pipelines.kg import apply
+    from corenlp_ray.stages.entitylink import entitylink_batch
+    from corenlp_ray.stages.misc_annotators import gender_batch
+
+    ann = apply(_planted_doc_texts(sf_dir, _linking_text),
+                ("ner",), distributed=False) \
+        .map_batches(entitylink_batch, batch_format="pyarrow") \
+        .map_batches(gender_batch, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "surface": [], "ner": [], "link": [],
+                "gender": []}
+        for r in range(b.num_rows):
+            did = b.column("doc_id")[r].as_py()
+            words = b.column("tok_word")[r].as_py()
+            for mb, me, ty, lk, g in zip(
+                    b.column("men_begin")[r].as_py(),
+                    b.column("men_end")[r].as_py(),
+                    b.column("men_ner")[r].as_py(),
+                    b.column("men_link")[r].as_py(),
+                    b.column("men_gender")[r].as_py()):
+                rows["doc_id"].append(did)
+                rows["surface"].append(" ".join(words[mb:me]))
+                rows["ner"].append(ty)
+                rows["link"].append(lk)
+                rows["gender"].append(g)
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("doc_id", pa.int64()), ("surface", pa.string()),
+             ("ner", pa.string()), ("link", pa.string()),
+             ("gender", pa.string())]))
+
+    return ann.map_batches(explode, batch_format="pyarrow")
+
+
+def linking_planted_sql() -> str:
+    # even person index → MALE, odd → FEMALE (the curated first-name
+    # gender lexicon alternates over this slot list; pinned by test)
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"list_extract({_sql_list(PERSONS)}, "
+        "CAST(doc_id % 12 AS INT) + 1) AS p, "
+        f"list_extract({_sql_list(ORGS)}, "
+        "CAST(doc_id % 10 AS INT) + 1) AS o, "
+        f"list_extract({_sql_list(CITIES)}, "
+        "CAST(doc_id % 10 AS INT) + 1) AS c FROM documents) "
+        "SELECT doc_id, p AS surface, 'PERSON' AS ner, "
+        "replace(p, ' ', '_') AS link, "
+        "CASE WHEN doc_id % 12 % 2 = 0 THEN 'MALE' ELSE 'FEMALE' END "
+        "AS gender FROM d "
+        "UNION ALL SELECT doc_id, o, 'ORGANIZATION', "
+        "replace(replace(o, '.', ''), ' ', '_'), 'UNKNOWN' FROM d "
+        "UNION ALL SELECT doc_id, c, 'LOCATION', c, 'UNKNOWN' FROM d")
+
+
+def _planted_doc_texts(sf_dir: str, text_fn):
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "text": [text_fn(int(i)) for i in ids]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string())]))
+
+    return _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- quotes
 
 # (text template, quote-token template): the quote text is the

@@ -71,6 +71,70 @@ def test_quote_plant_full_cross_product():
         assert out.column("quo_speaker")[0].as_py() == [P], i
 
 
+def test_natlog_plant_full_cross_product():
+    # 60 = lcm(4 templates, 12 persons, 10 cities) / 4 cycles
+    import pyarrow as pa
+
+    from corenlp_ray.pipelines.planted import (NATLOG_PLANTED_TEMPLATES,
+                                               _natlog_text)
+    from corenlp_ray.stages.natlog import natlog_batch
+
+    for i in range(240):
+        _, n_tok, n_down = NATLOG_PLANTED_TEMPLATES[i % 4]
+        d = Document(_natlog_text(i))
+        d._need(*Document._transitive("depparse"))
+        tbl = pa.Table.from_pydict({k: [v] for k, v in d._row.items()})
+        pol = natlog_batch(tbl).column("tok_polarity")[0].as_py()
+        assert len(pol) == n_tok, (i, _natlog_text(i), pol)
+        assert sum(1 for p in pol if p == "down") == n_down, (i, pol)
+
+
+def test_sentiment_plant_templates():
+    import pyarrow as pa
+
+    from corenlp_ray.pipelines.planted import SENTIMENT_PLANTED_TEMPLATES
+    from corenlp_ray.stages.sentiment import sentiment_batch
+
+    for text, want in SENTIMENT_PLANTED_TEMPLATES:
+        d = Document(text)
+        d._need(*Document._transitive("depparse"))
+        tbl = pa.Table.from_pydict({k: [v] for k, v in d._row.items()})
+        got = sentiment_batch(tbl).column("sent_sentiment")[0].as_py()
+        assert got == [want], (text, got)
+
+
+def test_linking_plant_full_cross_product():
+    # 60 = lcm(12 persons, 10 orgs/cities); pins the curated-dict link
+    # normalization and the first-name gender table the SQL relies on
+    import pyarrow as pa
+
+    from corenlp_ray.pipelines.planted import _linking_text
+    from corenlp_ray.stages.entitylink import entitylink_batch
+    from corenlp_ray.stages.misc_annotators import gender_batch
+
+    for i in range(60):
+        P, O, C = PERSONS[i % 12], ORGS[i % 10], CITIES[i % 10]
+        d = Document(_linking_text(i))
+        d._need(*Document._transitive("ner"))
+        tbl = gender_batch(entitylink_batch(
+            pa.Table.from_pydict({k: [v] for k, v in d._row.items()})))
+        words = tbl.column("tok_word")[0].as_py()
+        got = [(" ".join(words[b:e]), ty, lk, g) for b, e, ty, lk, g in
+               zip(tbl.column("men_begin")[0].as_py(),
+                   tbl.column("men_end")[0].as_py(),
+                   tbl.column("men_ner")[0].as_py(),
+                   tbl.column("men_link")[0].as_py(),
+                   tbl.column("men_gender")[0].as_py())]
+        want = [
+            (P, "PERSON", P.replace(" ", "_"),
+             "MALE" if (i % 12) % 2 == 0 else "FEMALE"),
+            (O, "ORGANIZATION", O.replace(".", "").replace(" ", "_"),
+             "UNKNOWN"),
+            (C, "LOCATION", C, "UNKNOWN"),
+        ]
+        assert got == want, (i, _linking_text(i), got, want)
+
+
 def test_dedup_plant_disjointness_pins():
     """The planted dedup corpus's two load-bearing invariants: identical
     text inside a consecutive-id group (word-shingle Jaccard 1.0,
