@@ -335,6 +335,121 @@ def sentiment_planted_sql() -> str:
             "AS sentiment FROM documents")
 
 
+# --------------------------------------- multilingual segmenters + parse
+
+# (text, lang, n_tokens): zh MaxMatch, ar clitic segmentation, es/fr MWT
+# expansion (del→de el, du→de le, au→à le), en PTB — the token counts
+# are template constants pinned by tests/test_planted_oracles.py.
+SEGMENTER_PLANTED_TEMPLATES = [
+    ("北京大学的学生在学习。", "zh", 7),
+    ("ذهب الطالب إلى المكتبة.", "ar", 5),
+    ("El estudiante habla del proyecto.", "es", 7),
+    ("Je parle du projet au bureau.", "fr", 9),
+    ("The quick brown fox jumps.", "en", 6),
+]
+
+
+def q_multilingual_planted(sf_dir: str):
+    """Language-routed segmentation oracle: the REAL segment_text_batch
+    stage (zh MaxMatch / ar clitics / es-fr MWT / PTB) over planted
+    sentences; per-template token counts SQL-computable."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.stages.segmenter import segment_text_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts, langs = [], []
+        for i in ids:
+            t, lg, _ = SEGMENTER_PLANTED_TEMPLATES[int(i) % 5]
+            texts.append(t)
+            langs.append(lg)
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "text": texts, "lang": langs},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string()),
+                              ("lang", pa.string())]))
+
+    out = _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow") \
+        .map_batches(segment_text_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"),
+             "lang": b.column("lang"),
+             "n_tokens": pc.cast(b.column("n_tokens"), pa.int64())},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("lang", pa.string()),
+                              ("n_tokens", pa.int64())])),
+        batch_format="pyarrow")
+
+
+def multilingual_planted_sql() -> str:
+    langs = ", ".join("'" + t[1] + "'" for t in SEGMENTER_PLANTED_TEMPLATES)
+    toks = ", ".join(str(t[2]) for t in SEGMENTER_PLANTED_TEMPLATES)
+    return ("SELECT doc_id, "
+            f"list_extract([{langs}], CAST(doc_id % 5 AS INT) + 1) AS lang, "
+            f"list_extract([{toks}], CAST(doc_id % 5 AS INT) + 1) "
+            "AS n_tokens FROM documents")
+
+
+# dep→constituency projection bracketings for the two planted shapes;
+# {F}/{L}/{C} are the person first/last token and the (single-token)
+# city — pinned by tests/test_planted_oracles.py.
+PARSE_PLANTED_TEMPLATES = [
+    ("All rabbits eat vegetables.",
+     "(ROOT (S (VP (NP (DT All) (NNS rabbits)) (VBP eat) "
+     "(NNS vegetables) (. .))))"),
+    (None,   # "{P} visited {C}."
+     "(ROOT (S (VP (NP (NNP {F}) (NNP {L})) (VBD visited) "
+     "(NNP {C}) (. .))))"),
+]
+
+
+def _parse_text(i: int) -> str:
+    if i % 2 == 0:
+        return PARSE_PLANTED_TEMPLATES[0][0]
+    return "{} visited {}.".format(PERSONS[i % 12], CITIES[i % 10])
+
+
+def q_parse_planted(sf_dir: str):
+    """Constituency-projection oracle: planted sentences → tokenize→pos→
+    depparse→parse_tree; the PTB bracketing string per doc is
+    SQL-computable from the slot values."""
+    from corenlp_ray.pipelines.kg import apply
+    from corenlp_ray.stages.parse_tree import parse_tree_batch
+
+    ann = apply(_planted_doc_texts(sf_dir, _parse_text),
+                ("depparse",), distributed=False) \
+        .map_batches(parse_tree_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        trees = [t[0] if t else "" for t in
+                 b.column("parse_tree").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"),
+             "tree": pa.array(trees, type=pa.string())},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("tree", pa.string())]))
+
+    return ann.map_batches(project, batch_format="pyarrow")
+
+
+def parse_planted_sql() -> str:
+    fixed = PARSE_PLANTED_TEMPLATES[0][1].replace("'", "''")
+    shaped = PARSE_PLANTED_TEMPLATES[1][1] \
+        .replace("{F}", "%s").replace("{L}", "%s").replace("{C}", "%s")
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"list_extract({_sql_list(PERSONS)}, "
+        "CAST(doc_id % 12 AS INT) + 1) AS p, "
+        f"list_extract({_sql_list(CITIES)}, "
+        "CAST(doc_id % 10 AS INT) + 1) AS c FROM documents) "
+        "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+        f"'{fixed}' ELSE printf('{shaped}', "
+        "split_part(p, ' ', 1), split_part(p, ' ', 2), c) END AS tree "
+        "FROM d")
+
+
 # ----------------------------------------------- entity linking + gender
 
 def _linking_text(i: int) -> str:

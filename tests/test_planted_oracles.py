@@ -135,6 +135,43 @@ def test_linking_plant_full_cross_product():
         assert got == want, (i, _linking_text(i), got, want)
 
 
+def test_segmenter_plant_templates():
+    import pyarrow as pa
+
+    from corenlp_ray.pipelines.planted import SEGMENTER_PLANTED_TEMPLATES
+    from corenlp_ray.stages.segmenter import segment_text_batch
+
+    tbl = pa.Table.from_pydict(
+        {"doc_id": list(range(len(SEGMENTER_PLANTED_TEMPLATES))),
+         "text": [t[0] for t in SEGMENTER_PLANTED_TEMPLATES],
+         "lang": [t[1] for t in SEGMENTER_PLANTED_TEMPLATES]})
+    out = segment_text_batch(tbl)
+    for r, (_, lang, n) in enumerate(SEGMENTER_PLANTED_TEMPLATES):
+        assert out.column("n_tokens")[r].as_py() == n, (lang, r)
+
+
+def test_parse_plant_full_cross_product():
+    # 120 = lcm(2 templates, 12 persons, 10 cities)
+    import pyarrow as pa
+
+    from corenlp_ray.pipelines.planted import (PARSE_PLANTED_TEMPLATES,
+                                               _parse_text)
+    from corenlp_ray.stages.parse_tree import parse_tree_batch
+
+    for i in range(120):
+        d = Document(_parse_text(i))
+        d._need(*Document._transitive("depparse"))
+        tbl = pa.Table.from_pydict({k: [v] for k, v in d._row.items()})
+        got = parse_tree_batch(tbl).column("parse_tree")[0].as_py()
+        if i % 2 == 0:
+            want = PARSE_PLANTED_TEMPLATES[0][1]
+        else:
+            f, l = PERSONS[i % 12].split()
+            want = PARSE_PLANTED_TEMPLATES[1][1].replace(
+                "{F}", f).replace("{L}", l).replace("{C}", CITIES[i % 10])
+        assert got == [want], (i, _parse_text(i), got, want)
+
+
 def test_dedup_plant_disjointness_pins():
     """The planted dedup corpus's two load-bearing invariants: identical
     text inside a consecutive-id group (word-shingle Jaccard 1.0,
