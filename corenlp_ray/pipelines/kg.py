@@ -146,7 +146,16 @@ class TripleExtractor:
     def __call__(self, batch):
         import pyarrow as pa
 
-        return pa.concat_tables([openie_batch(batch), self.kbp(batch)])
+        # ONE Arrow→pylist conversion shared by both extractors (the
+        # two kernels read the same 15 wide list columns; converting
+        # twice was ~19% of this stage's wall time)
+        cols = {name: batch.column(name).to_pylist() for name in (
+            "url", "tok_word", "tok_pos", "tok_lemma", "sent_begin",
+            "sent_end", "dep_head", "dep_label", "men_begin", "men_end",
+            "men_ner", "men_norm", "men_canonical", "pron_idx",
+            "pron_canonical")}
+        return pa.concat_tables([openie_batch(batch, cols=cols),
+                                 self.kbp(batch, cols=cols)])
 
 
 def extract_triples(docs_ds, distributed: bool = True):

@@ -647,12 +647,16 @@ class KbpExtractor:
                             o.type, round(conf, 4)))
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {name: batch.column(name).to_pylist() for name in (
-            "url", "tok_word", "tok_pos", "tok_lemma", "sent_begin",
-            "sent_end", "dep_head", "dep_label", "men_begin", "men_end",
-            "men_ner", "men_norm", "men_canonical", "pron_idx",
-            "pron_canonical")}
+    def __call__(self, batch: pa.Table,
+                 cols: dict | None = None) -> pa.Table:
+        # ``cols``: optionally pre-converted pylists (the fused
+        # TripleExtractor converts the Arrow batch ONCE for openie+kbp)
+        if cols is None:
+            cols = {name: batch.column(name).to_pylist() for name in (
+                "url", "tok_word", "tok_pos", "tok_lemma", "sent_begin",
+                "sent_end", "dep_head", "dep_label", "men_begin",
+                "men_end", "men_ner", "men_norm", "men_canonical",
+                "pron_idx", "pron_canonical")}
         rows: List[dict] = []
         for r in range(len(cols["url"])):
             url = cols["url"][r]

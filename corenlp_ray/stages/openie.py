@@ -696,15 +696,19 @@ def extract_sentence_triples(
     return uniq
 
 
-def openie_batch(batch: pa.Table) -> pa.Table:
+def openie_batch(batch: pa.Table, cols: dict | None = None) -> pa.Table:
     """map_batches stage: docs → triples rows (source='openie').
 
     Requires tok_*, dep_*, men_*, pron_* columns. Explodes rows; output
-    schema is TRIPLES_SCHEMA. Stateless, per-sentence parallel."""
-    cols = {name: batch.column(name).to_pylist() for name in (
-        "url", "tok_word", "tok_pos", "tok_lemma", "tok_sent",
-        "sent_begin", "sent_end", "dep_head", "dep_label",
-        "men_begin", "men_end", "men_ner", "pron_idx", "pron_canonical")}
+    schema is TRIPLES_SCHEMA. Stateless, per-sentence parallel.
+    ``cols``: optionally pre-converted column pylists (the fused
+    TripleExtractor converts the Arrow batch ONCE for openie + kbp)."""
+    if cols is None:
+        cols = {name: batch.column(name).to_pylist() for name in (
+            "url", "tok_word", "tok_pos", "tok_lemma",
+            "sent_begin", "sent_end", "dep_head", "dep_label",
+            "men_begin", "men_end", "men_ner", "pron_idx",
+            "pron_canonical")}
     rows: List[dict] = []
     for r in range(batch.num_rows):
         url = cols["url"][r]
