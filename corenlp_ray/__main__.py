@@ -54,9 +54,10 @@ def main(argv=None) -> int:
 
     tr = sub.add_parser(
         "train", help="train a model slot (pos | depparse | ner | "
-        "clause | kbp); real corpora drop into the same flags")
+        "clause | kbp | coref); real corpora drop into the same flags")
     tr.add_argument("--model", required=True,
-                    choices=["pos", "depparse", "ner", "clause", "kbp"])
+                    choices=["pos", "depparse", "ner", "clause", "kbp",
+                             "coref"])
     tr.add_argument("--out", required=True,
                     help="weights JSON output path")
     tr.add_argument("--conllu", default=None,
@@ -174,6 +175,30 @@ def _distill_kbp_sentences(sf_dir: str, limit: int):
     return out
 
 
+def _distill_coref_docs(sf_dir: str, limit: int):
+    """Per-DOC (words, tags, tok_sent, men) tuples for
+    CorefRanker.distill — the annotate chain through ner via the
+    simple API (mentions exist, coref not yet run)."""
+    import pyarrow.parquet as pq
+
+    from corenlp_ray.api import Document
+    from corenlp_ray.sources.pages import make_page
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).slice(0, limit)
+    out = []
+    for doc_id, filler in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist()):
+        text = make_page(int(doc_id), filler=filler or "")["text"]
+        doc = Document(text or "")
+        doc._need(*Document._transitive("ner"))
+        r = doc._row
+        men = list(zip(r["men_begin"], r["men_end"], r["men_ner"],
+                       r["men_norm"]))
+        out.append((r["tok_word"], r["tok_pos"], r["tok_sent"], men))
+    return out
+
+
 def _train(args) -> dict:
     if args.cmd != "train":
         raise ValueError
@@ -226,11 +251,17 @@ def _train(args) -> dict:
             heads, labels = parse_sentence(words, tags)
             parsed.append((words, tags, heads, labels))
         m = ClauseClassifier.distill(parsed, n_iter=args.n_iter)
-    else:                              # kbp statistical extractor slot
+    elif args.model == "kbp":          # kbp statistical extractor slot
         from corenlp_ray.models.kbp_classifier import KbpClassifier
 
         m = KbpClassifier.distill(
             _distill_kbp_sentences(args.distill_sf_dir, args.limit_docs),
+            n_iter=args.n_iter)
+    else:                              # coref statistical ranker slot
+        from corenlp_ray.models.coref_ranker import CorefRanker
+
+        m = CorefRanker.distill(
+            _distill_coref_docs(args.distill_sf_dir, args.limit_docs),
             n_iter=args.n_iter)
     m.save(args.out)
     return {"job": "train", "model": args.model, "out": args.out,

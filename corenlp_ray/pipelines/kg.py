@@ -98,7 +98,8 @@ _KBP_MODEL_PATH: str | None = None
 
 def register_weighted_models(pos_model_path: str | None = None,
                              dep_model_path: str | None = None,
-                             kbp_model_path: str | None = None) -> None:
+                             kbp_model_path: str | None = None,
+                             coref_model_path: str | None = None) -> None:
     """Swap the rule cascades for TRAINED weights (the pinned-model
     actor stages in models/): re-registers 'pos' and/or 'depparse' so
     every pipeline built afterwards (incl. the flagship KG chain) runs
@@ -123,6 +124,15 @@ def register_weighted_models(pos_model_path: str | None = None,
     if kbp_model_path is not None:
         global _KBP_MODEL_PATH
         _KBP_MODEL_PATH = kbp_model_path
+    if coref_model_path is not None:
+        from corenlp_ray.models.coref_ranker import StatisticalCoref
+
+        register(Stage("coref", ("men_begin", "tok_pos"),
+                       ("men_chain", "men_canonical", "pron_idx"),
+                       StatisticalCoref,
+                       lambda: {**(_pool() if callable(_pool) else _pool),
+                                "fn_constructor_kwargs":
+                                    {"model_path": coref_model_path}}))
 
 ANNOTATE_STAGES = ("cleanxml", "tokenize", "pos", "lemma", "ner",
                    "depparse", "coref")

@@ -238,10 +238,23 @@ def resolve_coref(
             uf.union(initials[s], i)
 
     # Sieve 5: pronoun match
+    pron_idx, pron_canon_mention = resolve_pronouns(
+        words, tags, tok_sent, men, surfaces)
+
+    return finalize_clusters(uf, men, surfaces, entity_like,
+                             pron_idx, pron_canon_mention)
+
+
+def resolve_pronouns(words, tags, tok_sent, men, surfaces):
+    """The deterministic PronounMatch sieve (shared by the sieve system
+    and the statistical ranker, which ranks only entity mentions —
+    matching the reference, whose statistical algorithm also keeps a
+    rule-based pronoun component in the anaphoricity/ranking split).
+    Returns (pron_idx, antecedent mention index per pronoun)."""
+    nm = len(men)
     pron_idx: List[int] = []
     pron_canon_mention: List[int] = []
-    n = len(words)
-    for k in range(n):
+    for k in range(len(words)):
         lw = words[k].lower()
         if tags[k] not in ("PRP", "PRP$"):
             continue
@@ -278,8 +291,15 @@ def resolve_coref(
         if best >= 0:
             pron_idx.append(k)
             pron_canon_mention.append(best)
+    return pron_idx, pron_canon_mention
 
-    # canonical per cluster: earliest entity-like mention in the cluster
+
+def finalize_clusters(uf, men, surfaces, entity_like,
+                      pron_idx, pron_canon_mention):
+    """Cluster → output columns: canonical per cluster = earliest
+    entity-like mention (the reference's most-representative-mention
+    rule). Shared by the sieve system and the statistical ranker."""
+    nm = len(men)
     roots: Dict[int, int] = {}
     for i in entity_like:
         r = uf.find(i)
