@@ -335,6 +335,54 @@ def sentiment_planted_sql() -> str:
             "AS sentiment FROM documents")
 
 
+# --------------------------------------------------------- full KG chain
+
+def q_kg_planted(sf_dir: str):
+    """FLAGSHIP-chain oracle: planted sentences → the REAL kg pipeline
+    (annotate → fused openie∪kbp extraction → cross-document alias map →
+    native (subj, pred, obj) aggregate with Max-confidence /
+    Sum-support / Min-example-url) — the canonicalization and dedup
+    stages the per-doc planted oracles don't cover. Expected output per
+    template (openie SVO at 1.0; the acquisition shape also fires the
+    KBP rule bank: org:subsidiaries + org:parents at 0.9) is
+    SQL-computable including support counts across the doc corpus."""
+    from corenlp_ray.stages.canonicalize import build_alias_map, build_kg
+
+    triples = _planted_triples(sf_dir, _openie_text).materialize()
+    kg = build_kg(triples, alias_map=build_alias_map(triples))
+    return kg.drop_columns(["subj_bucket"])
+
+
+def kg_planted_sql() -> str:
+    d = ("WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS t, "
+         f"list_extract({_sql_list(PERSONS)}, "
+         "CAST(doc_id % 12 AS INT) + 1) AS p, "
+         f"list_extract({_sql_list(TOPICS)}, "
+         "CAST(doc_id % 5 AS INT) + 1) AS tp, "
+         f"list_extract({_sql_list(ORGS)}, "
+         "CAST(doc_id % 10 AS INT) + 1) AS o, "
+         f"list_extract({_sql_list(ORGS)}, "
+         "CAST((doc_id + 3) % 10 AS INT) + 1) AS o2 FROM documents), "
+         # one row per emitted triple instance, then the same
+         # (subj, pred, obj) aggregate build_kg runs
+         "x AS ("
+         "SELECT doc_id, "
+         "CASE t WHEN 0 THEN 'cats' WHEN 1 THEN 'rabbits' "
+         "WHEN 2 THEN p ELSE o END AS subj, "
+         "CASE t WHEN 0 THEN 'have' WHEN 1 THEN 'eat' "
+         "WHEN 2 THEN 'studies' ELSE 'acquired' END AS pred, "
+         "CASE t WHEN 0 THEN 'tails' WHEN 1 THEN 'vegetables' "
+         "WHEN 2 THEN tp ELSE o2 END AS obj, 1.0 AS conf FROM d "
+         "UNION ALL SELECT doc_id, o, 'org:subsidiaries', o2, 0.9 "
+         "FROM d WHERE t = 3 "
+         "UNION ALL SELECT doc_id, o2, 'org:parents', o, 0.9 "
+         "FROM d WHERE t = 3) ")
+    return (d + "SELECT subj, pred, obj, MAX(conf) AS confidence, "
+            "COUNT(*) AS support_count, "
+            "MIN(CAST(doc_id AS VARCHAR)) AS example_url "
+            "FROM x GROUP BY subj, pred, obj")
+
+
 # --------------------------------------- multilingual segmenters + parse
 
 # (text, lang, n_tokens): zh MaxMatch, ar clitic segmentation, es/fr MWT

@@ -135,6 +135,29 @@ def test_linking_plant_full_cross_product():
         assert got == want, (i, _linking_text(i), got, want)
 
 
+def test_kg_plant_acquisition_triples_cross_product():
+    """The t3 openie plant ("{O} acquired {O2}.") must emit exactly the
+    openie SVO at 1.0 plus the KBP acquisition pair (org:subsidiaries +
+    org:parents at 0.9) the kg_planted SQL oracle predicts — for every
+    (O, O2) combination."""
+    for i in range(3, 43, 4):
+        from corenlp_ray.pipelines.planted import _openie_text
+
+        text = _openie_text(i)
+        O, O2 = ORGS[i % 10], ORGS[(i + 3) % 10]
+        d = Document(text)
+        d._ensure_triples()
+        t = d._triples_tbl
+        got = {(s, p, o, round(c, 2)) for s, p, o, c in zip(
+            t.column("subj").to_pylist(), t.column("pred").to_pylist(),
+            t.column("obj").to_pylist(),
+            t.column("confidence").to_pylist())}
+        want = {(O, "acquired", O2, 1.0),
+                (O, "org:subsidiaries", O2, 0.9),
+                (O2, "org:parents", O, 0.9)}
+        assert got == want, (i, text, got, want)
+
+
 def test_segmenter_plant_templates():
     import pyarrow as pa
 
