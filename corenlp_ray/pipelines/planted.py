@@ -335,6 +335,75 @@ def sentiment_planted_sql() -> str:
             "AS sentiment FROM documents")
 
 
+# ------------------------------------------------------------ multimodal
+
+def q_multimodal_planted(sf_dir: str):
+    """Multimodal-plumbing oracle: one media row per doc_id (the same
+    deterministic synth as ops/multimodal.synth_media_table) through the
+    REAL decode_pipeline actor stages (fake decoder — no image libs in
+    this container, documented); the SQL-checkable surface is the
+    plumbing contract: payload size, frame-sampling plan (kind/duration
+    arithmetic), and the normalized-feature invariant sum(img_feat)=1.0
+    (exact: histogram counts over a 2^11-byte payload)."""
+    import hashlib
+
+    from corenlp_ray.ops.multimodal import MEDIA_SCHEMA, decode_pipeline
+
+    def synth(b: pa.Table) -> pa.Table:
+        rows = []
+        for i in b.column("doc_id").to_pylist():
+            i = int(i)
+            payload = hashlib.sha256(f"0:{i}".encode()).digest() * 64
+            rows.append({
+                "media_id": i,
+                "kind": ("image", "audio", "video")[i % 3],
+                "payload": payload,
+                "mime": "application/octet-stream",
+                "width": 64 + (i % 8) * 16, "height": 48 + (i % 6) * 16,
+                "duration_ms": -1 if i % 3 == 0 else 1000 + i * 250,
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    media = _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow")
+    out = decode_pipeline(media, fake=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        feats = b.column("img_feat").to_pylist()
+        offs = b.column("frame_offsets_ms").to_pylist()
+        pay = b.column("payload").to_pylist()
+        return pa.Table.from_pydict(
+            {"media_id": b.column("media_id"),
+             "kind": b.column("kind"),
+             "payload_bytes": pa.array([len(p) for p in pay],
+                                       type=pa.int64()),
+             "n_frames": pa.array([len(o) for o in offs],
+                                  type=pa.int64()),
+             "first_offset_ms": pa.array(
+                 [o[0] if o else -1 for o in offs], type=pa.int64()),
+             "feat_sum": pa.array([round(sum(f), 6) for f in feats],
+                                  type=pa.float64())},
+            schema=pa.schema([("media_id", pa.int64()),
+                              ("kind", pa.string()),
+                              ("payload_bytes", pa.int64()),
+                              ("n_frames", pa.int64()),
+                              ("first_offset_ms", pa.int64()),
+                              ("feat_sum", pa.float64())]))
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def multimodal_planted_sql() -> str:
+    return (
+        "SELECT doc_id AS media_id, "
+        "list_extract(['image', 'audio', 'video'], "
+        "CAST(doc_id % 3 AS INT) + 1) AS kind, "
+        "2048 AS payload_bytes, "
+        "CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 0 END AS n_frames, "
+        "CASE WHEN doc_id % 3 = 2 THEN 200 + 50 * doc_id "
+        "ELSE -1 END AS first_offset_ms, "
+        "1.0 AS feat_sum FROM documents")
+
+
 # --------------------------------------------------------- full KG chain
 
 def q_kg_planted(sf_dir: str):

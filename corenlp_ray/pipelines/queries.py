@@ -1025,13 +1025,13 @@ def q_multimodal(sf_dir: str):
 from corenlp_ray.pipelines.planted import (  # noqa: E402
     dedup_planted_sql, entity_mentions_planted_sql, kbp_planted_sql,
     kg_planted_sql, linking_planted_sql, multilingual_planted_sql,
-    natlog_planted_sql, ngram_jaccard_planted_sql, openie_planted_sql,
-    parse_planted_sql, q_entity_mentions_planted, q_kbp_planted,
-    q_kg_planted, q_linking_planted, q_minhash_planted,
-    q_multilingual_planted, q_natlog_planted, q_ngram_jaccard_planted,
-    q_openie_planted, q_parse_planted, q_quotes_planted,
-    q_sentiment_planted, q_simhash_planted, quotes_planted_sql,
-    sentiment_planted_sql)
+    multimodal_planted_sql, natlog_planted_sql, ngram_jaccard_planted_sql,
+    openie_planted_sql, parse_planted_sql, q_entity_mentions_planted,
+    q_kbp_planted, q_kg_planted, q_linking_planted, q_minhash_planted,
+    q_multilingual_planted, q_multimodal_planted, q_natlog_planted,
+    q_ngram_jaccard_planted, q_openie_planted, q_parse_planted,
+    q_quotes_planted, q_sentiment_planted, q_simhash_planted,
+    quotes_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
 ORACLE_SQL["kbp_planted"] = kbp_planted_sql()
@@ -1046,6 +1046,7 @@ ORACLE_SQL["linking_planted"] = linking_planted_sql()
 ORACLE_SQL["multilingual_planted"] = multilingual_planted_sql()
 ORACLE_SQL["parse_planted"] = parse_planted_sql()
 ORACLE_SQL["kg_planted"] = kg_planted_sql()
+ORACLE_SQL["multimodal_planted"] = multimodal_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1083,6 +1084,7 @@ QUERIES = {
     "multilingual_planted": q_multilingual_planted,
     "parse_planted": q_parse_planted,
     "kg_planted": q_kg_planted,
+    "multimodal_planted": q_multimodal_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
