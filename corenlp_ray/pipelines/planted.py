@@ -335,6 +335,58 @@ def sentiment_planted_sql() -> str:
             "AS sentiment FROM documents")
 
 
+# ------------------------------------------------------------- IVF ANN
+
+# planted embedding geometry: 8 orthogonal unit clusters (dim = id % 8)
+# with a tiny jitter dimension (8 + id % 4, weight 0.001). Clusters are
+# maximally separated, so seeded k-means puts its centroids ON the
+# cluster points and IVF partition pruning (n_probe=4 of 8) provably
+# keeps every vector of the query's cluster → IVF == exact top-k, and
+# the cosines are analytic: 1.0 for same-jitter members, 1/1.000001
+# (= 0.999999 at 6 dp) for other members of the cluster.
+
+def _planted_vec(i: int):
+    v = [0.0] * 16
+    v[i % 8] = 1.0
+    v[8 + i % 4] = 0.001
+    return v
+
+
+def q_ivf_planted(sf_dir: str):
+    """IVF-pruned ANN oracle: the REAL ivf_topk (seeded k-means, batch
+    assignment, partition pruning, brute-force within probed
+    partitions) over the planted cluster geometry; top-10 of the
+    min-id query is SQL-computable analytically."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops.similarity import ivf_topk
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = [int(i) for i in b.column("doc_id").to_pylist()]
+        return pa.Table.from_pydict(
+            {"vec_id": ids, "embedding": [_planted_vec(i) for i in ids]},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("embedding", pa.list_(pa.float64()))]))
+
+    embeds = _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow")
+    m0 = 0   # documents doc_ids start at 0; verified by the oracle match
+    out = ivf_topk(embeds, np.asarray(_planted_vec(m0)), k=10,
+                   n_centroids=8, n_probe=4)
+    out = out.select(["vec_id", "cosine"])
+    return out.set_column(out.column_names.index("cosine"), "cosine",
+                          pc.round(out.column("cosine"), 6))
+
+
+def ivf_planted_sql() -> str:
+    # query = vector of doc_id 0 → cluster 0, jitter dim 0
+    return (
+        "SELECT doc_id AS vec_id, "
+        "CASE WHEN doc_id % 4 = 0 THEN 1.0 ELSE 0.999999 END AS cosine "
+        "FROM documents WHERE doc_id % 8 = 0 "
+        "ORDER BY cosine DESC, vec_id LIMIT 10")
+
+
 # ------------------------------------------------------------ multimodal
 
 def q_multimodal_planted(sf_dir: str):

@@ -1024,7 +1024,8 @@ def q_multimodal(sf_dir: str):
 
 from corenlp_ray.pipelines.planted import (  # noqa: E402
     dedup_planted_sql, entity_mentions_planted_sql, kbp_planted_sql,
-    kg_planted_sql, linking_planted_sql, multilingual_planted_sql,
+    ivf_planted_sql, kg_planted_sql, linking_planted_sql,
+    multilingual_planted_sql, q_ivf_planted,
     multimodal_planted_sql, natlog_planted_sql, ngram_jaccard_planted_sql,
     openie_planted_sql, parse_planted_sql, q_entity_mentions_planted,
     q_kbp_planted, q_kg_planted, q_linking_planted, q_minhash_planted,
@@ -1047,6 +1048,7 @@ ORACLE_SQL["multilingual_planted"] = multilingual_planted_sql()
 ORACLE_SQL["parse_planted"] = parse_planted_sql()
 ORACLE_SQL["kg_planted"] = kg_planted_sql()
 ORACLE_SQL["multimodal_planted"] = multimodal_planted_sql()
+ORACLE_SQL["ivf_planted"] = ivf_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1085,6 +1087,7 @@ QUERIES = {
     "parse_planted": q_parse_planted,
     "kg_planted": q_kg_planted,
     "multimodal_planted": q_multimodal_planted,
+    "ivf_planted": q_ivf_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
