@@ -153,19 +153,23 @@ class TripleExtractor:
         self.kbp = KbpExtractor(classifier_path=kbp_classifier_path
                                 or _KBP_MODEL_PATH)
 
-    def __call__(self, batch):
+    def __call__(self, batch, cols=None):
         import pyarrow as pa
 
         # ONE Arrow→pylist conversion shared by both extractors (the
         # two kernels read the same 15 wide list columns; converting
-        # twice was ~19% of this stage's wall time)
-        cols = {name: batch.column(name).to_pylist() for name in (
+        # twice was ~19% of this stage's wall time). When the fused
+        # chain threads its pylist cache (stages/_cache.py), upstream
+        # stages have already deposited most of these.
+        from corenlp_ray.stages._cache import col
+
+        shared = {name: col(batch, name, cols) for name in (
             "url", "tok_word", "tok_pos", "tok_lemma", "sent_begin",
             "sent_end", "dep_head", "dep_label", "men_begin", "men_end",
             "men_ner", "men_norm", "men_canonical", "pron_idx",
             "pron_canonical")}
-        return pa.concat_tables([openie_batch(batch, cols=cols),
-                                 self.kbp(batch, cols=cols)])
+        return pa.concat_tables([openie_batch(batch, cols=shared),
+                                 self.kbp(batch, cols=shared)])
 
 
 def extract_triples(docs_ds, distributed: bool = True):
@@ -200,14 +204,19 @@ class FusedDocAnnotator:
         self.triples = TripleExtractor(kbp_classifier_path)
 
     def __call__(self, batch):
+        # one mutable pylist cache threads the whole chain: each stage
+        # reads upstream columns from it and deposits what it builds,
+        # killing the repeated Arrow→pylist conversions (tok_word alone
+        # was re-converted by six kernels — stages/_cache.py)
+        cols: dict = {}
         b = extract_text_batch(batch)
-        b = tokenize_ssplit_batch(b)
-        b = self.pos(b)
-        b = lemma_batch(b)
-        b = self.ner(b)
-        b = self.dep(b)
-        b = coref_batch(b)
-        return self.triples(b)
+        b = tokenize_ssplit_batch(b, cols=cols)
+        b = self.pos(b, cols=cols)
+        b = lemma_batch(b, cols=cols)
+        b = self.ner(b, cols=cols)
+        b = self.dep(b, cols=cols)
+        b = coref_batch(b, cols=cols)
+        return self.triples(b, cols=cols)
 
 
 def pages_to_triples(pages_ds, distributed: bool = True):

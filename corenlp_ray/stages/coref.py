@@ -315,17 +315,19 @@ def finalize_clusters(uf, men, surfaces, entity_like,
     return men_chain, men_canonical, pron_idx, pron_canonical
 
 
-def coref_batch(batch: pa.Table) -> pa.Table:
+def coref_batch(batch: pa.Table, cols: dict | None = None) -> pa.Table:
     """Stateless map_batches stage: + men_chain, men_canonical, pron_idx,
     pron_canonical. Requires tok_*, men_* columns."""
+    from corenlp_ray.stages._cache import col, put
+
     chain_c, canon_c, pidx_c, pcan_c = [], [], [], []
-    words_col = batch.column("tok_word").to_pylist()
-    tags_col = batch.column("tok_pos").to_pylist()
-    tsent_col = batch.column("tok_sent").to_pylist()
-    mb_col = batch.column("men_begin").to_pylist()
-    me_col = batch.column("men_end").to_pylist()
-    mn_col = batch.column("men_ner").to_pylist()
-    mv_col = batch.column("men_norm").to_pylist()
+    words_col = col(batch, "tok_word", cols)
+    tags_col = col(batch, "tok_pos", cols)
+    tsent_col = col(batch, "tok_sent", cols)
+    mb_col = col(batch, "men_begin", cols)
+    me_col = col(batch, "men_end", cols)
+    mn_col = col(batch, "men_ner", cols)
+    mv_col = col(batch, "men_norm", cols)
     for r in range(batch.num_rows):
         men = list(zip(mb_col[r], me_col[r], mn_col[r], mv_col[r]))
         chain, canon, pidx, pcan = resolve_coref(
@@ -334,6 +336,8 @@ def coref_batch(batch: pa.Table) -> pa.Table:
         canon_c.append(canon)
         pidx_c.append(pidx)
         pcan_c.append(pcan)
+    put(cols, men_canonical=canon_c, pron_idx=pidx_c,
+        pron_canonical=pcan_c)
     i32 = pa.list_(pa.int32())
     s = pa.list_(pa.string())
     return (batch

@@ -481,12 +481,15 @@ class DepParser:
     def __init__(self):
         pass
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table,
+                 cols: dict | None = None) -> pa.Table:
+        from corenlp_ray.stages._cache import col, put
+
         heads_c, labels_c = [], []
-        words_col = batch.column("tok_word").to_pylist()
-        tags_col = batch.column("tok_pos").to_pylist()
-        sb_col = batch.column("sent_begin").to_pylist()
-        se_col = batch.column("sent_end").to_pylist()
+        words_col = col(batch, "tok_word", cols)
+        tags_col = col(batch, "tok_pos", cols)
+        sb_col = col(batch, "sent_begin", cols)
+        se_col = col(batch, "sent_end", cols)
         for words, tags, sbs, ses in zip(words_col, tags_col, sb_col, se_col):
             heads = [-1] * len(words)
             labels = ["dep"] * len(words)
@@ -497,6 +500,7 @@ class DepParser:
                     labels[b + k] = l
             heads_c.append(heads)
             labels_c.append(labels)
+        put(cols, dep_head=heads_c, dep_label=labels_c)
         return (batch
                 .append_column("dep_head", pa.array(heads_c, type=pa.list_(pa.int32())))
                 .append_column("dep_label", pa.array(labels_c, type=pa.list_(pa.string()))))

@@ -251,11 +251,14 @@ def lemma_of(word: str, pos: str) -> str:
     return lw
 
 
-def lemma_batch(batch: pa.Table) -> pa.Table:
+def lemma_batch(batch: pa.Table, cols: dict | None = None) -> pa.Table:
     """Stateless map_batches stage: + tok_lemma (requires tok_pos)."""
+    from corenlp_ray.stages._cache import col, put
+
     out = []
-    for words, tags in zip(batch.column("tok_word").to_pylist(),
-                           batch.column("tok_pos").to_pylist()):
+    for words, tags in zip(col(batch, "tok_word", cols),
+                           col(batch, "tok_pos", cols)):
         out.append([lemma_of(w, t) for w, t in zip(words, tags)])
+    put(cols, tok_lemma=out)
     return batch.append_column(
         "tok_lemma", pa.array(out, type=pa.list_(pa.string())))

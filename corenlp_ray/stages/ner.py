@@ -373,14 +373,17 @@ class NerTagger:
     def __init__(self):
         self.gazetteer = GAZETTEER
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table,
+                 cols: dict | None = None) -> pa.Table:
+        from corenlp_ray.stages._cache import col, put
+
         ner_c, mb_c, me_c, ms_c, mn_c, mv_c = ([] for _ in range(6))
         has_ts = "warc_ts" in batch.column_names
         ts_col = batch.column("warc_ts").to_pylist() if has_ts else None
-        words_col = batch.column("tok_word").to_pylist()
-        tags_col = batch.column("tok_pos").to_pylist()
-        sb_col = batch.column("sent_begin").to_pylist()
-        se_col = batch.column("sent_end").to_pylist()
+        words_col = col(batch, "tok_word", cols)
+        tags_col = col(batch, "tok_pos", cols)
+        sb_col = col(batch, "sent_begin", cols)
+        se_col = col(batch, "sent_end", cols)
         for r in range(batch.num_rows):
             words, tags = words_col[r], tags_col[r]
             docdate = None
@@ -415,6 +418,8 @@ class NerTagger:
             ner_c.append(types)
             mb_c.append(mb); me_c.append(me); ms_c.append(ms)
             mn_c.append(mn); mv_c.append(mv)
+        put(cols, men_begin=mb_c, men_end=me_c, men_ner=mn_c,
+            men_norm=mv_c)
         i32 = pa.list_(pa.int32())
         s = pa.list_(pa.string())
         return (batch

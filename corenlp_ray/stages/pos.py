@@ -181,17 +181,21 @@ class PosTagger:
     def __init__(self):
         self.lexicon = POS_LEXICON  # binding point for trained weights
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table,
+                 cols: dict | None = None) -> pa.Table:
+        from corenlp_ray.stages._cache import col, put
+
         out = []
-        words_col = batch.column("tok_word").to_pylist()
-        sb_col = batch.column("sent_begin").to_pylist()
-        se_col = batch.column("sent_end").to_pylist()
+        words_col = col(batch, "tok_word", cols)
+        sb_col = col(batch, "sent_begin", cols)
+        se_col = col(batch, "sent_end", cols)
         for words, sbs, ses in zip(words_col, sb_col, se_col):
             tags: List[str] = [""] * len(words)
             for b, e in zip(sbs, ses):
                 for k, t in enumerate(tag_sentence(words[b:e])):
                     tags[b + k] = t
             out.append(tags)
+        put(cols, tok_pos=out)
         return batch.append_column(
             "tok_pos", pa.array(out, type=pa.list_(pa.string())))
 

@@ -256,7 +256,8 @@ def ssplit(words: List[str], para_break_before=frozenset()) -> List[Tuple[int, i
 # -------------------------------------------------------- batch transform ----
 
 def tokenize_ssplit_batch(batch: pa.Table, text_col: str = "text",
-                          newline_policy: str = "two") -> pa.Table:
+                          newline_policy: str = "two",
+                          cols: dict | None = None) -> pa.Table:
     """map_batches stage: + tok_* and sent_* parallel list columns.
 
     Stateless task stage; regexes compile once per worker at import. The
@@ -294,6 +295,9 @@ def tokenize_ssplit_batch(batch: pa.Table, text_col: str = "text",
         tsent_c.append(tok_sent)
         sb_c.append([s[0] for s in sents])
         se_c.append([s[1] for s in sents])
+    if cols is not None:    # fused-chain pylist cache (stages/_cache.py)
+        cols.update(tok_word=words_c, tok_sent=tsent_c,
+                    sent_begin=sb_c, sent_end=se_c)
     i32 = pa.list_(pa.int32())
     return (
         batch
