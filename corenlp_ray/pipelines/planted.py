@@ -335,6 +335,115 @@ def sentiment_planted_sql() -> str:
             "AS sentiment FROM documents")
 
 
+# ----------------------------------------------- extract / tokenize
+
+def _extract_html(i: int) -> str:
+    return ("<html><head><title>skip</title></head><body>"
+            "<h1>{} Report</h1><p>{} research in {}.</p>"
+            "<!-- note --></body></html>").format(
+                PERSONS[i % 12], TOPICS[i % 5], CITIES[i % 10])
+
+
+def q_extract_planted(sf_dir: str):
+    """CleanXml-semantics oracle: planted HTML (head-drop, block-tag
+    newlines, comment removal, paragraph joining) through the REAL
+    extract stage; the exact extracted string is SQL-computable, making
+    the byte-identical per-url invariant a value-hash check."""
+    from corenlp_ray.stages.extract import extract_text_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": ids,
+             "html": [_extract_html(int(i)).encode() for i in ids]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("html", pa.binary())]))
+
+    out = _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow") \
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text_extracted"]) \
+        .map_batches(lambda b: b.rename_columns(["doc_id", "text"]),
+                     batch_format="pyarrow")
+
+
+def extract_planted_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        f"list_extract({_sql_list(PERSONS)}, "
+        "CAST(doc_id % 12 AS INT) + 1) || ' Report' || chr(10) || "
+        f"chr(10) || list_extract({_sql_list(TOPICS)}, "
+        "CAST(doc_id % 5 AS INT) + 1) || ' research in ' || "
+        f"list_extract({_sql_list(CITIES)}, "
+        "CAST(doc_id % 10 AS INT) + 1) || '.' AS text FROM documents")
+
+
+# (text or None=slot template, n_tokens, n_sents): PTB tokenization +
+# sentence splitting — abbreviation non-boundary (Dr.), ?!-boundaries,
+# comma splitting; counts are template constants.
+TOKENIZE_PLANTED_TEMPLATES = [
+    ("Dr. Smith arrived. He left early.", 8, 2),
+    (None, 7, 1),   # "{P} studies {T} in {C}." — P always 2 tokens
+    ("Wait, what? Yes! Fine.", 8, 3),
+]
+
+
+def _tokenize_text(i: int) -> str:
+    t = TOKENIZE_PLANTED_TEMPLATES[i % 3][0]
+    if t is not None:
+        return t
+    return "{} studies {} in {}.".format(
+        PERSONS[i % 12], TOPICS[i % 5], CITIES[i % 10])
+
+
+def q_tokenize_planted(sf_dir: str):
+    """Tokenizer + ssplit oracle: per-template token and sentence
+    counts through the real tokenize_ssplit_batch stage."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
+
+    out = _planted_doc_texts(sf_dir, _tokenize_text) \
+        .map_batches(tokenize_ssplit_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"),
+             "n_tokens": pc.cast(
+                 pc.list_value_length(b.column("tok_word")), pa.int64()),
+             "n_sents": pc.cast(
+                 pc.list_value_length(b.column("sent_begin")),
+                 pa.int64())},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("n_sents", pa.int64())])),
+        batch_format="pyarrow")
+
+
+def tokenize_planted_sql() -> str:
+    toks = ", ".join(str(t[1]) for t in TOKENIZE_PLANTED_TEMPLATES)
+    sents = ", ".join(str(t[2]) for t in TOKENIZE_PLANTED_TEMPLATES)
+    return ("SELECT doc_id, "
+            f"list_extract([{toks}], CAST(doc_id % 3 AS INT) + 1) "
+            "AS n_tokens, "
+            f"list_extract([{sents}], CAST(doc_id % 3 AS INT) + 1) "
+            "AS n_sents FROM documents")
+
+
+def q_simhash_pairs_planted(sf_dir: str):
+    """SimHash pair oracle over the planted dedup corpus: identical
+    intra-group texts → exactly the intra-group pairs at Hamming 0."""
+    from corenlp_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_planted_dedup_docs(sf_dir), max_hamming=3)
+
+
+def simhash_pairs_planted_sql() -> str:
+    g = DEDUP_GROUP_SIZE
+    return ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "0 AS hamming FROM documents a JOIN documents b "
+            f"ON a.doc_id // {g} = b.doc_id // {g} "
+            "AND a.doc_id < b.doc_id")
+
+
 # ------------------------------------------------------------- IVF ANN
 
 # planted embedding geometry: 8 orthogonal unit clusters (dim = id % 8)

@@ -1024,8 +1024,10 @@ def q_multimodal(sf_dir: str):
 
 from corenlp_ray.pipelines.planted import (  # noqa: E402
     dedup_planted_sql, entity_mentions_planted_sql, kbp_planted_sql,
-    ivf_planted_sql, kg_planted_sql, linking_planted_sql,
-    multilingual_planted_sql, q_ivf_planted,
+    extract_planted_sql, ivf_planted_sql, kg_planted_sql,
+    linking_planted_sql, multilingual_planted_sql, q_extract_planted,
+    q_ivf_planted, q_simhash_pairs_planted, q_tokenize_planted,
+    simhash_pairs_planted_sql, tokenize_planted_sql,
     multimodal_planted_sql, natlog_planted_sql, ngram_jaccard_planted_sql,
     openie_planted_sql, parse_planted_sql, q_entity_mentions_planted,
     q_kbp_planted, q_kg_planted, q_linking_planted, q_minhash_planted,
@@ -1049,6 +1051,9 @@ ORACLE_SQL["parse_planted"] = parse_planted_sql()
 ORACLE_SQL["kg_planted"] = kg_planted_sql()
 ORACLE_SQL["multimodal_planted"] = multimodal_planted_sql()
 ORACLE_SQL["ivf_planted"] = ivf_planted_sql()
+ORACLE_SQL["extract_planted"] = extract_planted_sql()
+ORACLE_SQL["tokenize_planted"] = tokenize_planted_sql()
+ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1088,6 +1093,9 @@ QUERIES = {
     "kg_planted": q_kg_planted,
     "multimodal_planted": q_multimodal_planted,
     "ivf_planted": q_ivf_planted,
+    "extract_planted": q_extract_planted,
+    "tokenize_planted": q_tokenize_planted,
+    "simhash_pairs_planted": q_simhash_pairs_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

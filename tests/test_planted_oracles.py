@@ -158,6 +158,32 @@ def test_kg_plant_acquisition_triples_cross_product():
         assert got == want, (i, text, got, want)
 
 
+def test_extract_plant_full_cross_product():
+    # 60 = lcm(12 persons, 5 topics, 10 cities)
+    from corenlp_ray.pipelines.planted import _extract_html
+    from corenlp_ray.stages.extract import extract_text
+
+    for i in range(60):
+        P, T, C = PERSONS[i % 12], TOPICS[i % 5], CITIES[i % 10]
+        want = f"{P} Report\n\n{T} research in {C}."
+        assert extract_text(_extract_html(i)) == want, i
+
+
+def test_tokenize_plant_templates():
+    import pyarrow as pa
+
+    from corenlp_ray.pipelines.planted import (TOKENIZE_PLANTED_TEMPLATES,
+                                               _tokenize_text)
+    from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
+
+    for i in range(36):
+        _, n_tok, n_sent = TOKENIZE_PLANTED_TEMPLATES[i % 3]
+        b = tokenize_ssplit_batch(
+            pa.Table.from_pydict({"text": [_tokenize_text(i)]}))
+        assert len(b.column("tok_word")[0].as_py()) == n_tok, i
+        assert len(b.column("sent_begin")[0].as_py()) == n_sent, i
+
+
 def test_segmenter_plant_templates():
     import pyarrow as pa
 
