@@ -30,7 +30,16 @@ MEDIA_SCHEMA = pa.schema([
 
 # recommended map_batches sizing for binary payload stages
 MEDIA_BATCH_SIZE = 32
-MEDIA_CONCURRENCY = (1, 4)
+
+
+def _media_pool() -> dict:
+    """Fixed-width pool at fractional CPU (the repo-wide doctrine:
+    autoscaling (1,k) pools never reach width; 0.5-CPU actors keep
+    chained decode stages + read tasks schedulable on small clusters).
+    Small width — payload bytes × batch × width must fit the heap."""
+    from corenlp_ray.ops._partition import fixed_pool
+
+    return {"concurrency": fixed_pool(divisor=4), "num_cpus": 0.5}
 
 
 def synth_media_table(n: int = 16, seed: int = 0) -> pa.Table:
@@ -100,10 +109,10 @@ class FrameSampler:
 
 def decode_pipeline(media_ds, fake: bool = True):
     """media → decoded features + frame plans (the multimodal chain)."""
+    pool = _media_pool()
     ds = media_ds.map_batches(DecodeImage, batch_format="pyarrow",
                               batch_size=MEDIA_BATCH_SIZE,
-                              concurrency=MEDIA_CONCURRENCY,
-                              fn_constructor_kwargs={"fake": fake})
+                              fn_constructor_kwargs={"fake": fake},
+                              **pool)
     return ds.map_batches(FrameSampler, batch_format="pyarrow",
-                          batch_size=MEDIA_BATCH_SIZE,
-                          concurrency=MEDIA_CONCURRENCY)
+                          batch_size=MEDIA_BATCH_SIZE, **pool)
