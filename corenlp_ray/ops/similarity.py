@@ -126,15 +126,21 @@ def ivf_topk(embeds_ds, query_vecs, k: int = 10, n_centroids: int = 16,
     of full scans)."""
     import ray
 
-    sample = embeds_ds.random_sample(
-        min(1.0, sample_size / max(embeds_ds.count(), 1)), seed=seed)
+    # centroid-training sample WITHOUT a full count() pass (round-3
+    # verdict item #9): take a fixed slice of every block (streams, stops
+    # early via limit, spreads across the id range) instead of
+    # random_sample(frac) which needs N up front
+    per_block = max(64, sample_size // 16)
+    sample = embeds_ds.map_batches(lambda b: b.slice(0, per_block),
+                                   batch_format="pyarrow") \
+        .limit(sample_size)
     SM = np.array(sample.to_pandas()["embedding"].tolist(), dtype=np.float64)
     C = _kmeans_lite(SM, n_centroids, seed=seed)
     Q = np.asarray(query_vecs, dtype=np.float64)
     if Q.ndim == 1:
         Q = Q[None, :]
     probe = np.argsort(-(_normalize(Q) @ _normalize(C).T), axis=1)[:, :n_probe]
-    allowed = set(int(c) for row in probe for c in row)
+    allowed = np.unique(probe.ravel()).astype(np.int64)
     c_ref = ray.put((C, allowed))
 
     def filter_assign(batch: pa.Table) -> pa.Table:
@@ -143,8 +149,7 @@ def ivf_topk(embeds_ds, query_vecs, k: int = 10, n_centroids: int = 16,
         if V.size == 0:
             return batch.slice(0, 0)
         assign = (_normalize(V) @ _normalize(Cm).T).argmax(axis=1)
-        mask = pa.array([int(a) in ok for a in assign])
-        return batch.filter(mask)
+        return batch.filter(pa.array(np.isin(assign, ok)))
 
     pruned = embeds_ds.map_batches(filter_assign, batch_format="pyarrow")
     return brute_force_topk(pruned, Q, k=k)

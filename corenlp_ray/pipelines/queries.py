@@ -26,6 +26,24 @@ def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
         pc.round(tbl.column(col), ndigits=digits))
 
 
+def _min_id_embedding(path: str, id_col: str = "vec_id",
+                      emb_col: str = "embedding"):
+    """Deterministic query vector = embedding of the smallest id, WITHOUT
+    a full-table driver read (round-3 verdict item #6): pass 1 reads only
+    the thin id column (8 B/row — the wide embedding column never leaves
+    storage), pass 2 is a ``filters=`` pushdown read that prunes row
+    groups by parquet statistics to the one group holding that id."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(path, columns=[id_col]).column(id_col)
+    min_id = int(pc.min(ids).as_py())
+    row = pq.read_table(path, columns=[id_col, emb_col],
+                        filters=[(id_col, "=", min_id)])
+    return np.asarray(row.column(emb_col)[0].as_py(), dtype=np.float64)
+
+
 # --------------------------------------------------------- SQL-oracled ----
 
 def q_token_count(sf_dir: str):
@@ -86,19 +104,13 @@ def q_session_windows(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from corenlp_ray.ops.similarity import brute_force_topk
 
-    # deterministic query vector: the embedding of the smallest vec_id
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    import numpy as np
-
-    ids = head.column("vec_id").to_numpy()
-    qvec = np.asarray(head.column("embedding")[int(ids.argmin())].as_py(),
-                      dtype=np.float64)
+    # deterministic query vector: the embedding of the smallest vec_id,
+    # via id-column + filter-pushdown reads (no full-table driver read)
+    qvec = _min_id_embedding(f"{sf_dir}/embeddings.parquet")
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, qvec, k=10)
@@ -657,17 +669,11 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_ivf_ann(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from corenlp_ray.ops.similarity import ivf_topk
 
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    ids = head.column("vec_id").to_numpy()
-    qvec = np.asarray(head.column("embedding")[int(ids.argmin())].as_py(),
-                      dtype=np.float64)
+    qvec = _min_id_embedding(f"{sf_dir}/embeddings.parquet")
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return _round_col(ivf_topk(ds, qvec, k=10), "cosine")
@@ -1124,3 +1130,12 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "multimodal": q_multimodal,
 }
+
+# The driver's correctness pass walks QUERIES in dict order with a fixed
+# query budget (50 in round 3, which left 7 committed oracles unverified
+# — round-3 verdict item #3). Reorder so every ORACLE_SQL-backed query
+# precedes every rows-only twin; the invariant holds automatically as
+# queries are added.
+QUERIES = {k: QUERIES[k]
+           for k in ([k for k in QUERIES if k in ORACLE_SQL]
+                     + [k for k in QUERIES if k not in ORACLE_SQL])}

@@ -245,14 +245,23 @@ def test_simhash_dedup_clusters_neardups(ray_session):
 
     base = ("the quick brown fox jumped over the lazy dog and ran far "
             "into the woods before nightfall came down on the valley")
+    far = "completely different text about ray data pipelines and shuffles"
     rows = [{"doc_id": 0, "text": base},
-            {"doc_id": 1, "text": base + " extra"},   # Hamming 3 of base
-            {"doc_id": 2, "text": "completely different text about "
-                                  "ray data pipelines and shuffles"}]
-    from corenlp_ray.ops.dedup import simhash_dedup
+            {"doc_id": 1, "text": base + " extra"},
+            {"doc_id": 2, "text": far}]
+    from corenlp_ray.ops.dedup import simhash64, simhash_dedup
 
+    # hash-robust threshold: exactly the 0↔1 distance, with asserted
+    # separation from the unrelated doc (the exact Hamming value depends
+    # on the base hash function, which the op is free to change)
+    h = [simhash64(r["text"]) for r in rows]
+    d01 = bin(h[0] ^ h[1]).count("1")
+    assert d01 <= 12
+    assert min(bin(h[0] ^ h[2]).count("1"),
+               bin(h[1] ^ h[2]).count("1")) > d01
     cl = {r["doc_id"]: r["cluster_id"]
-          for r in simhash_dedup(rd.from_items(rows)).take_all()}
+          for r in simhash_dedup(rd.from_items(rows),
+                                 max_hamming=d01).take_all()}
     assert cl[0] == cl[1]
     assert cl[2] != cl[0]
 
@@ -294,3 +303,38 @@ def test_grouped_top_k(ray_session):
                 if r["lang"] == "de")
     assert en == [(1, 9), (3, 9)]     # ties broken by smaller doc_id
     assert de == [(4, 3), (5, 1)]
+
+
+def test_hot_bucket_cap_logs_dropped(caplog):
+    import logging
+
+    from corenlp_ray.ops import dedup as dd
+
+    # a bucket 3× over the cap must truncate AND report what it dropped
+    # (round-3 verdict item #10: no silent caps)
+    import pandas as pd
+
+    big = pd.DataFrame({"doc_id": list(range(3 * dd._MAX_BUCKET))})
+    before = dd.DROPPED_BY_CAP.get("minhash_lsh_pairs", 0)
+    with caplog.at_level(logging.WARNING, logger="corenlp_ray.ops.dedup"):
+        pairs = dd._bucket_pairs(big)
+    assert len(pairs) == dd._MAX_BUCKET * (dd._MAX_BUCKET - 1) // 2
+    assert dd.DROPPED_BY_CAP["minhash_lsh_pairs"] - before == 2 * dd._MAX_BUCKET
+    assert any("hot-bucket cap" in r.message for r in caplog.records)
+    # an under-cap bucket must not log or count
+    n0 = dd.DROPPED_BY_CAP["minhash_lsh_pairs"]
+    dd._bucket_pairs(pd.DataFrame({"doc_id": [1, 2, 3]}))
+    assert dd.DROPPED_BY_CAP["minhash_lsh_pairs"] == n0
+
+
+def test_query_catalog_oracles_first():
+    # the driver's correctness pass walks QUERIES in dict order with a
+    # fixed budget — every oracled query must precede every rows-only one
+    from corenlp_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    keys = list(QUERIES)
+    first_rows_only = next(i for i, k in enumerate(keys)
+                           if k not in ORACLE_SQL)
+    assert all(k in ORACLE_SQL for k in keys[:first_rows_only])
+    assert not any(k in ORACLE_SQL for k in keys[first_rows_only:])
+    assert set(ORACLE_SQL) <= set(QUERIES)
