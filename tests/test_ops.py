@@ -338,3 +338,29 @@ def test_query_catalog_oracles_first():
     assert all(k in ORACLE_SQL for k in keys[:first_rows_only])
     assert not any(k in ORACLE_SQL for k in keys[first_rows_only:])
     assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_cosine_pairs_exact_multiblock(ray_session):
+    # cross-block pairs must be emitted exactly once, min/max ordered —
+    # exercised by forcing many small blocks with interleaved ids
+    import ray.data as rd
+
+    from corenlp_ray.ops.similarity import cosine_pairs_exact
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(60, 12)
+    ids = rng.permutation(60)  # interleave ids across blocks
+    rows = [{"vec_id": int(ids[i]), "embedding": V[i].tolist()}
+            for i in range(60)]
+    got = {(r["vec_a"], r["vec_b"]): round(r["cosine"], 9)
+           for r in cosine_pairs_exact(
+               rd.from_items(rows).repartition(7), threshold=0.4).take_all()}
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    S = Vn @ Vn.T
+    want = {}
+    for i in range(60):
+        for j in range(60):
+            a, b = int(ids[i]), int(ids[j])
+            if a < b and S[i, j] >= 0.4:
+                want[(a, b)] = round(float(S[i, j]), 9)
+    assert got == want and len(want) > 10
