@@ -37,9 +37,13 @@ from __future__ import annotations
 import re
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
-_ATTRS = ("word", "lower", "lemma", "pos", "ner", "tag", "text")
+_ATTRS = ("word", "lower", "lemma", "pos", "ner", "tag", "text",
+          "subj", "obj")
 # aliases the reference uses: tag == pos, text == word
 _ATTR_ALIAS = {"tag": "pos", "text": "word"}
+# subj/obj mirror KBPTokensregexExtractor's Subject/Object token
+# annotations (ie/KBPTokensregexExtractor.java:47-57,95-107): the KBP
+# surface banks mark the candidate pair's tokens, patterns test them
 
 Tok = Dict[str, str]
 
@@ -60,7 +64,8 @@ class _AttrTest:
     def __init__(self, attr: str, rx: Optional[str], lit: Optional[str],
                  neg: bool = False, ci: bool = False):
         self.attr = _ATTR_ALIAS.get(attr, attr)
-        if self.attr not in ("word", "lower", "lemma", "pos", "ner"):
+        if self.attr not in ("word", "lower", "lemma", "pos", "ner",
+                             "subj", "obj"):
             raise ValueError(f"unknown attribute {attr!r}")
         flags = re.IGNORECASE if ci else 0
         self.rx = re.compile(rx, flags) if rx is not None else None

@@ -184,6 +184,117 @@ class Mention:
         self.canonical = canonical
 
 
+# --------------------------------------------- tokensregex surface bank ----
+
+DEFAULT_SURFACE_PATH = \
+    __file__.rsplit("/", 2)[0] + "/resources/kbp_surface_patterns.tsv"
+
+
+class SurfaceRule:
+    __slots__ = ("relation", "styp", "otyp", "gates", "weight", "inverse",
+                 "pattern")
+
+    def __init__(self, relation, styp, otyp, gates, weight, inverse,
+                 pattern):
+        self.relation, self.styp, self.otyp = relation, styp, otyp
+        self.gates, self.weight, self.inverse = gates, weight, inverse
+        self.pattern = pattern
+
+
+def load_surface_rules(path: str) -> List[SurfaceRule]:
+    """Load the per-relation tokensregex surface banks (see
+    resources/kbp_surface_patterns.tsv for the format)."""
+    from corenlp_ray.functions.tokensregex import TokensRegex
+
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            rel, st, ot, gates, w, inv, pat = line.split("\t")
+            out.append(SurfaceRule(
+                rel, frozenset(st.split("|")), frozenset(ot.split("|")),
+                frozenset() if gates == "-" else frozenset(gates.split("|")),
+                float(w), None if inv == "-" else inv,
+                TokensRegex.compile(pat)))
+    return out
+
+
+class KbpSurfaceBank:
+    """KBPTokensregexExtractor analogue
+    (ie/KBPTokensregexExtractor.java:59-135): per-relation tokensregex
+    surface banks, run FIRST in the ensemble per the reference's
+    extractor priority (KBPEnsembleExtractor.java:45-67, tokensregex →
+    statistical → semgrex). For each type-gated ordered mention pair the
+    pair's tokens are marked subj/obj (the Subject/Object annotations,
+    :95-107), the relation's patterns run over the sentence, and the
+    first matching relation wins for that pair (:110-128). Patterns
+    compile once per actor; a per-rule word gate skips sentences without
+    the trigger word (one set lookup instead of a sequence match)."""
+
+    def __init__(self, path: Optional[str] = DEFAULT_SURFACE_PATH):
+        self.rules: List[SurfaceRule] = []
+        if path:
+            try:
+                self.rules = load_surface_rules(path)
+            except OSError:
+                self.rules = []
+
+    def classify(self, words, lemmas, tags, mentions
+                 ) -> List[Tuple[str, str, str, str, str, float]]:
+        if not self.rules or len(mentions) < 2 or len(words) > KBP_MAXLEN:
+            return []
+        lowers = [w.lower() for w in words]
+        lowset = set(lowers)
+        active = [r for r in self.rules
+                  if not r.gates or (r.gates & lowset)]
+        if not active:
+            return []
+        toks = [{"word": w, "lower": lw, "lemma": lm, "pos": t, "ner": "O"}
+                for w, lw, lm, t in zip(words, lowers, lemmas, tags)]
+        n = len(toks)
+        for m in mentions:
+            for k in range(m.b, min(m.e, n)):
+                toks[k]["ner"] = m.type
+        out = []
+        for s in mentions:
+            for o in mentions:
+                if s is o or (s.b < o.e and o.b < s.e):
+                    continue  # self / overlapping spans
+                rules2 = [r for r in active
+                          if s.type in r.styp and o.type in r.otyp]
+                if not rules2:
+                    continue
+                for k in range(s.b, min(s.e, n)):
+                    toks[k]["subj"] = "true"
+                for k in range(o.b, min(o.e, n)):
+                    toks[k]["obj"] = "true"
+                try:
+                    for r in rules2:
+                        if not r.pattern.find_all(toks):
+                            continue
+                        rel = geo_relation(r.relation, o.canonical) \
+                            if r.relation in _GEO_REL else r.relation
+                        # value-typed objects use the normalized value:
+                        # coref's appositive sieve makes "Mary, 47," give
+                        # the NUMBER mention the PERSON's canonical
+                        obj_val = o.norm if o.type in (
+                            "DATE", "NUMBER", "MONEY") else o.canonical
+                        out.append((s.canonical, rel, obj_val,
+                                    s.type, o.type, r.weight))
+                        if r.inverse:
+                            out.append((o.canonical, r.inverse, s.canonical,
+                                        o.type, s.type, r.weight))
+                        break  # first matching relation wins for the pair
+                finally:
+                    for k in range(s.b, min(s.e, n)):
+                        toks[k].pop("subj", None)
+                    for k in range(o.b, min(o.e, n)):
+                        toks[k].pop("obj", None)
+        return out
+
+
 def kbp_sentence(
     words: List[str], tags: List[str], lemmas: List[str],
     heads: List[int], labels: List[str], mentions: List[Mention],
@@ -610,7 +721,8 @@ class KbpExtractor:
 
     def __init__(self, rules_path: Optional[str] = DEFAULT_RULES_PATH,
                  classifier_path: Optional[str] = None,
-                 classifier_threshold: float = 0.6):
+                 classifier_threshold: float = 0.6,
+                 surface_path: Optional[str] = DEFAULT_SURFACE_PATH):
         self.title_nouns = _TITLE_NOUNS  # pattern-bank binding point
         self.dep_rules: List[DepRule] = []
         if rules_path:
@@ -618,6 +730,9 @@ class KbpExtractor:
                 self.dep_rules = load_dep_rules(rules_path)
             except OSError:
                 self.dep_rules = []
+        # tokensregex surface banks — the ensemble's FIRST extractor
+        # (KBPEnsembleExtractor.java:45-67 priority order)
+        self.surface_bank = KbpSurfaceBank(surface_path)
         self.classifier = None
         self.classifier_threshold = classifier_threshold
         if classifier_path:
@@ -674,7 +789,13 @@ class KbpExtractor:
                                   m.canonical)
                           for m in mens if b <= m.b and m.e <= e]
                 l_pron = {k - b: v for k, v in pron.items() if b <= k < e}
-                triples = kbp_sentence(
+                # ensemble order (KBPEnsembleExtractor.java:45-67):
+                # tokensregex surface banks first, then the dep-rule
+                # banks, then the statistical extractor on pairs no
+                # rule claimed; union deduped per (s, rel, o) max-conf
+                triples = self.surface_bank.classify(
+                    words[b:e], lemmas[b:e], tags[b:e], l_mens)
+                triples = triples + kbp_sentence(
                     words[b:e], tags[b:e], lemmas[b:e], l_heads,
                     labels[b:e], l_mens, l_pron, self.dep_rules)
                 if self.classifier is not None and len(words[b:e]) <= \
@@ -683,6 +804,13 @@ class KbpExtractor:
                     triples = triples + self._classify_rest(
                         words[b:e], tags[b:e], lemmas[b:e], l_heads,
                         labels[b:e], l_mens, claimed)
+                if triples:
+                    best: Dict[Tuple[str, str, str], tuple] = {}
+                    for t in triples:
+                        key = (t[0], t[1], t[2])
+                        if key not in best or t[5] > best[key][5]:
+                            best[key] = t
+                    triples = list(best.values())
                 for (s, rel, o, sner, oner, conf) in triples:
                     rows.append({
                         "url": url, "sent_idx": si, "subj": s, "pred": rel,

@@ -154,3 +154,58 @@ def test_dissolved_passive():
 def test_no_affiliation_for_plain_org():
     assert not _rel("Acme Corp. hired John Smith.",
                     "org:political/religious_affiliation")
+
+
+# ---- round-4: tokensregex surface banks (KBPTokensregexExtractor
+# analogue, resources/kbp_surface_patterns.tsv), run FIRST in the
+# ensemble — shapes the dep banks do not cover ----
+
+def test_surface_widow_spouse_symmetric():
+    got = _rel("Mary Smith, the widow of John Doe, spoke to reporters.",
+               "per:spouse")
+    assert ("Mary Smith", "John Doe") in got
+    assert ("John Doe", "Mary Smith") in got
+
+
+def test_surface_graduated_from():
+    assert ("John Smith", "Stanford University") in _rel(
+        "John Smith graduated from Stanford University.",
+        "per:schools_attended")
+
+
+def test_surface_based_in_headquarters():
+    assert ("Acme Corp.", "Paris") in _rel(
+        "Acme Corp., based in Paris, announced a profit.",
+        "org:city_of_headquarters")
+
+
+def test_surface_unit_of_subsidiaries_and_parents():
+    t = "Globex Corp., a unit of Initech Inc., filed for bankruptcy."
+    assert ("Initech Inc.", "Globex Corp.") in _rel(t, "org:subsidiaries")
+    assert ("Globex Corp.", "Initech Inc.") in _rel(t, "org:parents")
+
+
+def test_surface_appositive_age_uses_normalized_value():
+    got = _rel("Mary Jones, 47, retired from Acme Corp. on Monday.",
+               "per:age")
+    assert got == {("Mary Jones", "47")}   # not the coref canonical
+
+
+def test_surface_son_of_parents_and_children():
+    t = "Pat Brown, the son of Jane Brown, joined Initech Inc."
+    assert ("Pat Brown", "Jane Brown") in _rel(t, "per:parents")
+    assert ("Jane Brown", "Pat Brown") in _rel(t, "per:children")
+
+
+def test_surface_led_by_top_members():
+    assert ("Acme Corp.", "Mary Smith") in _rel(
+        "Acme Corp., led by Mary Smith, expanded overseas.",
+        "org:top_members/employees")
+
+
+def test_surface_bank_first_wins_over_classifier_claim():
+    # the surface bank claims the pair, so dedup keeps its triple once
+    from corenlp_ray.stages.kbp import KbpSurfaceBank
+
+    bank = KbpSurfaceBank()
+    assert len(bank.rules) >= 18
