@@ -130,6 +130,20 @@ _HOLIDAY = (r"(?:new year(?:'|’)?s(?: eve| day)?|inauguration day"
 _CLOCK = (r"(?:\d{1,2}(?::\d{2})? ?(?:a\.?m\.?|p\.?m\.?)"
           r"|\d{1,2}:\d{2})")
 
+# duration vocabulary (english.sutime.txt DURATION family /
+# time/SUTime.java duration grammars): exact quantities → PnU, vague
+# quantifiers → PXU (SUTimeITest goldens: 'a decade'→P10Y, 'a few
+# decades'→PXY, 'recent weeks'→PXW, 'hundred decades'→P1000Y)
+_DUR_NUM = (r"(?:a few|several|recent|some|many|an?|one|two|three|four"
+            r"|five|six|seven|eight|nine|ten|hundred|\d{1,4})")
+_DUR_UNIT = (r"(?:seconds?|minutes?|hours?|days?|weeks?|months?"
+             r"|quarters?|years?|decades?|centuries|century)")
+_DECADE_WORDS = (r"(?:twenties|thirties|forties|fifties|sixties"
+                 r"|seventies|eighties|nineties)")
+_DECADE_WORD_MAP = {"twenties": 2, "thirties": 3, "forties": 4,
+                    "fifties": 5, "sixties": 6, "seventies": 7,
+                    "eighties": 8, "nineties": 9}
+
 RELATIVE_PATTERN = (
     r"(?:" + _CLOCK + r" (?:yesterday|today|tomorrow)"
     r"|(?:yesterday|today|tomorrow) at " + _CLOCK
@@ -142,7 +156,16 @@ RELATIVE_PATTERN = (
     + r"|" + _NUM + r" (?:days?|weeks?|months?|years?) from (?:now|today)"
     + r"|" + _WD + r" (?:last|this|next) week"
     + r"|(?:last|next|this) " + _WD
-    + r"|(?:last|this|next) (?:week|month|year|quarter)"
+    + r"|(?:last|this|next) (?:week|month|year|quarter|decade|century)"
+    # ---- SET / recurring (english.sutime.txt SET family) ----
+    + r"|every (?:other )?" + _WD
+    + r"|every " + _NUM + r" (?:seconds?|minutes?|hours?|days?|weeks?"
+    r"|months?|years?)"
+    + r"|(?:daily|weekly|monthly|yearly|annually|hourly)"
+    # ---- ranges (from X to Y / between X and Y) ----
+    + r"|from " + _MON + r" \d{4} to " + _MON + r" \d{4}"
+    + r"|from \d{4} to \d{4}"
+    + r"|between \d{4} and \d{4}"
     + r"|" + _HOLIDAY + r" \d{4}"
     + r"|" + _HOLIDAY
     + r"|(?:the )?(?:first|second|third|fourth|fifth|sixth|seventh"
@@ -151,7 +174,18 @@ RELATIVE_PATTERN = (
     r"|thirtieth|\d{1,2}(?:st|nd|rd|th)) of " + _MON
     + r"|" + _MON + r" (?:of )?\d{4}"
     + r"|(?:spring|summer|fall|autumn|winter) of \d{4}"
+    # quarter WITH year before the bare anaphoric quarter
+    + r"|(?:the )?(?:first|second|third|fourth|1st|2nd|3rd|4th) quarter"
+    r" of \d{4}"
     + r"|(?:first|second|third|fourth|1st|2nd|3rd|4th) quarter"
+    # ---- decades ----
+    + r"|(?:the )?\d{4}s"
+    + r"|(?:the )?'?\d{2}s"
+    + r"|(?:the )?" + _DECADE_WORDS
+    # ---- bare durations LAST among quantity forms, so the suffixed
+    # relative families ('three weeks ago', '3 months from now', the
+    # 'last 3 months' window) win the same start position ----
+    + r"|" + _DUR_NUM + r" " + _DUR_UNIT
     + r"|yesterday|today|tomorrow|tonight"
     + r"|" + _WD
     + r")")
@@ -294,7 +328,8 @@ def resolve_relative(phrase: str, docdate: dt.date | str) -> Optional[str]:
         off = (docdate.weekday() - wd) % 7 or 7
         return (docdate - dt.timedelta(days=off)).isoformat()
 
-    m = re.fullmatch(r"(last|this|next) (week|month|year|quarter)", p)
+    m = re.fullmatch(r"(last|this|next) (week|month|year|quarter"
+                     r"|decade|century)", p)
     if m:
         off = {"last": -1, "this": 0, "next": 1}[m.group(1)]
         unit = m.group(2)
@@ -304,6 +339,11 @@ def resolve_relative(phrase: str, docdate: dt.date | str) -> Optional[str]:
             return _month_str(*_add_months(docdate, off))
         if unit == "year":
             return f"{docdate.year + off:04d}"
+        if unit == "decade":
+            # SUTimeITest decade goldens: 1988 this→198X next→199X
+            return f"{docdate.year // 10 + off}X"
+        if unit == "century":
+            return f"{docdate.year // 100 + off}XX"
         q = (docdate.month - 1) // 3 + 1 + off
         y = docdate.year + (q - 1) // 4 if q > 4 else \
             docdate.year - 1 if q < 1 else docdate.year
@@ -346,9 +386,86 @@ def resolve_relative(phrase: str, docdate: dt.date | str) -> Optional[str]:
     if m:
         return f"{int(m.group(2)):04d}-{SEASONS[m.group(1)]}"
 
+    # fiscal/calendar quarter with explicit year: 'third quarter of 2003'
+    m = re.fullmatch(r"(\S+) quarter of (\d{4})", p)
+    if m and m.group(1) in _QUARTERS:
+        return f"{int(m.group(2)):04d}-Q{_QUARTERS[m.group(1)]}"
+
     m = re.fullmatch(r"(\S+) quarter", p)
     if m and m.group(1) in _QUARTERS:
         return f"{docdate.year:04d}-Q{_QUARTERS[m.group(1)]}"
+
+    # ---- SETs (TIMEX3 type=SET; english.sutime.txt recurrence rules):
+    # 'every Tuesday' → XXXX-WXX-2 (periodicity P1W),
+    # 'every 2 days' → P2D, 'daily' → P1D (SUTimeITest.java:968,450)
+    m = re.fullmatch(r"every (?:other )?(" + _WD + ")", p)
+    if m:
+        return f"XXXX-WXX-{WEEKDAYS[m.group(1)] + 1}"
+    m = re.fullmatch(r"every (\S+) (second|minute|hour|day|week|month"
+                     r"|year)s?", p)
+    if m:
+        n = _num(m.group(1))
+        if n is None:
+            return None
+        unit = m.group(2)
+        if unit in ("second", "minute", "hour"):
+            return f"PT{n}{unit[0].upper()}"
+        return f"P{n}{unit[0].upper()}"
+    if p in ("daily", "weekly", "monthly", "yearly", "annually", "hourly"):
+        return {"daily": "P1D", "weekly": "P1W", "monthly": "P1M",
+                "yearly": "P1Y", "annually": "P1Y", "hourly": "PT1H"}[p]
+
+    # ---- ranges: 'from May 2002 to June 2003' → 2002-05/2003-06,
+    # 'from 1999 to 2003' / 'between 1999 and 2003' → 1999/2003
+    # (the reference's interval values, e.g. 1988-01-09/1988-01-23)
+    m = re.fullmatch(r"from (" + _MON + r") (\d{4}) to ("
+                     + _MON + r") (\d{4})", p)
+    if m:
+        return (f"{int(m.group(2)):04d}-{MONTHS[m.group(1)]:02d}/"
+                f"{int(m.group(4)):04d}-{MONTHS[m.group(3)]:02d}")
+    m = re.fullmatch(r"(?:from (\d{4}) to|between (\d{4}) and) (\d{4})", p)
+    if m:
+        return f"{int(m.group(1) or m.group(2)):04d}/{int(m.group(3)):04d}"
+
+    # ---- decades: 'the 1990s' → 199X, "the '90s" / 'the nineties' →
+    # 199X (two-digit decades ≥ 30 read as 19xx, < 30 as 20xx)
+    m = re.fullmatch(r"(\d{4})s", p)
+    if m:
+        return f"{int(m.group(1)) // 10}X"
+    m = re.fullmatch(r"'?(\d{2})s", p)
+    if m:
+        d2 = int(m.group(1)) // 10
+        return f"{19 if int(m.group(1)) >= 30 else 20}{d2}X"
+    if p in _DECADE_WORD_MAP:
+        return f"19{_DECADE_WORD_MAP[p]}X"
+
+    # ---- durations (TIMEX3 type=DURATION): exact → PnU, vague → PXU
+    # ('a decade' → P10Y, 'a few decades' → PXY, 'recent weeks' → PXW,
+    # 'hundred decades' → P1000Y; SUTimeITest.java:89-92)
+    m = re.fullmatch(r"(a few|several|recent|some|many|an?|one|\S+) "
+                     r"(second|minute|hour|day|week|month|quarter|year"
+                     r"|decade|centur)(?:s|y|ies)?", p)
+    if m:
+        qty, unit = m.group(1), m.group(2)
+        if qty in ("a few", "several", "recent", "some", "many"):
+            n = None
+        elif qty in ("a", "an", "one"):
+            n = 1
+        elif qty == "hundred":
+            n = 100
+        else:
+            n = _num(qty)
+            if n is None:
+                return None
+        if unit in ("second", "minute", "hour"):
+            return f"PT{'X' if n is None else n}{unit[0].upper()}"
+        if unit == "decade":
+            return "PXY" if n is None else f"P{n * 10}Y"
+        if unit == "centur":
+            return "PXY" if n is None else f"P{n * 100}Y"
+        if unit == "quarter":
+            return "PXM" if n is None else f"P{n * 3}M"
+        return f"P{'X' if n is None else n}{unit[0].upper()}"
 
     if p in WEEKDAYS:
         return _closest_weekday(docdate, WEEKDAYS[p]).isoformat()

@@ -187,3 +187,44 @@ def test_parse_datetime_instant_formats():
     # naive local datetime interpreted as UTC (the test's resolution)
     assert parse_datetime_instant("2017-11-02T15:30") == 1509636600000
     assert parse_datetime_instant("not a date") is None
+
+
+# ---- round-4 grammar families: durations / decades / SETs / quarters /
+# ranges (english.sutime.txt families; DURATION goldens from
+# SUTimeITest.java:89-92 'a decade'→P10Y, 'a few decades'→PXY,
+# 'hundred decades'→P1000Y, 'recent weeks'→PXW; SET goldens from
+# :450,968 'every Monday'→XXXX-WXX-1, 'Every 2 days'→P2D) ----
+
+import datetime as _dt
+
+_D = _dt.date(1988, 1, 16)
+
+
+@pytest.mark.parametrize("phrase,want", [
+    ("a decade", "P10Y"), ("a few decades", "PXY"),
+    ("hundred decades", "P1000Y"), ("recent weeks", "PXW"),
+    ("three weeks", "P3W"), ("a week", "P1W"),
+    ("30 minutes", "PT30M"), ("three hours", "PT3H"),
+    ("every monday", "XXXX-WXX-1"), ("every tuesday", "XXXX-WXX-2"),
+    ("every 2 days", "P2D"), ("every other sunday", "XXXX-WXX-7"),
+    ("daily", "P1D"), ("annually", "P1Y"), ("hourly", "PT1H"),
+    ("the 1990s", "199X"), ("the '90s", "199X"),
+    ("the nineties", "199X"), ("this decade", "198X"),
+    ("next decade", "199X"), ("last century", "18XX"),
+    ("the third quarter of 2003", "2003-Q3"),
+    ("first quarter", "1988-Q1"),
+    ("from may 2002 to june 2003", "2002-05/2003-06"),
+    ("from 1999 to 2003", "1999/2003"),
+    ("between 1999 and 2003", "1999/2003"),
+])
+def test_round4_grammar_families(phrase, want):
+    assert resolve_relative(phrase, _D) == want
+
+
+def test_round4_families_found_in_text():
+    txt = ("He stayed for three weeks in the 1990s and visited every "
+           "Tuesday, three weeks ago.")
+    got = [(p, v) for _, _, p, v in find_relative_expressions(txt, _D)]
+    assert got == [("three weeks", "P3W"), ("the 1990s", "199X"),
+                   ("every Tuesday", "XXXX-WXX-2"),
+                   ("three weeks ago", "1987-12-26")]
