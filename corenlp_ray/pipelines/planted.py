@@ -428,6 +428,53 @@ def tokenize_planted_sql() -> str:
             "AS n_sents FROM documents")
 
 
+def q_protobuf_planted(sf_dir: str):
+    """Protobuf wire-format sink oracle (ProtobufAnnotationSerializer
+    analogue, sources/protobuf_out.py): planted sentences → the real
+    tokenize stage → ``write_protobuf`` (distributed, varint-delimited
+    CoreNLP Document stream, one .pb per block) → wire-level re-read.
+    The per-doc token/sentence counts recovered FROM THE PROTOBUF BYTES
+    must equal the template constants (the tokenizer oracle's SQL) —
+    this pins field numbers, delimited framing, and the sentence/token
+    nesting in one value-hashed check. The driver-side read-back is the
+    verification step over the tiny sink output, not a pipeline stage."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from corenlp_ray.sources.protobuf_out import (parse_message,
+                                                  read_delimited,
+                                                  write_protobuf)
+    from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
+
+    def add_url(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "url", pc.cast(b.column("doc_id"), pa.string()))
+
+    ann = (_planted_doc_texts(sf_dir, _tokenize_text)
+           .map_batches(add_url, batch_format="pyarrow")
+           .map_batches(tokenize_ssplit_batch, batch_format="pyarrow"))
+    out_dir = tempfile.mkdtemp(prefix="graft_pb_planted_")
+    paths = write_protobuf(ann, out_dir)
+    rows = {"doc_id": [], "n_tokens": [], "n_sents": []}
+    for p in paths:
+        with open(p, "rb") as fh:
+            blob = fh.read()
+        for msg in read_delimited(blob):
+            doc = parse_message(msg)
+            sents = [parse_message(s) for s in doc.get(2, [])]
+            rows["doc_id"].append(int(doc[4][0].decode("utf-8")))
+            rows["n_tokens"].append(sum(len(s.get(1, ())) for s in sents))
+            rows["n_sents"].append(len(sents))
+    return pa.Table.from_pydict(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_sents", pa.int64())]))
+
+
+def protobuf_planted_sql() -> str:
+    return tokenize_planted_sql()
+
+
 def q_simhash_pairs_planted(sf_dir: str):
     """SimHash pair oracle over the planted dedup corpus: identical
     intra-group texts → exactly the intra-group pairs at Hamming 0."""

@@ -1032,7 +1032,8 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     dedup_planted_sql, entity_mentions_planted_sql, kbp_planted_sql,
     extract_planted_sql, ivf_planted_sql, kg_planted_sql,
     linking_planted_sql, multilingual_planted_sql, q_extract_planted,
-    q_ivf_planted, q_simhash_pairs_planted, q_tokenize_planted,
+    q_ivf_planted, q_protobuf_planted, q_simhash_pairs_planted,
+    q_tokenize_planted, protobuf_planted_sql,
     simhash_pairs_planted_sql, tokenize_planted_sql,
     multimodal_planted_sql, natlog_planted_sql, ngram_jaccard_planted_sql,
     openie_planted_sql, parse_planted_sql, q_entity_mentions_planted,
@@ -1059,6 +1060,7 @@ ORACLE_SQL["multimodal_planted"] = multimodal_planted_sql()
 ORACLE_SQL["ivf_planted"] = ivf_planted_sql()
 ORACLE_SQL["extract_planted"] = extract_planted_sql()
 ORACLE_SQL["tokenize_planted"] = tokenize_planted_sql()
+ORACLE_SQL["protobuf_planted"] = protobuf_planted_sql()
 ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
 
 QUERIES = {
@@ -1102,6 +1104,7 @@ QUERIES = {
     "extract_planted": q_extract_planted,
     "tokenize_planted": q_tokenize_planted,
     "simhash_pairs_planted": q_simhash_pairs_planted,
+    "protobuf_planted": q_protobuf_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
