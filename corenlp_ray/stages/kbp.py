@@ -311,10 +311,18 @@ def kbp_sentence(
         if h >= 0:
             ch.setdefault(h, []).append((i, l))
 
+    # token → first covering mention, precomputed once (men_at is hit
+    # ~10×/sentence across the verbal/copular/possessive patterns; the
+    # per-call linear scan over mentions was the kernel's hottest line)
+    _men_idx: List[Optional[Mention]] = [None] * n
+    for m in reversed(mentions):   # earlier mentions win ties, as before
+        for k in range(m.b, min(m.e, n)):
+            _men_idx[k] = m
+
     def men_at(tok: int, types=None) -> Optional[Mention]:
-        for m in mentions:
-            if m.b <= tok < m.e and (types is None or m.type in types):
-                return m
+        m = _men_idx[tok] if 0 <= tok < n else None
+        if m is not None and (types is None or m.type in types):
+            return m
         return None
 
     def subj_entity(v: int, types) -> Optional[Tuple[str, str]]:
