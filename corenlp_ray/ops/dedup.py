@@ -343,6 +343,10 @@ def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
     sigs = docs_ds.map_batches(
         lambda b: _sig_batch(b, num_perm, k),
         batch_format="pyarrow").materialize()
+    # size the shuffles to the input: 4×CPU partitions are pure task
+    # overhead for small corpora (the count is metadata — sigs is
+    # materialized); large corpora keep the full width
+    npart = min(_npartitions(), max(8, sigs.count() // 500))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
@@ -366,7 +370,8 @@ def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
     pairs = partitioned_group_apply(
         exploded, ("band_id", "band_hash"),
-        lambda g: _bucket_pairs(g, site="minhash_verified_edges"))
+        lambda g: _bucket_pairs(g, site="minhash_verified_edges"),
+        npart=npart)
     from ray.data.aggregate import Count
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
@@ -393,11 +398,15 @@ def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
              "doc_b": b.column("doc_b").to_pylist(),
              "sig_a": b.column("sig_a").to_pylist()}, schema=j_schema)
 
-    j = _attach_pair_columns(cand, sigs,
-                             {"doc_id": "doc_a", "sig": "sig_a"}, "doc_a") \
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    j = bucketed_hash_join(
+        cand, _renamed(sigs, {"doc_id": "doc_a", "sig": "sig_a"}),
+        on="doc_a", npart=npart) \
         .map_batches(_conform_j, batch_format="pyarrow").materialize()
-    j = _attach_pair_columns(j, sigs,
-                             {"doc_id": "doc_b", "sig": "sig_b"}, "doc_b")
+    j = bucketed_hash_join(
+        j, _renamed(sigs, {"doc_id": "doc_b", "sig": "sig_b"}),
+        on="doc_b", npart=npart)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
