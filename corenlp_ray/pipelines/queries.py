@@ -568,6 +568,35 @@ def q_kg_triples(sf_dir: str):
     return kg.drop_columns(["example_url"])
 
 
+def q_kg_triples_weighted(sf_dir: str):
+    """The flagship chain with ALL four statistical slots registered
+    (perceptron pos, arc-standard depparse, coref ranker, kbp LR
+    ensemble member — models self-distilled at query time; real
+    trained weights drop into the same register_weighted_models
+    paths). Rows-only: the weighted cascade's outputs differ from the
+    rule cascade by design. Placed LAST in QUERIES and the registry is
+    restored in a finally, so the weighted registration can never leak
+    into another query's pipeline construction."""
+    import tempfile
+
+    from corenlp_ray.models.distill import distill_and_register
+    from corenlp_ray.pipelines import kg as kg_mod
+    from corenlp_ray.pipelines import registry
+
+    saved = {n: registry.get(n) for n in ("pos", "depparse", "coref")}
+    saved_kbp = kg_mod._KBP_MODEL_PATH
+    try:
+        distill_and_register(tempfile.mkdtemp(prefix="graft_wq_"))
+        kg = kg_mod.kg_from_documents(sf_dir, num_buckets=16)
+        # materialize INSIDE the weighted window — the lazy Dataset
+        # must not execute after the registry is restored
+        return kg.drop_columns(["example_url"]).materialize()
+    finally:
+        for st in saved.values():
+            registry.register(st)
+        kg_mod._KBP_MODEL_PATH = saved_kbp
+
+
 def q_entity_linking(sf_dir: str):
     from corenlp_ray.stages.entitylink import entitylink_batch
 
@@ -1132,6 +1161,7 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "fingerprints": q_fingerprints,
     "multimodal": q_multimodal,
+    "kg_triples_weighted": q_kg_triples_weighted,
 }
 
 # The driver's correctness pass walks QUERIES in dict order with a fixed
