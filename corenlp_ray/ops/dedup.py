@@ -267,7 +267,7 @@ def _bucket_pairs(group: pd.DataFrame,
 
 
 def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
-                      k: int = 3):
+                      k: int = 3, npart: int | None = None):
     """docs → distinct LSH candidate pairs (doc_a < doc_b).
 
     shingle→minhash per batch → band explode → partitioned bucket
@@ -276,7 +276,7 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         lambda b: _minhash_bands_batch(b, num_perm, bands, k),
         batch_format="pyarrow")
     pairs = partitioned_group_apply(
-        exploded, ("band_id", "band_hash"), _bucket_pairs)
+        exploded, ("band_id", "band_hash"), _bucket_pairs, npart=npart)
     from ray.data.aggregate import Count
 
     return (pairs.groupby(["doc_a", "doc_b"])
@@ -316,13 +316,13 @@ def _renamed(ds, cols: Dict[str, str]):
 
 
 def _attach_pair_columns(pairs_ds, side_ds, cols: Dict[str, str],
-                         left_key: str):
+                         left_key: str, npart: int | None = None):
     """pairs ⋈ side on ``left_key`` with side's columns renamed per
     ``cols`` (source → target). One bucketed shuffle per side."""
     from corenlp_ray.ops.joins import bucketed_hash_join
 
     return bucketed_hash_join(pairs_ds, _renamed(side_ds, cols),
-                              on=left_key, how="inner")
+                              on=left_key, how="inner", npart=npart)
 
 
 def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
@@ -522,13 +522,20 @@ def ngram_jaccard_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     verify stage as its own distributed operator: candidate texts reach
     the pairs via two bucketed hash joins and the Jaccard kernel runs
     per batch in-cluster (round-1 judge finding: no driver-side loops)."""
-    pairs = minhash_lsh_pairs(docs_ds, num_perm, bands, k) \
+    # materialize the text side ONCE: it feeds two bucketed joins whose
+    # lineage would otherwise re-execute the upstream twice, and the
+    # materialized count sizes the shuffles to the input (tiny corpora
+    # stop paying 4×CPU-way task overhead per all-to-all)
+    texts = docs_ds.select_columns(["doc_id", "text"]).materialize()
+    npart = min(_npartitions(), max(8, texts.count() // 500))
+    pairs = minhash_lsh_pairs(docs_ds, num_perm, bands, k, npart=npart) \
         .select_columns(["doc_a", "doc_b"])
-    texts = docs_ds.select_columns(["doc_id", "text"])
     j = _attach_pair_columns(pairs, texts,
-                             {"doc_id": "doc_a", "text": "text_a"}, "doc_a")
+                             {"doc_id": "doc_a", "text": "text_a"},
+                             "doc_a", npart=npart)
     j = _attach_pair_columns(j, texts,
-                             {"doc_id": "doc_b", "text": "text_b"}, "doc_b")
+                             {"doc_id": "doc_b", "text": "text_b"},
+                             "doc_b", npart=npart)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
