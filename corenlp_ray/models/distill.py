@@ -59,17 +59,21 @@ def distill_and_register(tmpdir: str) -> None:
             kbp_sents.append((r["tok_word"][b:e], r["tok_pos"][b:e],
                               r["tok_lemma"][b:e], heads,
                               r["dep_label"][b:e], ners[b:e], l_mens))
+    from corenlp_ray.models.pcfg_parser import PcfgParser
+
     paths = {}
     for name, model in (
             ("pos", PerceptronTagger.distill([w for w, _ in sents],
                                              n_iter=4)),
             ("dep", TransitionParser.distill(sents, n_iter=3)),
             ("kbp", KbpClassifier.distill(kbp_sents, n_iter=4)),
-            ("coref", CorefRanker.distill(coref_docs, n_iter=4))):
+            ("coref", CorefRanker.distill(coref_docs, n_iter=4)),
+            ("parse", PcfgParser.distill(sents))):
         p = os.path.join(tmpdir, f"{name}.json")
         model.save(p)
         paths[name] = p
     register_weighted_models(pos_model_path=paths["pos"],
                              dep_model_path=paths["dep"],
                              kbp_model_path=paths["kbp"],
-                             coref_model_path=paths["coref"])
+                             coref_model_path=paths["coref"],
+                             parse_model_path=paths["parse"])

@@ -99,7 +99,8 @@ _KBP_MODEL_PATH: str | None = None
 def register_weighted_models(pos_model_path: str | None = None,
                              dep_model_path: str | None = None,
                              kbp_model_path: str | None = None,
-                             coref_model_path: str | None = None) -> None:
+                             coref_model_path: str | None = None,
+                             parse_model_path: str | None = None) -> None:
     """Swap the rule cascades for TRAINED weights (the pinned-model
     actor stages in models/): re-registers 'pos' and/or 'depparse' so
     every pipeline built afterwards (incl. the flagship KG chain) runs
@@ -133,6 +134,14 @@ def register_weighted_models(pos_model_path: str | None = None,
                        lambda: {**(_pool() if callable(_pool) else _pool),
                                 "fn_constructor_kwargs":
                                     {"model_path": coref_model_path}}))
+    if parse_model_path is not None:
+        from corenlp_ray.stages.parse_tree import WeightedParseTree
+
+        register(Stage("parse", ("tok_pos", "dep_head"), ("parse_tree",),
+                       WeightedParseTree,
+                       lambda: {**(_pool() if callable(_pool) else _pool),
+                                "fn_constructor_kwargs":
+                                    {"model_path": parse_model_path}}))
 
 ANNOTATE_STAGES = ("cleanxml", "tokenize", "pos", "lemma", "ner",
                    "depparse", "coref")

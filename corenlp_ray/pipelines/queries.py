@@ -583,7 +583,8 @@ def q_kg_triples_weighted(sf_dir: str):
     from corenlp_ray.pipelines import kg as kg_mod
     from corenlp_ray.pipelines import registry
 
-    saved = {n: registry.get(n) for n in ("pos", "depparse", "coref")}
+    saved = {n: registry.get(n)
+             for n in ("pos", "depparse", "coref", "parse")}
     saved_kbp = kg_mod._KBP_MODEL_PATH
     try:
         distill_and_register(tempfile.mkdtemp(prefix="graft_wq_"))

@@ -85,6 +85,46 @@ def tree_leaves(tree: str) -> List[str]:
     return [m.group(2) for m in _LEAF_RE.finditer(tree)]
 
 
+class WeightedParseTree:
+    """Actor-pool stage parsing with a TRAINED PCFG
+    (models/pcfg_parser.py — the LexicalizedParser-shaped slot): the
+    grammar JSON loads ONCE per actor. Sentences the grammar can't
+    derive or that exceed the model's max_len fall back to the
+    deterministic projection, mirroring ParserAnnotator's
+    ``parse.maxlen`` flat-tree fallback (ParserAnnotator.java:126).
+
+    Use: ds.map_batches(WeightedParseTree,
+                        fn_constructor_kwargs={"model_path": p},
+                        batch_format="pyarrow", concurrency=N)
+    """
+
+    def __init__(self, model_path: str):
+        from corenlp_ray.models.pcfg_parser import PcfgParser
+
+        self.model = PcfgParser.load(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        words_col = batch.column("tok_word").to_pylist()
+        tags_col = batch.column("tok_pos").to_pylist()
+        heads_col = batch.column("dep_head").to_pylist()
+        sb_col = batch.column("sent_begin").to_pylist()
+        se_col = batch.column("sent_end").to_pylist()
+        for words, tags, heads, sbs, ses in zip(words_col, tags_col,
+                                                heads_col, sb_col, se_col):
+            trees = []
+            for b, e in zip(sbs, ses):
+                t = self.model.parse(words[b:e], tags[b:e])
+                if t is None:
+                    local = [(h - b) if (h is not None and b <= h < e)
+                             else -1 for h in heads[b:e]]
+                    t = dep_to_constituency(words[b:e], tags[b:e], local)
+                trees.append(t)
+            out.append(trees)
+        return batch.append_column(
+            "parse_tree", pa.array(out, type=pa.list_(pa.string())))
+
+
 def parse_tree_batch(batch: pa.Table) -> pa.Table:
     """+ parse_tree (one bracketing per sentence; requires tok_word,
     tok_pos, dep_head, sent_begin/sent_end)."""
