@@ -60,6 +60,7 @@ def distill_and_register(tmpdir: str) -> None:
                               r["tok_lemma"][b:e], heads,
                               r["dep_label"][b:e], ners[b:e], l_mens))
     from corenlp_ray.models.pcfg_parser import PcfgParser
+    from corenlp_ray.models.perceptron_ner import PerceptronNER
 
     paths = {}
     for name, model in (
@@ -68,7 +69,8 @@ def distill_and_register(tmpdir: str) -> None:
             ("dep", TransitionParser.distill(sents, n_iter=3)),
             ("kbp", KbpClassifier.distill(kbp_sents, n_iter=4)),
             ("coref", CorefRanker.distill(coref_docs, n_iter=4)),
-            ("parse", PcfgParser.distill(sents))):
+            ("parse", PcfgParser.distill(sents)),
+            ("ner", PerceptronNER.distill(sents, n_iter=4))):
         p = os.path.join(tmpdir, f"{name}.json")
         model.save(p)
         paths[name] = p
@@ -76,4 +78,5 @@ def distill_and_register(tmpdir: str) -> None:
                              dep_model_path=paths["dep"],
                              kbp_model_path=paths["kbp"],
                              coref_model_path=paths["coref"],
-                             parse_model_path=paths["parse"])
+                             parse_model_path=paths["parse"],
+                             ner_model_path=paths["ner"])

@@ -100,7 +100,8 @@ def register_weighted_models(pos_model_path: str | None = None,
                              dep_model_path: str | None = None,
                              kbp_model_path: str | None = None,
                              coref_model_path: str | None = None,
-                             parse_model_path: str | None = None) -> None:
+                             parse_model_path: str | None = None,
+                             ner_model_path: str | None = None) -> None:
     """Swap the rule cascades for TRAINED weights (the pinned-model
     actor stages in models/): re-registers 'pos' and/or 'depparse' so
     every pipeline built afterwards (incl. the flagship KG chain) runs
@@ -142,6 +143,14 @@ def register_weighted_models(pos_model_path: str | None = None,
                        lambda: {**(_pool() if callable(_pool) else _pool),
                                 "fn_constructor_kwargs":
                                     {"model_path": parse_model_path}}))
+    if ner_model_path is not None:
+        from corenlp_ray.stages.ner import WeightedNerTagger
+
+        register(Stage("ner", ("tok_pos",), ("tok_ner", "men_begin"),
+                       WeightedNerTagger,
+                       lambda: {**(_pool() if callable(_pool) else _pool),
+                                "fn_constructor_kwargs":
+                                    {"model_path": ner_model_path}}))
 
 ANNOTATE_STAGES = ("cleanxml", "tokenize", "pos", "lemma", "ner",
                    "depparse", "coref")

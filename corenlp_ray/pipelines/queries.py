@@ -584,7 +584,7 @@ def q_kg_triples_weighted(sf_dir: str):
     from corenlp_ray.pipelines import registry
 
     saved = {n: registry.get(n)
-             for n in ("pos", "depparse", "coref", "parse")}
+             for n in ("pos", "depparse", "coref", "parse", "ner")}
     saved_kbp = kg_mod._KBP_MODEL_PATH
     try:
         distill_and_register(tempfile.mkdtemp(prefix="graft_wq_"))

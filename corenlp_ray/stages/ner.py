@@ -373,6 +373,10 @@ class NerTagger:
     def __init__(self):
         self.gazetteer = GAZETTEER
 
+    def _sentence(self, words, tags, docdate):
+        """Per-sentence kernel hook (overridden by WeightedNerTagger)."""
+        return ner_sentence(words, tags, docdate)
+
     def __call__(self, batch: pa.Table,
                  cols: dict | None = None) -> pa.Table:
         from corenlp_ray.stages._cache import col, put
@@ -392,7 +396,8 @@ class NerTagger:
             types: List[str] = ["O"] * len(words)
             mb, me, ms, mn, mv = [], [], [], [], []
             for si, (b, e) in enumerate(zip(sb_col[r], se_col[r])):
-                stypes, smentions = ner_sentence(words[b:e], tags[b:e], docdate)
+                stypes, smentions = self._sentence(words[b:e], tags[b:e],
+                                                   docdate)
                 types[b:e] = stypes
                 for (lb, le, ty, norm) in smentions:
                     mb.append(b + lb)
@@ -429,6 +434,53 @@ class NerTagger:
                 .append_column("men_sent", pa.array(ms_c, type=i32))
                 .append_column("men_ner", pa.array(mn_c, type=s))
                 .append_column("men_norm", pa.array(mv_c, type=s)))
+
+
+_ENTITY_TYPES = frozenset(("PERSON", "ORGANIZATION", "LOCATION", "MISC"))
+
+
+class WeightedNerTagger(NerTagger):
+    """Actor-pool stage combining a TRAINED sequence model with the
+    rule-based value annotators, in the reference's NERCombinerAnnotator
+    order (NERCombinerAnnotator.java:242-306): the statistical model
+    decides the ENTITY types (PERSON/ORG/LOC/MISC — the CRF's job), the
+    deterministic numeric/temporal cascade fills the VALUE types
+    (DATE/NUMBER/MONEY/...) with their normalizations. The model JSON
+    (models/perceptron_ner.py — CoNLL-2003-trainable) loads once per
+    actor via register_weighted_models(ner_model_path=...)."""
+
+    def __init__(self, model_path: str):
+        super().__init__()
+        from corenlp_ray.models.perceptron_ner import PerceptronNER
+
+        self.model = PerceptronNER.load(model_path)
+
+    def _sentence(self, words, tags, docdate):
+        base_types, base_mentions = ner_sentence(words, tags, docdate)
+        pred = self.model.tag(words, tags)
+        n = len(words)
+        types = []
+        for k in range(n):
+            if pred[k] in _ENTITY_TYPES:
+                types.append(pred[k])            # model wins entities
+            elif base_types[k] not in _ENTITY_TYPES:
+                types.append(base_types[k])      # cascade value types
+            else:
+                types.append("O")                # model overrode entity
+        mentions = [m for m in base_mentions
+                    if m[2] not in _ENTITY_TYPES]  # keep value mentions
+        k = 0
+        while k < n:                              # re-chunk model entities
+            if types[k] in _ENTITY_TYPES:
+                j = k + 1
+                while j < n and types[j] == types[k]:
+                    j += 1
+                mentions.append((k, j, types[k], " ".join(words[k:j])))
+                k = j
+            else:
+                k += 1
+        mentions.sort(key=lambda m: (m[0], m[1]))
+        return types, mentions
 
 
 def ner_batch(batch: pa.Table) -> pa.Table:

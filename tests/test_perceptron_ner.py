@@ -84,3 +84,65 @@ def test_generalizes_to_unseen_surface(conll_corpus):
                  ["NNP", "NNP", "VBZ", "IN", "NNP"])
     assert tags[0] == "I-PER" and tags[1] == "I-PER"
     assert tags[4] == "I-LOC"
+
+
+def test_weighted_ner_stage_combines_model_and_value_rules(tmp_path):
+    """WeightedNerTagger: model decides entity types, cascade keeps the
+    value types + normalizations (NERCombinerAnnotator order)."""
+    import pyarrow as pa
+
+    from corenlp_ray.models.perceptron_ner import PerceptronNER
+    from corenlp_ray.stages.ner import WeightedNerTagger
+    from corenlp_ray.stages.pos import tag_sentence
+
+    sents = [("John Smith visited Paris .".split(), None),
+             ("Acme Corp. hired Mary Jones .".split(), None)]
+    sents = [(w, tag_sentence(w)) for w, _ in sents]
+    m = PerceptronNER.distill(sents, n_iter=8)
+    p = str(tmp_path / "ner.json")
+    m.save(p)
+    stage = WeightedNerTagger(model_path=p)
+    w = "John Smith visited Paris on January 5 , 2003 .".split()
+    t = tag_sentence(w)
+    batch = pa.Table.from_pylist([{
+        "tok_word": w, "tok_pos": t,
+        "sent_begin": [0], "sent_end": [len(w)],
+    }])
+    out = stage(batch)
+    mens = {" ".join(w[b:e]): (ty, nv) for b, e, ty, nv in zip(
+        out.column("men_begin")[0].as_py(),
+        out.column("men_end")[0].as_py(),
+        out.column("men_ner")[0].as_py(),
+        out.column("men_norm")[0].as_py())}
+    assert mens.get("John Smith", ("", ""))[0] == "PERSON"     # model
+    # value mention + normalization comes from the cascade
+    assert any(ty == "DATE" and nv == "2003-01-05"
+               for ty, nv in mens.values())
+
+
+def test_register_weighted_ner(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.models.perceptron_ner import PerceptronNER
+    from corenlp_ray.pipelines import kg as kg_mod
+    from corenlp_ray.pipelines import registry
+    from corenlp_ray.pipelines.registry import apply
+    from corenlp_ray.stages.pos import tag_sentence
+
+    w = "John Smith visited Paris .".split()
+    m = PerceptronNER.distill([(w, tag_sentence(w))], n_iter=8)
+    p = str(tmp_path / "ner.json")
+    m.save(p)
+    saved = registry.get("ner")
+    try:
+        kg_mod.register_weighted_models(ner_model_path=p)
+        docs = rd.from_arrow(pa.Table.from_pydict(
+            {"url": ["a"], "text": ["John Smith visited Paris."]},
+            schema=pa.schema([("url", pa.string()),
+                              ("text", pa.string())])))
+        ann = apply(docs, ("tokenize", "pos", "ner"), distributed=False)
+        rows = ann.take_all()
+        assert "PERSON" in rows[0]["men_ner"]
+    finally:
+        registry.register(saved)
