@@ -1014,3 +1014,89 @@ def openie_planted_sql() -> str:
         "WHEN 2 THEN 'studies' ELSE 'acquired' END AS rel, "
         "CASE t WHEN 0 THEN 'tails' WHEN 1 THEN 'vegetables' "
         "WHEN 2 THEN tp ELSE o2 END AS obj FROM d")
+
+
+# ----------------------------------------------------------- ACE relation
+
+# (sentence format, relation, subj slot, obj slot) — the Roth/Yih
+# CoNLL-2004 inventory the reference's `relation` annotator targets
+# (pipeline/RelationExtractorAnnotator.java:30, domains/roth/
+# RothCONLL04Reader.java). Every template × slot combination is pinned
+# deterministic by tests/test_relation_stage.py's cross-product test.
+RELATION_PLANTED_TEMPLATES = [
+    ("{P} lives in {C}.", "Live_In", "P", "C"),
+    ("{P} works for {O}.", "Work_For", "P", "O"),
+    ("{O} is headquartered in {C}.", "OrgBased_In", "O", "C"),
+    ("{C} is located in {C2}.", "Located_In", "C", "C2"),
+    ("{P} killed {P2}.", "Kill", "P", "P2"),
+]
+
+
+def _relation_slots(i: int) -> dict:
+    return {"P": PERSONS[i % 12], "P2": PERSONS[(i + 5) % 12],
+            "O": ORGS[i % 10], "C": CITIES[i % 10],
+            "C2": CITIES[(i + 4) % 10]}
+
+
+def _relation_text(i: int) -> str:
+    return RELATION_PLANTED_TEMPLATES[i % 5][0].format(**_relation_slots(i))
+
+
+def q_relation_planted(sf_dir: str):
+    """Full-chain ACE-relation oracle: planted Roth-style sentences →
+    tokenize→pos→lemma→ner→depparse → RelationExtractor; the exact
+    (subj, rel, obj) per document is SQL-computable from doc_id."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.pipelines.kg import apply
+    from corenlp_ray.stages.relation import relation_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"url": [str(i) for i in ids],
+             "text": [_relation_text(i) for i in ids]},
+            schema=pa.schema([("url", pa.string()),
+                              ("text", pa.string())]))
+
+    ann = apply(_docs_ids(sf_dir).map_batches(synth,
+                                              batch_format="pyarrow"),
+                ("tokenize", "pos", "lemma", "ner", "depparse"),
+                distributed=False)   # see q_entity_mentions_planted
+    rels = ann.map_batches(relation_batch, batch_format="pyarrow")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": pc.cast(b.column("url"), pa.int64()),
+             "subj": b.column("subj"),
+             "rel": b.column("rel"),
+             "obj": b.column("obj")},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("subj", pa.string()),
+                              ("rel", pa.string()),
+                              ("obj", pa.string())]))
+
+    return rels.map_batches(proj, batch_format="pyarrow")
+
+
+def relation_planted_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS t, "
+        f"list_extract({_sql_list(PERSONS)}, "
+        "CAST(doc_id % 12 AS INT) + 1) AS p, "
+        f"list_extract({_sql_list(PERSONS)}, "
+        "CAST((doc_id + 5) % 12 AS INT) + 1) AS p2, "
+        f"list_extract({_sql_list(ORGS)}, "
+        "CAST(doc_id % 10 AS INT) + 1) AS o, "
+        f"list_extract({_sql_list(CITIES)}, "
+        "CAST(doc_id % 10 AS INT) + 1) AS c, "
+        f"list_extract({_sql_list(CITIES)}, "
+        "CAST((doc_id + 4) % 10 AS INT) + 1) AS c2 FROM documents) "
+        "SELECT doc_id, "
+        "CASE t WHEN 0 THEN p WHEN 1 THEN p WHEN 2 THEN o "
+        "WHEN 3 THEN c ELSE p END AS subj, "
+        "CASE t WHEN 0 THEN 'Live_In' WHEN 1 THEN 'Work_For' "
+        "WHEN 2 THEN 'OrgBased_In' WHEN 3 THEN 'Located_In' "
+        "ELSE 'Kill' END AS rel, "
+        "CASE t WHEN 0 THEN c WHEN 1 THEN o WHEN 2 THEN c "
+        "WHEN 3 THEN c2 ELSE p2 END AS obj FROM d")

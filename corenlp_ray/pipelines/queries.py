@@ -560,6 +560,16 @@ def q_kbp_triples(sf_dir: str):
     return _annotated(sf_dir).map_batches(kbp_batch, batch_format="pyarrow")
 
 
+def q_relation_mentions(sf_dir: str):
+    """ACE-style `relation` annotator (Roth/Yih inventory: Live_In,
+    Located_In, OrgBased_In, Work_For, Kill) over the real documents —
+    rows-only; the full-chain value-hash gate is relation_planted."""
+    from corenlp_ray.stages.relation import relation_batch
+
+    return _annotated(sf_dir).map_batches(relation_batch,
+                                          batch_format="pyarrow")
+
+
 def q_kg_triples(sf_dir: str):
     """The flagship: pages → annotate → openie∪kbp → canonicalize → KG."""
     from corenlp_ray.pipelines.kg import kg_from_documents
@@ -1070,8 +1080,9 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_kbp_planted, q_kg_planted, q_linking_planted, q_minhash_planted,
     q_multilingual_planted, q_multimodal_planted, q_natlog_planted,
     q_ngram_jaccard_planted, q_openie_planted, q_parse_planted,
-    q_quotes_planted, q_sentiment_planted, q_simhash_planted,
-    quotes_planted_sql, sentiment_planted_sql)
+    q_quotes_planted, q_relation_planted, q_sentiment_planted,
+    q_simhash_planted, quotes_planted_sql, relation_planted_sql,
+    sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
 ORACLE_SQL["kbp_planted"] = kbp_planted_sql()
@@ -1092,6 +1103,7 @@ ORACLE_SQL["extract_planted"] = extract_planted_sql()
 ORACLE_SQL["tokenize_planted"] = tokenize_planted_sql()
 ORACLE_SQL["protobuf_planted"] = protobuf_planted_sql()
 ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
+ORACLE_SQL["relation_planted"] = relation_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1135,6 +1147,7 @@ QUERIES = {
     "tokenize_planted": q_tokenize_planted,
     "simhash_pairs_planted": q_simhash_pairs_planted,
     "protobuf_planted": q_protobuf_planted,
+    "relation_planted": q_relation_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -1143,6 +1156,7 @@ QUERIES = {
     "quotes": q_quotes,
     "openie_triples": q_openie_triples,
     "kbp_triples": q_kbp_triples,
+    "relation_mentions": q_relation_mentions,
     "kg_triples": q_kg_triples,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
