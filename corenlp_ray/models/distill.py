@@ -35,10 +35,16 @@ def distill_and_register(tmpdir: str) -> None:
         "Stark Industries is headquartered in Madison.",
     ]
     sents, kbp_sents, coref_docs = [], [], []
+    trees, relation_rows = [], []
+    from corenlp_ray.stages.parse_tree import parse_tree_batch
+
     for text in docs:
         d = Document(text)
         d._need(*Document._transitive("kbp"))
         r = d._row
+        trees.extend(
+            parse_tree_batch(d._tbl).column("parse_tree").to_pylist()[0])
+        relation_rows.append({**r, "url": "0"})
         men = list(zip(r["men_begin"], r["men_end"], r["men_ner"],
                        r["men_norm"]))
         coref_docs.append((r["tok_word"], r["tok_pos"], r["tok_sent"],
@@ -61,6 +67,8 @@ def distill_and_register(tmpdir: str) -> None:
                               r["dep_label"][b:e], ners[b:e], l_mens))
     from corenlp_ray.models.pcfg_parser import PcfgParser
     from corenlp_ray.models.perceptron_ner import PerceptronNER
+    from corenlp_ray.models.relation_classifier import RelationClassifier
+    from corenlp_ray.models.rntn import RNTN
 
     paths = {}
     for name, model in (
@@ -70,7 +78,10 @@ def distill_and_register(tmpdir: str) -> None:
             ("kbp", KbpClassifier.distill(kbp_sents, n_iter=4)),
             ("coref", CorefRanker.distill(coref_docs, n_iter=4)),
             ("parse", PcfgParser.distill(sents)),
-            ("ner", PerceptronNER.distill(sents, n_iter=4))):
+            ("ner", PerceptronNER.distill(sents, n_iter=4)),
+            ("sentiment", RNTN.distill(trees, d=8, n_epochs=30)),
+            ("relation", RelationClassifier.distill(relation_rows,
+                                                    n_iter=4))):
         p = os.path.join(tmpdir, f"{name}.json")
         model.save(p)
         paths[name] = p
@@ -79,4 +90,6 @@ def distill_and_register(tmpdir: str) -> None:
                              kbp_model_path=paths["kbp"],
                              coref_model_path=paths["coref"],
                              parse_model_path=paths["parse"],
-                             ner_model_path=paths["ner"])
+                             ner_model_path=paths["ner"],
+                             sentiment_model_path=paths["sentiment"],
+                             relation_model_path=paths["relation"])

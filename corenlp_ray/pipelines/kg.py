@@ -101,7 +101,9 @@ def register_weighted_models(pos_model_path: str | None = None,
                              kbp_model_path: str | None = None,
                              coref_model_path: str | None = None,
                              parse_model_path: str | None = None,
-                             ner_model_path: str | None = None) -> None:
+                             ner_model_path: str | None = None,
+                             sentiment_model_path: str | None = None,
+                             relation_model_path: str | None = None) -> None:
     """Swap the rule cascades for TRAINED weights (the pinned-model
     actor stages in models/): re-registers 'pos' and/or 'depparse' so
     every pipeline built afterwards (incl. the flagship KG chain) runs
@@ -151,6 +153,23 @@ def register_weighted_models(pos_model_path: str | None = None,
                        lambda: {**(_pool() if callable(_pool) else _pool),
                                 "fn_constructor_kwargs":
                                     {"model_path": ner_model_path}}))
+    if sentiment_model_path is not None:
+        from corenlp_ray.stages.sentiment import WeightedSentimentTree
+
+        register(Stage("sentiment_tree", ("parse_tree",),
+                       ("sent_sentiment_tree",), WeightedSentimentTree,
+                       lambda: {**(_pool() if callable(_pool) else _pool),
+                                "fn_constructor_kwargs":
+                                    {"model_path": sentiment_model_path}}))
+    if relation_model_path is not None:
+        global _RELATION_MODEL_PATH
+        _RELATION_MODEL_PATH = relation_model_path
+
+
+# trained ACE-relation weights bound by register_weighted_models (the
+# relation stage is not in the default chain, matching the reference's
+# annotator defaults; consumers pass this to RelationExtractor)
+_RELATION_MODEL_PATH: str | None = None
 
 ANNOTATE_STAGES = ("cleanxml", "tokenize", "pos", "lemma", "ner",
                    "depparse", "coref")

@@ -164,3 +164,25 @@ def sentiment_tree_batch(batch: pa.Table) -> pa.Table:
         out.append([sentiment_tree(t) for t in trees])
     return batch.append_column(
         "sent_sentiment_tree", pa.array(out, type=pa.list_(pa.string())))
+
+
+class WeightedSentimentTree:
+    """Actor-pool map_batches stage: RNTN-scored tree sentiment
+    (models/rntn.py — the SentimentAnnotator's trained path,
+    reference sentiment/SentimentModel.java + SentimentCostAndGradient
+    backprop-through-structure). Weights load ONCE per actor; emits the
+    same sent_sentiment_tree column as the deterministic scorer so the
+    two paths are drop-in swappable via register_weighted_models."""
+
+    def __init__(self, model_path: str):
+        from corenlp_ray.models.rntn import RNTN
+
+        self.model = RNTN.load(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for trees in batch.column("parse_tree").to_pylist():
+            out.append([self.model.predict_label(t) for t in trees])
+        return batch.append_column(
+            "sent_sentiment_tree",
+            pa.array(out, type=pa.list_(pa.string())))
