@@ -159,3 +159,148 @@ def write_conll(docs_ds, path: str):
                                      "docs": [len(rows)]})
 
     return docs_ds.map_batches(write_block, batch_format="pyarrow")
+
+
+def doc_to_xml(row: Dict, triples=None) -> str:
+    """XMLOutputter-style rendering (pipeline/XMLOutputter.java:47 —
+    root/document/sentences/sentence/tokens/token with word, lemma,
+    CharacterOffsetBegin/End, POS, NER, NormalizedNER sub-elements
+    per addWordInfo :438-470; <dependencies type="basic-dependencies">
+    with governor/dependent idx attributes per buildDependencyTreeInfo
+    :295-330; per-sentence <openie>/<kbp> triple blocks :183-197;
+    document-level <coreference> chains).
+
+    ``triples``: optional list of (sent_idx, subj, rel, obj,
+    confidence, source) for the openie/kbp blocks."""
+    from xml.sax.saxutils import escape
+
+    out = ['<?xml version="1.0" encoding="UTF-8"?>', "<root>",
+           "  <document>"]
+    if row.get("url"):
+        out.append("    <docId>%s</docId>" % escape(str(row["url"])))
+    out.append("    <sentences>")
+    words = row["tok_word"]
+    lemmas = row.get("tok_lemma")
+    pos = row.get("tok_pos")
+    ner = row.get("tok_ner")
+    norm = row.get("tok_norm")
+    tb, te = row.get("tok_begin"), row.get("tok_end")
+    heads, rels = row.get("dep_head"), row.get("dep_label")
+    by_sent = {}
+    for t in (triples or []):
+        by_sent.setdefault((t[0], t[5]), []).append(t)
+    for si, (b, e) in enumerate(zip(row["sent_begin"], row["sent_end"])):
+        out.append('      <sentence id="%d">' % (si + 1))
+        out.append("        <tokens>")
+        for k in range(b, e):
+            out.append('          <token id="%d">' % (k - b + 1))
+            out.append("            <word>%s</word>" % escape(words[k]))
+            if lemmas:
+                out.append("            <lemma>%s</lemma>"
+                           % escape(lemmas[k]))
+            if tb is not None and te is not None:
+                out.append("            <CharacterOffsetBegin>%d"
+                           "</CharacterOffsetBegin>" % tb[k])
+                out.append("            <CharacterOffsetEnd>%d"
+                           "</CharacterOffsetEnd>" % te[k])
+            if pos:
+                out.append("            <POS>%s</POS>" % escape(pos[k]))
+            if ner:
+                out.append("            <NER>%s</NER>" % escape(ner[k]))
+            if norm and norm[k]:
+                out.append("            <NormalizedNER>%s"
+                           "</NormalizedNER>" % escape(norm[k]))
+            out.append("          </token>")
+        out.append("        </tokens>")
+        if heads is not None:
+            out.append('        <dependencies type="basic-dependencies">')
+            for k in range(b, e):
+                h = heads[k]
+                if h is None:
+                    continue
+                gov_idx = 0 if h < 0 or not (b <= h < e) else h - b + 1
+                gov_word = "ROOT" if gov_idx == 0 else words[h]
+                out.append('          <dep type="%s">'
+                           % escape(rels[k] if rels else "dep"))
+                out.append('            <governor idx="%d">%s</governor>'
+                           % (gov_idx, escape(gov_word)))
+                out.append('            <dependent idx="%d">%s'
+                           "</dependent>" % (k - b + 1, escape(words[k])))
+                out.append("          </dep>")
+            out.append("        </dependencies>")
+        for src, tag in (("openie", "openie"), ("kbp", "kbp")):
+            ts = by_sent.get((si, src))
+            if ts:
+                out.append("        <%s>" % tag)
+                for (_si, s, rl, o, conf, _src) in ts:
+                    out.append("          <triple confidence=\"%.3f\">"
+                               % conf)
+                    out.append("            <subject>%s</subject>"
+                               % escape(s))
+                    out.append("            <relation>%s</relation>"
+                               % escape(rl))
+                    out.append("            <object>%s</object>"
+                               % escape(o))
+                    out.append("          </triple>")
+                out.append("        </%s>" % tag)
+        out.append("      </sentence>")
+    out.append("    </sentences>")
+    chains = row.get("men_chain")
+    if chains:
+        out.append("    <coreference>")
+        by_chain = {}
+        for mi, c in enumerate(chains):
+            by_chain.setdefault(c, []).append(mi)
+        for c in sorted(by_chain):
+            mis = by_chain[c]
+            if len(mis) < 2:
+                continue
+            out.append("      <coreference>")
+            for j, mi in enumerate(mis):
+                mb, me = row["men_begin"][mi], row["men_end"][mi]
+                rep = ' representative="true"' if j == 0 else ""
+                out.append("        <mention%s>" % rep)
+                out.append("          <start>%d</start>" % (mb + 1))
+                out.append("          <end>%d</end>" % (me + 1))
+                out.append("          <text>%s</text>"
+                           % escape(" ".join(words[mb:me])))
+                out.append("        </mention>")
+            out.append("      </coreference>")
+        out.append("    </coreference>")
+    out.append("  </document>")
+    out.append("</root>")
+    return "\n".join(out) + "\n"
+
+
+def doc_to_tagged(row: Dict) -> str:
+    """TAGGED output format (StanfordCoreNLP.java:88 enum): word_POS
+    per token, one sentence per line."""
+    lines = []
+    pos = row.get("tok_pos") or [None] * len(row["tok_word"])
+    for b, e in zip(row["sent_begin"], row["sent_end"]):
+        lines.append(" ".join(
+            "%s_%s" % (row["tok_word"][k], pos[k] or "XX")
+            for k in range(b, e)))
+    return "\n".join(lines) + "\n"
+
+
+def write_xml(docs_ds, path: str):
+    """Distributed XML sink: one .xml file per block under ``path``
+    (same sharding pattern as write_json/write_conll — resumable,
+    never one giant file)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        rows = batch.to_pylist()
+        name = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.xml")
+        with open(name, "w") as f:
+            for r in rows:
+                f.write(doc_to_xml(r))
+        return pa.Table.from_pydict({"file": [name],
+                                     "docs": [len(rows)]})
+
+    return docs_ds.map_batches(write_block, batch_format="pyarrow")

@@ -137,3 +137,56 @@ def test_write_conll_roundtrip(tmp_path, ray_session):
     assert files
     content = open(files[0]).read()
     assert content.splitlines()[0].startswith("1\tHi\thi\tUH")
+
+
+def test_doc_to_xml_shape():
+    import xml.etree.ElementTree as ET
+
+    from corenlp_ray.sources.outputters import doc_to_xml
+
+    row = annotated_row()
+    x = doc_to_xml(row, triples=[(0, "Cats", "have", "tails", 1.0,
+                                  "openie")])
+    root = ET.fromstring(x)
+    assert root.tag == "root"
+    sents = root.findall("./document/sentences/sentence")
+    assert sents and sents[0].get("id") == "1"
+    tok = sents[0].find("./tokens/token")
+    assert tok.get("id") == "1" and tok.find("word").text
+    assert tok.find("POS") is not None
+    deps = sents[0].find('./dependencies[@type="basic-dependencies"]')
+    assert deps is not None
+    gov = deps.find("./dep/governor")
+    assert gov is not None and gov.get("idx") is not None
+    tr = sents[0].find("./openie/triple")
+    assert tr is not None and tr.find("subject").text == "Cats"
+
+
+def test_doc_to_tagged():
+    from corenlp_ray.sources.outputters import doc_to_tagged
+
+    row = annotated_row()
+    t = doc_to_tagged(row)
+    first = t.splitlines()[0].split()[0]
+    assert "_" in first  # word_POS
+
+
+def test_write_xml_roundtrip(tmp_path, ray_session):
+    import xml.etree.ElementTree as ET
+
+    import ray.data as rd
+
+    from corenlp_ray.sources.outputters import write_xml
+
+    tbl = synth_pages_table(n=3, seed=47)
+    docs = depparse_batch(lemma_batch(ner_batch(pos_batch(
+        tokenize_ssplit_batch(tbl)))))
+    out = write_xml(rd.from_arrow(docs), str(tmp_path / "xml")).take_all()
+    assert sum(r["docs"] for r in out) == 3
+    files = os.listdir(tmp_path / "xml")
+    assert files and all(f.endswith(".xml") for f in files)
+    # every document block parses as XML
+    body = open(os.path.join(tmp_path / "xml", files[0])).read()
+    for chunk in body.split('<?xml version="1.0" encoding="UTF-8"?>'):
+        if chunk.strip():
+            ET.fromstring(chunk)
