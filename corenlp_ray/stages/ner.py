@@ -446,14 +446,27 @@ class WeightedNerTagger(NerTagger):
     decides the ENTITY types (PERSON/ORG/LOC/MISC — the CRF's job), the
     deterministic numeric/temporal cascade fills the VALUE types
     (DATE/NUMBER/MONEY/...) with their normalizations. The model JSON
-    (models/perceptron_ner.py — CoNLL-2003-trainable) loads once per
-    actor via register_weighted_models(ner_model_path=...)."""
+    loads once per actor via register_weighted_models(ner_model_path=…)
+    and dispatches on its ``kind`` marker: "crf" → the linear-chain CRF
+    with Viterbi decoding (models/crf_ner.py — the reference's actual
+    model family, ie/crf/CRFClassifier.java), else the history-feature
+    averaged perceptron (models/perceptron_ner.py). Both are
+    CoNLL-2003-trainable."""
 
     def __init__(self, model_path: str):
         super().__init__()
-        from corenlp_ray.models.perceptron_ner import PerceptronNER
+        import json
 
-        self.model = PerceptronNER.load(model_path)
+        with open(model_path) as fh:
+            kind = json.load(fh).get("kind")
+        if kind == "crf":
+            from corenlp_ray.models.crf_ner import CrfNER
+
+            self.model = CrfNER.load(model_path)
+        else:
+            from corenlp_ray.models.perceptron_ner import PerceptronNER
+
+            self.model = PerceptronNER.load(model_path)
 
     def _sentence(self, words, tags, docdate):
         base_types, base_mentions = ner_sentence(words, tags, docdate)
