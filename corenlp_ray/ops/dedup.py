@@ -325,6 +325,60 @@ def _attach_pair_columns(pairs_ds, side_ds, cols: Dict[str, str],
                               on=left_key, how="inner", npart=npart)
 
 
+# docs at/below which the signature table broadcasts to the verify
+# actors instead of shuffling through two bucketed joins (num_perm=64 →
+# 512 B/doc → ≤ ~1 GB per actor at the cap; join-back above)
+_SIG_BROADCAST_MAX = 2_000_000
+
+
+class _BroadcastSigVerify:
+    """Verify actor for the small-corpus regime: fetches the
+    materialized signature blocks from the OBJECT STORE once per actor
+    (never via the driver), builds one contiguous (n, num_perm) uint64
+    matrix + id→row index, then estimates Jaccard for each candidate
+    pair vectorized."""
+
+    def __init__(self, refs, num_perm: int, threshold: float):
+        import ray
+
+        tbls = ray.get(list(refs))
+        ids, sig_bufs = [], []
+        for t in tbls:
+            if t.num_rows:
+                ids.append(np.asarray(t.column("doc_id").to_pylist(),
+                                      dtype=np.int64))
+                sig_bufs.append(b"".join(t.column("sig").to_pylist()))
+        if ids:
+            all_ids = np.concatenate(ids)
+            self.S = np.frombuffer(b"".join(sig_bufs), dtype=np.uint64) \
+                .reshape(len(all_ids), num_perm)
+            self.row = {int(i): r for r, i in enumerate(all_ids)}
+        else:
+            self.S = np.zeros((0, num_perm), dtype=np.uint64)
+            self.row = {}
+        self.threshold = threshold
+
+    def __call__(self, batch: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([],
+                                                       dtype="float64")})
+        if not len(batch):
+            return empty
+        ra = np.fromiter((self.row[int(a)] for a in batch["doc_a"]),
+                         dtype=np.int64, count=len(batch))
+        rb = np.fromiter((self.row[int(b)] for b in batch["doc_b"]),
+                         dtype=np.int64, count=len(batch))
+        est = (self.S[ra] == self.S[rb]).mean(axis=1)
+        keep = est >= self.threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"doc_a": batch["doc_a"].values[keep].astype("int64"),
+             "doc_b": batch["doc_b"].values[keep].astype("int64"),
+             "est_jaccard": est[keep]})
+
+
 def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
                            k: int = 3, threshold: float = 0.8):
     """Signature-verified near-dup edges, id-only shuffle layout (round-3
@@ -346,7 +400,8 @@ def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
     # size the shuffles to the input: 4×CPU partitions are pure task
     # overhead for small corpora (the count is metadata — sigs is
     # materialized); large corpora keep the full width
-    npart = min(_npartitions(), max(8, sigs.count() // 500))
+    n_docs = sigs.count()
+    npart = min(_npartitions(), max(8, n_docs // 500))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
@@ -387,6 +442,24 @@ def minhash_verified_edges(docs_ds, num_perm: int = 64, bands: int = 16,
     cand = (pairs.map_batches(_pairs_only, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"]).aggregate(Count())
             .map_batches(_pairs_only, batch_format="pyarrow").materialize())
+
+    # small-corpus regime: the materialized signature table fits a
+    # worker heap (num_perm×8 B/doc), so BROADCAST it — each verify
+    # actor fetches the blocks from the object store ONCE in __init__
+    # (never through the driver) and the two bucketed join-back
+    # shuffles disappear. Above the threshold the join-back path below
+    # is the one that scales (signatures reach only candidate pairs).
+    # Same small-side-broadcast/big-side-shuffle split as
+    # stages/canonicalize.resolve_alias_scale.
+    if n_docs <= _SIG_BROADCAST_MAX:
+        from corenlp_ray.ops._partition import fixed_pool
+
+        refs = sigs.to_arrow_refs()
+        return cand.map_batches(
+            _BroadcastSigVerify, batch_format="pandas",
+            fn_constructor_kwargs={"refs": refs, "num_perm": num_perm,
+                                   "threshold": threshold},
+            concurrency=fixed_pool(), num_cpus=0.5)
     j_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                           ("sig_a", pa.binary())])
 

@@ -364,3 +364,30 @@ def test_cosine_pairs_exact_multiblock(ray_session):
             if a < b and S[i, j] >= 0.4:
                 want[(a, b)] = round(float(S[i, j]), 9)
     assert got == want and len(want) > 10
+
+
+def test_minhash_broadcast_and_joinback_regimes_agree(ray_session,
+                                                      monkeypatch):
+    """The small-corpus broadcast verify and the at-scale bucketed
+    join-back must emit IDENTICAL verified edges (the regime switch is
+    a pure execution-strategy choice, ops/dedup._SIG_BROADCAST_MAX)."""
+    import ray.data as rd
+
+    import corenlp_ray.ops.dedup as dd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = [{"doc_id": i, "text": base + (" shared" if i % 2 == 0
+                                          else f" unique{i} words")}
+            for i in range(12)]
+
+    def edges():
+        got = dd.minhash_verified_edges(rd.from_items(rows),
+                                        threshold=0.7).take_all()
+        return {(r["doc_a"], r["doc_b"], round(r["est_jaccard"], 6))
+                for r in got}
+
+    broadcast = edges()                       # n=12 ≤ threshold
+    monkeypatch.setattr(dd, "_SIG_BROADCAST_MAX", -1)
+    joinback = edges()                        # forced join-back path
+    assert broadcast == joinback and broadcast
