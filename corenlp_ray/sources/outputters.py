@@ -304,3 +304,32 @@ def write_xml(docs_ds, path: str):
                                      "docs": [len(rows)]})
 
     return docs_ds.map_batches(write_block, batch_format="pyarrow")
+
+
+def doc_to_inline_xml(row: Dict) -> str:
+    """INLINEXML output format (StanfordCoreNLP.java:88 enum; the
+    classic CRFClassifier inline-NER rendering): contiguous same-type
+    NER token runs wrapped as <TYPE>…</TYPE>, O tokens bare, one
+    sentence per line."""
+    from xml.sax.saxutils import escape
+
+    words = row["tok_word"]
+    ner = row.get("tok_ner") or ["O"] * len(words)
+    lines = []
+    for b, e in zip(row["sent_begin"], row["sent_end"]):
+        parts = []
+        k = b
+        while k < e:
+            t = ner[k]
+            if t in (None, "O"):
+                parts.append(escape(words[k]))
+                k += 1
+                continue
+            j = k
+            while j < e and ner[j] == t:
+                j += 1
+            parts.append("<%s>%s</%s>"
+                         % (t, escape(" ".join(words[k:j])), t))
+            k = j
+        lines.append(" ".join(parts))
+    return "\n".join(lines) + "\n"

@@ -190,3 +190,14 @@ def test_write_xml_roundtrip(tmp_path, ray_session):
     for chunk in body.split('<?xml version="1.0" encoding="UTF-8"?>'):
         if chunk.strip():
             ET.fromstring(chunk)
+
+
+def test_doc_to_inline_xml():
+    from corenlp_ray.sources.outputters import doc_to_inline_xml
+
+    row = annotated_row()
+    txt = doc_to_inline_xml(row)
+    # contiguous entity runs are wrapped; brackets balance
+    assert txt.count("<") == txt.count(">")
+    for ty in ("PERSON", "ORGANIZATION", "LOCATION"):
+        assert txt.count("<%s>" % ty) == txt.count("</%s>" % ty)

@@ -82,3 +82,29 @@ def test_ner_f1_band():
 def test_ner_recall_band():
     p, r, f1, errors = prf()
     assert r >= 0.90, f"R={r:.3f}; misses={[e for e in errors if e[0]=='FN'][:10]}"
+
+
+def test_crf_fits_fixture_entities():
+    """The linear-chain CRF (models/crf_ner.py) trained on the F4
+    fixture's ENTITY tags reproduces them exactly at decode time (the
+    fit check every statistical slot gets; CoNLL-2003 drops into the
+    same train())."""
+    from corenlp_ray.models.crf_ner import CrfNER
+
+    corpus = []
+    for text, gold in GOLD:
+        words = [t[0] for t in tokenize(text)]
+        tags = tag_sentence(words)
+        types = ["O"] * len(words)
+        for surface, ty in gold:
+            if ty not in ("PERSON", "ORGANIZATION", "LOCATION", "MISC"):
+                continue   # CRF owns entity types; values stay rule-based
+            target = surface.split()
+            for i in range(len(words) - len(target) + 1):
+                if words[i:i + len(target)] == target:
+                    for k in range(i, i + len(target)):
+                        types[k] = ty
+        corpus.append((words, tags, types))
+    model = CrfNER.train(corpus, n_iter=25)
+    for words, tags, types in corpus:
+        assert model.tag(words, tags) == types, (words, types)
