@@ -65,8 +65,8 @@ def distill_and_register(tmpdir: str) -> None:
             kbp_sents.append((r["tok_word"][b:e], r["tok_pos"][b:e],
                               r["tok_lemma"][b:e], heads,
                               r["dep_label"][b:e], ners[b:e], l_mens))
+    from corenlp_ray.models.crf_ner import CrfNER
     from corenlp_ray.models.pcfg_parser import PcfgParser
-    from corenlp_ray.models.perceptron_ner import PerceptronNER
     from corenlp_ray.models.relation_classifier import RelationClassifier
     from corenlp_ray.models.rntn import RNTN
 
@@ -78,7 +78,7 @@ def distill_and_register(tmpdir: str) -> None:
             ("kbp", KbpClassifier.distill(kbp_sents, n_iter=4)),
             ("coref", CorefRanker.distill(coref_docs, n_iter=4)),
             ("parse", PcfgParser.distill(sents)),
-            ("ner", PerceptronNER.distill(sents, n_iter=4)),
+            ("ner", CrfNER.distill(sents, n_iter=10)),
             ("sentiment", RNTN.distill(trees, d=8, n_epochs=30)),
             ("relation", RelationClassifier.distill(relation_rows,
                                                     n_iter=4))):
