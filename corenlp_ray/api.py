@@ -119,6 +119,33 @@ class Document:
             t.column("obj").to_pylist(), t.column("source").to_pylist())
             if src == "kbp"}
 
+    def relations(self) -> Set[Tuple[str, str, str]]:
+        """ACE-style relation mentions (the `relation` annotator,
+        stages/relation.py — Roth/Yih inventory)."""
+        self._need(*dict.fromkeys(self._transitive("lemma")
+                                  + self._transitive("ner")
+                                  + self._transitive("depparse")))
+        from corenlp_ray.stages.relation import relation_batch
+
+        tbl = self._tbl
+        if "url" not in tbl.schema.names:
+            tbl = tbl.append_column("url", pa.array(["simple://doc"]))
+        out = relation_batch(tbl)
+        return {(s, r, o) for s, r, o in zip(
+            out.column("subj").to_pylist(), out.column("rel").to_pylist(),
+            out.column("obj").to_pylist())}
+
+    def sentiments(self) -> List[str]:
+        """Per-sentence 5-class sentiment over projected trees (the
+        SentimentAnnotator slot, stages/sentiment.sentiment_tree)."""
+        self._need(*self._transitive("depparse"))
+        from corenlp_ray.stages.parse_tree import parse_tree_batch
+        from corenlp_ray.stages.sentiment import sentiment_tree
+
+        trees = parse_tree_batch(self._tbl) \
+            .column("parse_tree").to_pylist()[0]
+        return [sentiment_tree(t) for t in trees]
+
 
 class Sentence:
     def __init__(self, doc: Document, idx: int):

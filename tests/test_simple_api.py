@@ -48,3 +48,20 @@ def test_incremental_annotation_caches():
     assert "tokenize" in d._done and "pos" not in d._done
     d.sentences()[0].pos_tags()
     assert "pos" in d._done
+
+
+def test_document_relations_accessor():
+    from corenlp_ray.api import Document
+
+    d = Document("John Smith lives in Springfield.")
+    assert d.relations() == {("John Smith", "Live_In", "Springfield")}
+
+
+def test_document_sentiments_accessor():
+    from corenlp_ray.api import Document
+
+    d = Document("The movie was great. The plot was terrible.")
+    got = d.sentiments()
+    assert len(got) == 2
+    assert got[0] in ("Positive", "Very positive")
+    assert got[1] in ("Negative", "Very negative")
