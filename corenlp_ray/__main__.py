@@ -46,6 +46,17 @@ def main(argv=None) -> int:
     an.add_argument("--out", required=True)
     an.add_argument("--json", action="store_true",
                     help="also write reference-shaped JSON docs")
+    an.add_argument("--annotators", default=None,
+                    help="CoreNLP-style comma list (the reference's "
+                         "-annotators flag), e.g. "
+                         "tokenize,ssplit,pos,lemma,ner; default = the "
+                         "full flagship chain")
+    an.add_argument("--output-format", default=None,
+                    choices=["parquet", "json", "xml", "conll",
+                             "conllu", "text"],
+                    help="the reference's -outputFormat flag "
+                         "(default parquet; --json is a shorthand for "
+                         "json)")
 
     q = sub.add_parser("query", help="run one catalog query")
     q.add_argument("--name", required=True)
@@ -56,8 +67,9 @@ def main(argv=None) -> int:
         "train", help="train a model slot (pos | depparse | ner | "
         "clause | kbp | coref); real corpora drop into the same flags")
     tr.add_argument("--model", required=True,
-                    choices=["pos", "depparse", "ner", "clause", "kbp",
-                             "coref"])
+                    choices=["pos", "depparse", "ner", "crf-ner",
+                             "clause", "kbp", "coref", "parse",
+                             "sentiment", "relation"])
     tr.add_argument("--out", required=True,
                     help="weights JSON output path")
     tr.add_argument("--conllu", default=None,
@@ -83,19 +95,32 @@ def main(argv=None) -> int:
                         pages_per_doc=args.pages_per_doc)
         print(json.dumps({"job": "kg", "out": args.out, **result}))
     elif args.cmd == "annotate":
-        from corenlp_ray.pipelines.kg import annotate_pages
         from corenlp_ray.sources.pages import read_pages
 
-        docs = annotate_pages(read_pages(args.sf_dir))
-        if args.json:
-            from corenlp_ray.sources.outputters import write_json
+        pages = read_pages(args.sf_dir)
+        if args.annotators:
+            from corenlp_ray.pipeline_api import Pipeline
 
-            stats = write_json(docs, args.out).take_all()
-            print(json.dumps({"job": "annotate-json",
-                              "docs": sum(r["docs"] for r in stats)}))
+            docs = Pipeline(args.annotators).annotate(pages)
         else:
+            from corenlp_ray.pipelines.kg import annotate_pages
+
+            docs = annotate_pages(pages)
+        fmt = args.output_format or ("json" if args.json else "parquet")
+        if fmt == "parquet":
             docs.write_parquet(args.out)
             print(json.dumps({"job": "annotate", "out": args.out}))
+        else:
+            from corenlp_ray.sources import outputters
+            from corenlp_ray.sources.conllu import write_conllu
+            sink = {"json": outputters.write_json,
+                    "xml": outputters.write_xml,
+                    "conll": outputters.write_conll,
+                    "conllu": write_conllu,
+                    "text": outputters.write_text}[fmt]
+            stats = sink(docs, args.out).take_all()
+            print(json.dumps({"job": f"annotate-{fmt}",
+                              "docs": sum(r["docs"] for r in stats)}))
     elif args.cmd == "query":
         from corenlp_ray.pipelines.queries import QUERIES
 
@@ -241,6 +266,71 @@ def _train(args) -> dict:
                 _distill_sentences(args.distill_sf_dir,
                                    args.limit_docs),
                 n_iter=args.n_iter)
+    elif args.model == "crf-ner":     # linear-chain CRF slot
+        from corenlp_ray.models.crf_ner import CrfNER
+        if args.conll2003:
+            from corenlp_ray.sources.conll2003 import read_conll2003
+
+            m = CrfNER.train(read_conll2003(args.conll2003),
+                             n_iter=args.n_iter)
+        else:
+            m = CrfNER.distill(
+                _distill_sentences(args.distill_sf_dir,
+                                   args.limit_docs),
+                n_iter=args.n_iter)
+        m.save(args.out)
+        return {"job": "train", "model": args.model, "out": args.out,
+                "n_features": len(m.feat_index)}
+    elif args.model == "parse":        # PCFG constituency slot
+        from corenlp_ray.models.pcfg_parser import PcfgParser
+
+        m = PcfgParser.distill(
+            _distill_sentences(args.distill_sf_dir, args.limit_docs))
+        m.save(args.out)
+        return {"job": "train", "model": args.model, "out": args.out}
+    elif args.model == "sentiment":    # RNTN slot
+        from corenlp_ray.api import Document
+        from corenlp_ray.models.rntn import RNTN
+        from corenlp_ray.stages.parse_tree import parse_tree_batch
+
+        trees = []
+        for words, _tags in _distill_sentences(args.distill_sf_dir,
+                                               args.limit_docs):
+            d = Document(" ".join(words))
+            d._need(*Document._transitive("depparse"))
+            trees.extend(parse_tree_batch(d._tbl)
+                         .column("parse_tree").to_pylist()[0])
+        m = RNTN.distill(trees, n_epochs=args.n_iter)
+        m.save(args.out)
+        return {"job": "train", "model": args.model, "out": args.out}
+    elif args.model == "relation":     # ACE relation slot
+        import pyarrow.parquet as pq
+
+        from corenlp_ray.api import Document
+        from corenlp_ray.models.relation_classifier import \
+            RelationClassifier
+        from corenlp_ray.sources.pages import make_page
+
+        # synthesized entity-bearing pages (the same text the KG
+        # pipeline annotates), not the raw word-soup filler — the
+        # cascade needs entity pairs to label
+        t = pq.read_table(f"{args.distill_sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]) \
+            .slice(0, args.limit_docs)
+        rows = []
+        for doc_id, filler in zip(t.column("doc_id").to_pylist(),
+                                  t.column("text").to_pylist()):
+            text = make_page(int(doc_id), filler=filler or "")["text"]
+            d = Document(text or "")
+            d._need(*dict.fromkeys(
+                Document._transitive("lemma")
+                + Document._transitive("ner")
+                + Document._transitive("depparse")))
+            rows.append({**d._row, "url": str(doc_id)})
+        m = RelationClassifier.distill(rows, n_iter=args.n_iter)
+        m.save(args.out)
+        return {"job": "train", "model": args.model, "out": args.out,
+                "n_classes": len(m.w)}
     elif args.model == "clause":
         from corenlp_ray.models.clause_classifier import ClauseClassifier
         from corenlp_ray.stages.depparse import parse_sentence

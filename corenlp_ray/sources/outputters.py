@@ -333,3 +333,24 @@ def doc_to_inline_xml(row: Dict) -> str:
             k = j
         lines.append(" ".join(parts))
     return "\n".join(lines) + "\n"
+
+
+def write_text(docs_ds, path: str):
+    """Distributed TEXT sink (TextOutputter format), sharded one file
+    per block like write_json/write_conll/write_xml."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        rows = batch.to_pylist()
+        name = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.txt")
+        with open(name, "w") as f:
+            for r in rows:
+                f.write(doc_to_text(r))
+        return pa.Table.from_pydict({"file": [name],
+                                     "docs": [len(rows)]})
+
+    return docs_ds.map_batches(write_block, batch_format="pyarrow")

@@ -57,3 +57,43 @@ def test_train_cli_pos(tmp_path):
 
     m = PerceptronTagger.load(out)
     assert m.tag(["The", "dog", "ran", "."])
+
+
+def test_cli_annotate_annotators_and_xml(tmp_path):
+    out = str(tmp_path / "xml")
+    r = run_cli("annotate", "--sf-dir", "/root/testdata/sf0.001",
+                "--out", out, "--annotators",
+                "tokenize,ssplit,pos,lemma,ner",
+                "--output-format", "xml")
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res == {"job": "annotate-xml", "docs": 500}
+    import os
+    import xml.etree.ElementTree as ET
+
+    f = os.path.join(out, os.listdir(out)[0])
+    first = open(f).read().split(
+        '<?xml version="1.0" encoding="UTF-8"?>')[1]
+    root = ET.fromstring(first)
+    assert root.find("./document/sentences/sentence/tokens/token/POS") \
+        is not None
+    # depparse was NOT requested: no dependencies element
+    assert root.find("./document/sentences/sentence/dependencies") is None
+
+
+def test_train_cli_crf_and_relation(tmp_path):
+    crf = str(tmp_path / "crf.json")
+    r = run_cli("train", "--model", "crf-ner", "--out", crf,
+                "--distill-sf-dir", "/root/testdata/sf0.001",
+                "--n-iter", "3", "--limit-docs", "15")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_features"] > 0
+    from corenlp_ray.models.crf_ner import CrfNER
+
+    assert CrfNER.load(crf).tags
+    rel = str(tmp_path / "rel.json")
+    r = run_cli("train", "--model", "relation", "--out", rel,
+                "--distill-sf-dir", "/root/testdata/sf0.001",
+                "--n-iter", "3", "--limit-docs", "30")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_classes"] >= 2
