@@ -457,7 +457,46 @@ def q_cosine_pairs(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_promo_revenue_by_type(sf_dir: str):
+    """TPC-H-Q14-shaped: lineitem ⋈ part (broadcast the part dimension
+    — small side ``ray.put`` once, never shuffled) → revenue per
+    p_type. Covers the ``part`` table; columns pruned at the read."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from corenlp_ray.ops.joins import broadcast_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount")))
+        return b.append_column("revenue", r)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]) \
+        .rename_columns(["l_partkey", "p_type"])
+    joined = broadcast_join(li.map_batches(rev, batch_format="pyarrow"),
+                            part, on="l_partkey")
+    out = joined.groupby("p_type").aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue", alias_name="revenue"))
+    return out.map_batches(lambda b: _round_col(b, "revenue", 4),
+                           batch_format="pyarrow")
+
+
 ORACLE_SQL_JOINS = {
+    "promo_revenue_by_type": (
+        "SELECT p_type, count(*) AS n_items, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_type"),
     "customer_orders": (
         "SELECT c_name, count(*) AS n_orders, "
         "round(sum(o_totalprice), 4) AS total_spent FROM orders "
@@ -1121,6 +1160,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "ann_topk": q_ann_topk,
     "customer_orders": q_customer_orders,
+    "promo_revenue_by_type": q_promo_revenue_by_type,
     "lineitem_status_revenue": q_lineitem_status_revenue,
     "asof_events": q_asof_events,
     "pricing_summary": q_pricing_summary,
