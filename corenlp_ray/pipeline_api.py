@@ -112,16 +112,62 @@ def resolve_annotators(annotators: str | Sequence[str]) -> List[str]:
     return [s for s in _STAGE_ORDER if s in stages]
 
 
+# model-path property keys → register_weighted_models kwargs (the
+# reference's pos.model / ner.model / depparse.model / parse.model /
+# coref.statistical.ranking.model / kbp.model .ser.gz properties,
+# DefaultPaths.java)
+_MODEL_PROPERTIES = {
+    "pos.model": "pos_model_path",
+    "depparse.model": "dep_model_path",
+    "ner.model": "ner_model_path",
+    "parse.model": "parse_model_path",
+    "kbp.model": "kbp_model_path",
+    "coref.statistical.ranking.model": "coref_model_path",
+    "coref.model": "coref_model_path",
+    "sentiment.model": "sentiment_model_path",
+    "relation.model": "relation_model_path",
+}
+
+
 class Pipeline:
     def __init__(self, annotators: str | Sequence[str]
                  = "tokenize,ssplit,pos,lemma,ner",
-                 distributed: bool = True):
+                 distributed: bool = True,
+                 properties: dict | None = None):
+        """``properties``: reference-style configuration. Supported:
+        the model-path keys in ``_MODEL_PROPERTIES`` (each re-registers
+        the named stage with pinned TRAINED weights, exactly like
+        pointing the reference's .ser.gz properties at other files) and
+        ``coref.algorithm`` ("dcoref"/"clustering" = the sieve default;
+        "statistical" requires a coref model path property — the
+        reference's CorefProperties.algorithm switch,
+        coref/CorefProperties.java:35-41)."""
         self.annotators = [a.strip().lower() for a in
                            (annotators.split(",")
                             if isinstance(annotators, str)
                             else annotators) if a.strip()]
         self.stages = resolve_annotators(self.annotators)
         self.distributed = distributed
+        props = dict(properties or {})
+        algo = props.pop("coref.algorithm", None)
+        model_kwargs = {}
+        for key, kwarg in _MODEL_PROPERTIES.items():
+            if key in props:
+                model_kwargs[kwarg] = props.pop(key)
+        if algo == "statistical" and "coref_model_path" not in \
+                model_kwargs:
+            raise ValueError(
+                "coref.algorithm=statistical needs a model path "
+                "(coref.statistical.ranking.model=<weights.json>)")
+        if algo not in (None, "statistical", "dcoref", "clustering"):
+            raise ValueError("unknown coref.algorithm %r" % algo)
+        if props:
+            raise ValueError("unsupported properties: %s"
+                             % sorted(props))
+        if model_kwargs:
+            from corenlp_ray.pipelines.kg import register_weighted_models
+
+            register_weighted_models(**model_kwargs)
 
     def annotate(self, pages_ds):
         """pages/docs Dataset → Dataset with annotation columns

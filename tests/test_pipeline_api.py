@@ -54,3 +54,40 @@ def test_triples_kbp_only_filters_source(ray_session):
     ds = rd.from_arrow(synth_pages_table(n=8, seed=22))
     rows = pl.triples(ds).take_all()
     assert rows and all(r["source"] == "kbp" for r in rows)
+
+
+def test_properties_model_swap_and_restore(ray_session, tmp_path):
+    """pos.model property swaps the trained slot in (the reference's
+    .ser.gz property semantics); restoring the default registry
+    afterwards keeps other tests deterministic."""
+    import ray.data as rd
+
+    from corenlp_ray.models.perceptron_tagger import PerceptronTagger
+    from corenlp_ray.sources.pages import synth_pages_table
+
+    import corenlp_ray.pipelines.kg  # noqa: F401  (registers defaults)
+    from corenlp_ray.pipelines import registry
+
+    sents = [(["The", "cat", "sat", "."],)]
+    m = PerceptronTagger.distill([w for (w,) in sents], n_iter=2)
+    p = str(tmp_path / "pos.json")
+    m.save(p)
+    snapshot = dict(registry._REGISTRY)
+    try:
+        pl = Pipeline("tokenize,ssplit,pos", distributed=False,
+                      properties={"pos.model": p})
+        out = pl.annotate(rd.from_arrow(synth_pages_table(n=3, seed=5)))
+        assert "tok_pos" in out.take(1)[0]
+    finally:
+        registry._REGISTRY.clear()
+        registry._REGISTRY.update(snapshot)   # restore defaults
+
+
+def test_properties_statistical_coref_requires_model():
+    with pytest.raises(ValueError, match="statistical"):
+        Pipeline("coref", properties={"coref.algorithm": "statistical"})
+
+
+def test_properties_unknown_key_raises():
+    with pytest.raises(ValueError, match="unsupported properties"):
+        Pipeline("pos", properties={"pos.flavor": "maxent"})
