@@ -155,8 +155,15 @@ RELATIVE_PATTERN = (
     + r"|" + _NUM + r" (?:days?|weeks?|months?|years?) (?:ago|earlier)"
     + r"|" + _NUM + r" (?:days?|weeks?|months?|years?) from (?:now|today)"
     + r"|" + _WD + r" (?:last|this|next) week"
+    # day + part-of-day BEFORE the bare day forms so the longer match
+    # wins the start position ('tomorrow night', 'Wednesday afternoon')
+    + r"|(?:(?:last |this |next )?" + _WD
+    + r"|yesterday|today|tomorrow)"
+    r" (?:morning|afternoon|evening|night)"
     + r"|(?:last|next|this) " + _WD
     + r"|(?:last|this|next) (?:week|month|year|quarter|decade|century)"
+    + r"|(?:the )?(?:last |this |next )?weekend"
+    + r"|(?:last|this|next) (?:spring|summer|fall|autumn|winter)"
     # ---- SET / recurring (english.sutime.txt SET family) ----
     + r"|every (?:other )?" + _WD
     + r"|every " + _NUM + r" (?:seconds?|minutes?|hours?|days?|weeks?"
@@ -327,6 +334,35 @@ def resolve_relative(phrase: str, docdate: dt.date | str) -> Optional[str]:
             return (docdate + dt.timedelta(days=off)).isoformat()
         off = (docdate.weekday() - wd) % 7 or 7
         return (docdate - dt.timedelta(days=off)).isoformat()
+
+    # weekend of an ISO week: 'the weekend' → 2003-W16-WE
+    # (SUTimeITest.java:858 resolved golden, docdate 2003-04-14)
+    m = re.fullmatch(r"(?:(last|this|next) )?weekend", p)
+    if m:
+        off = {"last": -1, None: 0, "this": 0, "next": 1}[m.group(1)]
+        return _iso_week(docdate + dt.timedelta(weeks=off)) + "-WE"
+
+    # time-of-day attached to a resolvable day: 'tomorrow night' →
+    # 2003-04-15TNI, 'Wednesday afternoon' → 2003-04-16TAF
+    # (SUTimeITest.java:859-861 resolved goldens; TMO/TAF/TEV/TNI per
+    # the TIMEX3 part-of-day codes SUTime emits)
+    m = re.fullmatch(
+        r"((?:last |this |next )?(?:" + _WD
+        + r")|yesterday|today|tomorrow) "
+        r"(morning|afternoon|evening|night)", p)
+    if m:
+        base = resolve_relative(m.group(1), docdate)
+        if base is not None:
+            pod = {"morning": "TMO", "afternoon": "TAF",
+                   "evening": "TEV", "night": "TNI"}[m.group(2)]
+            return base + pod
+
+    # anaphoric season: 'this winter' → 2003-WI (SUTimeITest.java:852)
+    m = re.fullmatch(r"(last|this|next) "
+                     r"(spring|summer|fall|autumn|winter)", p)
+    if m:
+        off = {"last": -1, "this": 0, "next": 1}[m.group(1)]
+        return f"{docdate.year + off:04d}-{SEASONS[m.group(2)]}"
 
     m = re.fullmatch(r"(last|this|next) (week|month|year|quarter"
                      r"|decade|century)", p)

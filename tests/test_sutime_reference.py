@@ -228,3 +228,32 @@ def test_round4_families_found_in_text():
     assert got == [("three weeks", "P3W"), ("the 1990s", "199X"),
                    ("every Tuesday", "XXXX-WXX-2"),
                    ("three weeks ago", "1987-12-26")]
+
+
+def test_weekend_partofday_season_goldens():
+    """SUTimeITest.java:852-861 resolved values (docdate 2003-04-14):
+    weekend of the ISO week, part-of-day TIMEX suffixes, anaphoric
+    season."""
+    import datetime as dt
+
+    from corenlp_ray.functions.sutime import resolve_relative
+
+    d = dt.date(2003, 4, 14)
+    assert resolve_relative("this winter", d) == "2003-WI"
+    assert resolve_relative("the weekend", d) == "2003-W16-WE"
+    assert resolve_relative("last weekend", d) == "2003-W15-WE"
+    assert resolve_relative("tomorrow night", d) == "2003-04-15TNI"
+    assert resolve_relative("Wednesday afternoon", d) == "2003-04-16TAF"
+    assert resolve_relative("yesterday morning", d) == "2003-04-13TMO"
+
+
+def test_partofday_found_in_text():
+    import datetime as dt
+
+    from corenlp_ray.functions.sutime import find_relative_expressions
+
+    got = find_relative_expressions(
+        "The event happens tomorrow night, not Wednesday afternoon. "
+        "They watched a movie over the weekend.", dt.date(2003, 4, 14))
+    vals = [v for (_b, _e, _s, v) in got]
+    assert vals == ["2003-04-15TNI", "2003-04-16TAF", "2003-W16-WE"]
