@@ -164,6 +164,8 @@ RELATIVE_PATTERN = (
     + r"|(?:last|this|next) (?:week|month|year|quarter|decade|century)"
     + r"|(?:the )?(?:last |this |next )?weekend"
     + r"|(?:last|this|next) (?:spring|summer|fall|autumn|winter)"
+    + r"|(?:the )?(?:morning|afternoon|evening|night) of " + _MON
+    + r" \d{1,2}(?:, \d{4})?"
     # ---- SET / recurring (english.sutime.txt SET family) ----
     + r"|every (?:other )?" + _WD
     + r"|every " + _NUM + r" (?:seconds?|minutes?|hours?|days?|weeks?"
@@ -356,6 +358,26 @@ def resolve_relative(phrase: str, docdate: dt.date | str) -> Optional[str]:
             pod = {"morning": "TMO", "afternoon": "TAF",
                    "evening": "TEV", "night": "TNI"}[m.group(2)]
             return base + pod
+
+    # part-of-day of an explicit date: 'morning of January 31' →
+    # 2003-01-31TMO (SUTimeITest.java:850 resolved golden — most
+    # recent past occurrence when the year is omitted, like day-of)
+    m = re.fullmatch(r"(morning|afternoon|evening|night) of ("
+                     + _MON + r") (\d{1,2})(?:, (\d{4}))?", p)
+    if m:
+        pod = {"morning": "TMO", "afternoon": "TAF",
+               "evening": "TEV", "night": "TNI"}[m.group(1)]
+        mon, day = MONTHS[m.group(2)], int(m.group(3))
+        try:
+            if m.group(4):
+                d = dt.date(int(m.group(4)), mon, day)
+            else:
+                d = dt.date(docdate.year, mon, day)
+                if d > docdate:
+                    d = dt.date(docdate.year - 1, mon, day)
+        except ValueError:
+            return None
+        return d.isoformat() + pod
 
     # anaphoric season: 'this winter' → 2003-WI (SUTimeITest.java:852)
     m = re.fullmatch(r"(last|this|next) "

@@ -257,3 +257,20 @@ def test_partofday_found_in_text():
         "They watched a movie over the weekend.", dt.date(2003, 4, 14))
     vals = [v for (_b, _e, _s, v) in got]
     assert vals == ["2003-04-15TNI", "2003-04-16TAF", "2003-W16-WE"]
+
+
+def test_partofday_of_explicit_date():
+    """SUTimeITest.java:850 resolved golden: 'The morning of January
+    31' with docdate 2003-04-14 → 2003-01-31TMO."""
+    import datetime as dt
+
+    from corenlp_ray.functions.sutime import (find_relative_expressions,
+                                              resolve_relative)
+
+    d = dt.date(2003, 4, 14)
+    assert resolve_relative("the morning of January 31", d) \
+        == "2003-01-31TMO"
+    got = find_relative_expressions(
+        "The morning of January 31 was very cold.", d)
+    assert got == [(0, 25, "The morning of January 31",
+                    "2003-01-31TMO")]
