@@ -1100,3 +1100,40 @@ def relation_planted_sql() -> str:
         "ELSE 'Kill' END AS rel, "
         "CASE t WHEN 0 THEN c WHEN 1 THEN o WHEN 2 THEN c "
         "WHEN 3 THEN c2 ELSE p2 END AS obj FROM d")
+
+
+def q_kg_degree_planted(sf_dir: str):
+    """Graph-analytics step on the MATERIALIZED KG (north_rule "graph
+    materialize"): per-subject out-degree (distinct predicates, total
+    edges, summed support) over the same planted flagship-chain KG that
+    kg_planted oracles — a groupby over the subject-bucketed triple
+    store, the access pattern the hash(subj) partitioning exists for."""
+    import pyarrow as pa  # noqa: F401  (schema below)
+
+    from ray.data.aggregate import Count, Sum
+
+    from corenlp_ray.stages.canonicalize import build_alias_map, build_kg
+
+    triples = _planted_triples(sf_dir, _openie_text).materialize()
+    kg = build_kg(triples, alias_map=build_alias_map(triples))
+    out = kg.groupby("subj").aggregate(
+        Count(alias_name="out_degree"),
+        Sum("support_count", alias_name="total_support"))
+
+    def conform(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"subj": b.column("subj"),
+             "out_degree": b.column("out_degree").cast(pa.int64()),
+             "total_support": b.column("total_support").cast(pa.int64())},
+            schema=pa.schema([("subj", pa.string()),
+                              ("out_degree", pa.int64()),
+                              ("total_support", pa.int64())]))
+
+    return out.map_batches(conform, batch_format="pyarrow")
+
+
+def kg_degree_planted_sql() -> str:
+    inner = kg_planted_sql()
+    return ("SELECT subj, COUNT(*) AS out_degree, "
+            "SUM(support_count) AS total_support FROM (" + inner
+            + ") GROUP BY subj")

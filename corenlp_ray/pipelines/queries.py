@@ -1119,9 +1119,9 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_kbp_planted, q_kg_planted, q_linking_planted, q_minhash_planted,
     q_multilingual_planted, q_multimodal_planted, q_natlog_planted,
     q_ngram_jaccard_planted, q_openie_planted, q_parse_planted,
-    q_quotes_planted, q_relation_planted, q_sentiment_planted,
-    q_simhash_planted, quotes_planted_sql, relation_planted_sql,
-    sentiment_planted_sql)
+    q_kg_degree_planted, q_quotes_planted, q_relation_planted,
+    q_sentiment_planted, q_simhash_planted, kg_degree_planted_sql,
+    quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
 ORACLE_SQL["kbp_planted"] = kbp_planted_sql()
@@ -1143,6 +1143,7 @@ ORACLE_SQL["tokenize_planted"] = tokenize_planted_sql()
 ORACLE_SQL["protobuf_planted"] = protobuf_planted_sql()
 ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
 ORACLE_SQL["relation_planted"] = relation_planted_sql()
+ORACLE_SQL["kg_degree_planted"] = kg_degree_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1188,6 +1189,7 @@ QUERIES = {
     "simhash_pairs_planted": q_simhash_pairs_planted,
     "protobuf_planted": q_protobuf_planted,
     "relation_planted": q_relation_planted,
+    "kg_degree_planted": q_kg_degree_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
