@@ -1137,3 +1137,75 @@ def kg_degree_planted_sql() -> str:
     return ("SELECT subj, COUNT(*) AS out_degree, "
             "SUM(support_count) AS total_support FROM (" + inner
             + ") GROUP BY subj")
+
+
+# -------------------------------------------------------------------- pii
+
+def _pii_text(i: int) -> str:
+    """Deterministic PII-bearing sentence per doc: 1-2 emails, an
+    optional phone, one IP, plus decoys the patterns must NOT hit
+    (v1.2.3.4000 — last octet fails \\b; 'example dot com')."""
+    parts = [f"Order {i} shipped.",
+             f" Contact agent{i}@mail{i % 5}.example.com now."]
+    if i % 3 == 0:
+        parts.append(f" CC audit{i}@example.org too.")
+    if i % 2 == 0:
+        parts.append(" Call 555-{:03d}-{:04d} today.".format(
+            100 + i % 900, 1000 + (7 * i) % 9000))
+    parts.append(f" Logged from 192.168.{i % 256}.{(3 * i) % 254}.")
+    parts.append(" Version v1.2.3.4000 untouched;"
+                 " reach me at example dot com.")
+    return "".join(parts)
+
+
+def q_pii_planted(sf_dir: str):
+    """PII detect/redact (ops/webfilters.pii_batch — pure Arrow-RE2
+    kernels) over planted PII constructions; DuckDB's RE2 applies the
+    SAME declared patterns to independently-synthesized text, so the
+    oracle checks the regex semantics end to end, not just the
+    construction arithmetic."""
+    from corenlp_ray.ops.webfilters import pii_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "text": [_pii_text(i) for i in ids]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string())]))
+
+    return (_docs_ids(sf_dir)
+            .map_batches(synth, batch_format="pyarrow")
+            .map_batches(pii_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_emails", "n_phones",
+                             "n_ips", "redacted_len"]))
+
+
+def pii_planted_sql() -> str:
+    from corenlp_ray.ops.webfilters import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    red = "text"
+    for name, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (
+        "WITH synth AS (SELECT doc_id, "
+        "'Order ' || doc_id || ' shipped.' || "
+        "' Contact agent' || doc_id || '@mail' || (doc_id % 5) || "
+        "'.example.com now.' || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' CC audit' || doc_id || "
+        "'@example.org too.' ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN printf(' Call 555-%03d-%04d "
+        "today.', 100 + doc_id % 900, 1000 + (7*doc_id) % 9000) "
+        "ELSE '' END || "
+        "' Logged from 192.168.' || (doc_id % 256) || '.' || "
+        "((3*doc_id) % 254) || '.' || "
+        "' Version v1.2.3.4000 untouched; reach me at example dot com.' "
+        "AS text FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{pats['email']}')) AS "
+        "BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{pats['phone']}')) AS "
+        "BIGINT) AS n_phones, "
+        f"CAST(len(regexp_extract_all(text, '{pats['ip']}')) AS BIGINT) "
+        "AS n_ips, "
+        f"CAST(length({red}) AS BIGINT) AS redacted_len FROM synth")

@@ -970,6 +970,41 @@ def q_fingerprints(sf_dir: str):
             .select_columns(["doc_id", "text_hash", "fp_min", "fp_max"]))
 
 
+def q_pii_stats(sf_dir: str):
+    """PII counts + redacted length over the real documents table
+    (Arrow-RE2 vectorized; the regex semantics themselves are oracled
+    by pii_planted)."""
+    from corenlp_ray.ops.webfilters import pii_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(pii_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_emails", "n_phones",
+                             "n_ips", "redacted_len"]))
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (dup-line/para fraction, modal
+    bigram fraction) per document; DuckDB-cross-checked in
+    tests/test_webfilters.py."""
+    from corenlp_ray.ops.webfilters import repetition_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(repetition_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_lines", "dup_line_frac",
+                             "dup_para_frac", "top_bigram_frac"]))
+
+
+def q_decontamination(sf_dir: str):
+    """Benchmark n-gram decontamination flags: broadcast bench-hash
+    probe over 8-token shingles (doc_id % 97 == 0 docs stand in for
+    the benchmark suite); DuckDB-cross-checked in
+    tests/test_webfilters.py."""
+    from corenlp_ray.ops.webfilters import decontaminate
+
+    return (decontaminate(_docs(sf_dir, ["doc_id", "text"]))
+            .select_columns(["doc_id", "contaminated"]))
+
+
 def q_doc_valence(sf_dir: str):
     """Document-level lexicon valence: positive-hit minus negative-hit
     counts over lowercase [^a-z]+-split tokens (the vectorizable
@@ -1121,6 +1156,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_ngram_jaccard_planted, q_openie_planted, q_parse_planted,
     q_kg_degree_planted, q_quotes_planted, q_relation_planted,
     q_sentiment_planted, q_simhash_planted, kg_degree_planted_sql,
+    q_pii_planted, pii_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1144,6 +1180,7 @@ ORACLE_SQL["protobuf_planted"] = protobuf_planted_sql()
 ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
 ORACLE_SQL["relation_planted"] = relation_planted_sql()
 ORACLE_SQL["kg_degree_planted"] = kg_degree_planted_sql()
+ORACLE_SQL["pii_planted"] = pii_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1190,6 +1227,7 @@ QUERIES = {
     "protobuf_planted": q_protobuf_planted,
     "relation_planted": q_relation_planted,
     "kg_degree_planted": q_kg_degree_planted,
+    "pii_planted": q_pii_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -1217,6 +1255,9 @@ QUERIES = {
     "natlog_polarity": q_natlog_polarity,
     "bpe_tokens": q_bpe_tokens,
     "fingerprints": q_fingerprints,
+    "pii_stats": q_pii_stats,
+    "repetition_stats": q_repetition_stats,
+    "decontamination": q_decontamination,
     "multimodal": q_multimodal,
     "kg_triples_weighted": q_kg_triples_weighted,
 }

@@ -1,0 +1,150 @@
+"""Web-corpus hygiene ops (ops/webfilters.py): PII detect/redact,
+Gopher-style repetition stats, benchmark decontamination.
+
+pii_planted's driver oracle lives in ORACLE_SQL (checked by
+test_query_catalog alongside the other 49); the rows-only queries get
+their DuckDB cross-checks here so every webfilter op has oracle-grade
+evidence without consuming driver-budget slots.
+"""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from corenlp_ray.ops.webfilters import (DECONTAM_NGRAM, decontaminate,
+                                        pii_batch, repetition_batch)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_counts_redaction_and_decoys():
+    t = pa.table({"text": [
+        "mail bob@x.example.com and sue@y.org; call 555-123-4567",
+        "v1.2.3.4000 is a version, example dot com is prose",
+        "server 10.0.0.1 and 255.255.255.0 but not 1234-567-8901",
+        "",
+    ]})
+    out = pii_batch(t)
+    assert out.column("n_emails").to_pylist() == [2, 0, 0, 0]
+    assert out.column("n_phones").to_pylist() == [1, 0, 0, 0]
+    assert out.column("n_ips").to_pylist() == [0, 0, 2, 0]
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail [EMAIL] and [EMAIL]; call [PHONE]"
+    assert red[1] == t.column("text")[1].as_py()  # decoys untouched
+    assert "[IP]" in red[2] and "1234-567-8901" in red[2]
+    assert out.column("redacted_len").to_pylist() == [
+        len(r) for r in red]
+
+
+def test_repetition_semantics():
+    t = pa.table({"text": [
+        "a b\na b\nc d",          # 3 lines, 1 dup
+        "p q r",                   # single line
+        "x y\n\nx y\n\nz",         # paras: [x y, x y, z] -> dup 1/3
+        "",
+    ]})
+    out = repetition_batch(t)
+    assert out.column("n_lines").to_pylist() == [3, 1, 5, 1]
+    np.testing.assert_allclose(
+        out.column("dup_line_frac").to_pylist(),
+        [1 / 3, 0.0, 2 / 5, 0.0])
+    np.testing.assert_allclose(
+        out.column("dup_para_frac").to_pylist(),
+        [0.0, 0.0, 1 / 3, 0.0])
+    # 'a b\na b\nc d': bigrams of ws-tokens = [a b, b a, a b, b c, c d]
+    # modal 'a b' x2 of 5
+    np.testing.assert_allclose(
+        out.column("top_bigram_frac").to_pylist()[0], 2 / 5)
+    assert out.column("top_bigram_frac").to_pylist()[3] == 0.0
+
+
+def _modal_bigram_frac(text: str) -> float:
+    toks = [x for x in text.strip().split() if x]
+    if len(toks) < 2:
+        return 0.0
+    from collections import Counter
+
+    c = Counter(zip(toks, toks[1:]))
+    return max(c.values()) / sum(c.values())
+
+
+def test_repetition_duckdb_parity():
+    """dup fractions + n_lines against an independent DuckDB derivation
+    over planted multi-line docs; top_bigram_frac against an
+    independent pure-Python counter."""
+    texts = [f"alpha beta\ngamma {i % 3}\nalpha beta\n\ndelta {i % 5}"
+             for i in range(97)] + ["solo", ""]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mine = repetition_batch(t).to_pandas()
+
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    want = con.execute(
+        "SELECT doc_id, len(string_split(text, chr(10))) AS n_lines, "
+        "CASE WHEN len(string_split(text, chr(10))) > 1 THEN "
+        "1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0 / "
+        "len(string_split(text, chr(10))) ELSE 0.0 END AS dup_line_frac, "
+        "CASE WHEN len(string_split(text, chr(10)||chr(10))) > 1 THEN "
+        "1.0 - len(list_distinct(string_split(text, chr(10)||chr(10)))) "
+        "* 1.0 / len(string_split(text, chr(10)||chr(10))) ELSE 0.0 END "
+        "AS dup_para_frac FROM docs ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(
+        mine[["doc_id", "n_lines", "dup_line_frac",
+              "dup_para_frac"]].reset_index(drop=True),
+        want, check_dtype=False)
+    np.testing.assert_allclose(
+        mine["top_bigram_frac"].to_numpy(),
+        np.array([_modal_bigram_frac(x) for x in texts]))
+
+
+def test_decontamination_duckdb_parity(ray_session):
+    from corenlp_ray.pipelines.queries import QUERIES
+
+    mine = (QUERIES["decontamination"](SF).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    n = DECONTAM_NGRAM
+    want = con.execute(
+        "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        r"lower(trim(text)), '\s+'), x -> x != '') AS t FROM documents), "
+        "bench AS (SELECT DISTINCT array_to_string(t[1:{n}], ' ') AS ng "
+        "FROM toks WHERE doc_id % 97 = 0 AND len(t) >= {n}), "
+        "sh AS (SELECT doc_id, array_to_string(t[i:i+{m}], ' ') AS s "
+        "FROM toks, LATERAL (SELECT unnest(generate_series(1, "
+        "len(t)-{m})) AS i) g WHERE len(t) >= {n}) "
+        "SELECT tk.doc_id, COALESCE(bool_or(sh.s IN (SELECT ng FROM "
+        "bench)), FALSE) AS contaminated FROM toks tk LEFT JOIN sh "
+        "ON tk.doc_id = sh.doc_id GROUP BY tk.doc_id ORDER BY tk.doc_id"
+        .format(n=n, m=n - 1)).fetchdf()
+    assert mine["contaminated"].sum() > 0  # bench docs self-flag
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_decontamination_known_plant(ray_session):
+    """A doc embedding a benchmark doc's opening 8-gram mid-text flags;
+    unrelated text does not."""
+    import ray.data as rd
+
+    bench_text = "the quick brown fox jumps over the lazy dog tail"
+    docs = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [bench_text,
+                 "prefix words here " + " ".join(
+                     bench_text.split()[:8]) + " trailing stuff",
+                 "completely unrelated content with many words to spare"],
+    })
+    out = (decontaminate(rd.from_arrow(docs), every=97)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["contaminated"].tolist() == [True, True, False]
+
+
+def test_pii_stats_runs_on_real_docs(ray_session):
+    from corenlp_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["pii_stats"](SF).to_pandas()
+    assert len(df) == 500
+    # word-salad corpus carries no PII; the stage must say so, not crash
+    assert df[["n_emails", "n_phones", "n_ips"]].to_numpy().sum() == 0
