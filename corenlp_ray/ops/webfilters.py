@@ -227,3 +227,60 @@ def decontaminate(docs_ds, bench_hashes=None, every: int = 97,
         return b.append_column("contaminated", pa.array(seg))
 
     return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+# C4 line-level cleaning (Raffel et al. 2020 §2.2, public recipe):
+# keep lines that end in terminal punctuation AND have >= 3 words AND
+# don't mention javascript; drop whole pages that contain '{' or
+# 'lorem ipsum' or keep fewer than _C4_MIN_LINES cleaned lines.
+_C4_TERMINAL = (".", "!", "?", '"')
+_C4_MIN_WORDS = 3
+_C4_MIN_LINES = 3
+
+
+def c4_clean_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """+ text_clean (kept lines re-joined with '\\n'), n_lines_kept
+    (int64), page_keep (bool).
+
+    Line keep rule: after strip, ends with . ! ? or \" AND has >=
+    _C4_MIN_WORDS whitespace words AND no 'javascript'
+    (case-insensitive). Page keep rule: >= _C4_MIN_LINES kept lines AND
+    the raw text contains neither '{' nor 'lorem ipsum'
+    (case-insensitive). Vectorized: one explode + filter + group_by per
+    batch in polars; no per-row Python.
+    """
+    import polars as pl
+
+    df = (pl.from_arrow(batch.select([text_col]))
+          .with_row_index("_row"))
+    lines = (df.select("_row", pl.col(text_col).str.split("\n")
+                       .alias("ln"))
+             .explode("ln")
+             .with_columns(pl.col("ln").str.strip_chars().alias("s")))
+    kept = lines.filter(
+        pl.col("s").str.contains(r"[.!?\"]$")
+        & (pl.col("s").str.count_matches(r"\S+") >= _C4_MIN_WORDS)
+        & ~pl.col("s").str.to_lowercase().str.contains("javascript",
+                                                       literal=True))
+    agg = (kept.group_by("_row")
+           .agg(pl.col("s").alias("kept"),
+                pl.len().cast(pl.Int64).alias("n_lines_kept")))
+    out = (df.join(agg, on="_row", how="left")
+           .with_columns(
+               pl.col("kept").list.join("\n").fill_null("")
+               .alias("text_clean"),
+               pl.col("n_lines_kept").fill_null(0),
+               (~pl.col(text_col).str.contains("{", literal=True)
+                & ~pl.col(text_col).str.to_lowercase()
+                .str.contains("lorem ipsum", literal=True))
+               .alias("_page_ok"))
+           .with_columns(((pl.col("n_lines_kept") >= _C4_MIN_LINES)
+                          & pl.col("_page_ok")).alias("page_keep"))
+           .sort("_row"))
+    res = batch
+    for name, typ in (("text_clean", pa.string()),
+                      ("n_lines_kept", pa.int64()),
+                      ("page_keep", pa.bool_())):
+        res = res.append_column(name, pa.array(out[name].to_list(),
+                                               type=typ))
+    return res

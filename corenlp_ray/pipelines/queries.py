@@ -1005,6 +1005,17 @@ def q_decontamination(sf_dir: str):
             .select_columns(["doc_id", "contaminated"]))
 
 
+def q_c4_clean(sf_dir: str):
+    """C4-recipe line/page cleaning (terminal punctuation + min words +
+    boilerplate gates); DuckDB-cross-checked in
+    tests/test_webfilters.py."""
+    from corenlp_ray.ops.webfilters import c4_clean_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(c4_clean_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_lines_kept", "page_keep"]))
+
+
 def q_doc_valence(sf_dir: str):
     """Document-level lexicon valence: positive-hit minus negative-hit
     counts over lowercase [^a-z]+-split tokens (the vectorizable
@@ -1258,6 +1269,7 @@ QUERIES = {
     "pii_stats": q_pii_stats,
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
+    "c4_clean": q_c4_clean,
     "multimodal": q_multimodal,
     "kg_triples_weighted": q_kg_triples_weighted,
 }

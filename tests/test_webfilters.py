@@ -148,3 +148,63 @@ def test_pii_stats_runs_on_real_docs(ray_session):
     assert len(df) == 500
     # word-salad corpus carries no PII; the stage must say so, not crash
     assert df[["n_emails", "n_phones", "n_ips"]].to_numpy().sum() == 0
+
+
+def test_c4_clean_semantics():
+    from corenlp_ray.ops.webfilters import c4_clean_batch
+
+    t = pa.table({"text": [
+        "Good long sentence here.\nshort.\nNo terminal punct here\n"
+        "Another fine line stays!\nthis has javascript inside.\n"
+        "And one more keeper?",
+        "A page with code { inside }. Fine line.\nSecond good line "
+        "here.\nThird good line too.",
+        "Lorem Ipsum dolor sit amet. Looks valid.\nMore good text "
+        "ends.\nThird keeps going on.",
+        "Only two good lines here.\nSecond keeper line stays.",
+        "",
+    ]})
+    out = c4_clean_batch(t)
+    assert out.column("n_lines_kept").to_pylist() == [3, 3, 3, 2, 0]
+    # page 0 keeps; 1 has '{'; 2 has lorem ipsum; 3 below min lines
+    assert out.column("page_keep").to_pylist() == [
+        True, False, False, False, False]
+    assert out.column("text_clean").to_pylist()[0] == (
+        "Good long sentence here.\nAnother fine line stays!\n"
+        "And one more keeper?")
+
+
+def test_c4_clean_duckdb_parity():
+    from corenlp_ray.ops.webfilters import c4_clean_batch
+
+    texts = []
+    for i in range(211):
+        lines = [f"Sentence number {i} ends well.",
+                 f"tiny{i}.",
+                 f"A javascript mention {i} here.",
+                 f"No terminal punct {i}",
+                 f"Another full line {i} stays!",
+                 f"Third proper line {i} remains?"]
+        if i % 7 == 0:
+            lines.append("code block { starts here }.")
+        if i % 11 == 0:
+            lines.append("Lorem ipsum filler sentence here.")
+        texts.append("\n".join(lines))
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mine = c4_clean_batch(t).to_pandas()[
+        ["doc_id", "n_lines_kept", "page_keep", "text_clean"]]
+
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    want = con.execute(
+        "WITH k AS (SELECT doc_id, text, list_filter(list_transform("
+        "string_split(text, chr(10)), s -> trim(s)), s -> "
+        "regexp_matches(s, '[.!?\"]$') AND "
+        r"len(regexp_extract_all(s, '\S+')) >= 3 AND "
+        "NOT contains(lower(s), 'javascript')) AS kept FROM docs) "
+        "SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept, "
+        "len(kept) >= 3 AND NOT contains(text, '{') AND "
+        "NOT contains(lower(text), 'lorem ipsum') AS page_keep, "
+        "array_to_string(kept, chr(10)) AS text_clean "
+        "FROM k ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
