@@ -304,6 +304,10 @@ def kbp_sentence(
     """Pure kernel → [(subj, rel, obj, subj_ner, obj_ner, conf)]."""
     if len(words) > KBP_MAXLEN:
         return []
+    if not mentions and not pron_canon:
+        # every KBP emission resolves its subject through a mention or
+        # a coref-resolved pronoun; a bare sentence can't fire
+        return []
     pron_canon = pron_canon or {}
     n = len(words)
     ch: Dict[int, List[Tuple[int, str]]] = {}

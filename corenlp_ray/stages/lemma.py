@@ -15,6 +15,7 @@ Adds column: tok_lemma list<string>.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List
 
 import pyarrow as pa
@@ -196,6 +197,7 @@ def _strip_comp(lw: str, suf: str) -> str:
     return stem
 
 
+@lru_cache(maxsize=1 << 17)  # pure; web vocab repeats heavily
 def lemma_of(word: str, pos: str) -> str:
     """Pure kernel: (word, POS) → lemma (the Morphology.lemmatizeStatic
     contract; goldens in reference test/process/MorphologyTest.java)."""

@@ -27,6 +27,7 @@ Adds columns:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 import pyarrow as pa
@@ -56,6 +57,7 @@ _GEO_FEATURES = {"island", "islands", "river", "bay", "lake", "mountain",
                  "peninsula", "desert", "sea", "coast", "hills"}
 
 
+@lru_cache(maxsize=1 << 17)  # pure; web vocab repeats heavily
 def _num_value(w: str) -> Optional[float]:
     if _NUM_RE.match(w):
         return float(w.replace(",", ""))

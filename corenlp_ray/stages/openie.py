@@ -179,19 +179,34 @@ def extract_sentence_triples(
     ch = _children(heads, labels)
     n = len(words)
 
+    # token → covering-mention lookups precomputed once (first mention
+    # in list order wins, as the per-call scans did); these helpers are
+    # hit ~15×/sentence across the verb/noun patterns and the per-call
+    # linear scans were the kernel's hottest lines after kbp got the
+    # same treatment (stages/kbp.py _men_idx)
+    _tok_ner = ["O"] * n
+    _tok_ent: List[Optional[str]] = [None] * n
+    _tok_in_ent = [False] * n
+    for b, e, t in mentions:
+        is_ent = t in ("PERSON", "ORGANIZATION", "LOCATION")
+        span = " ".join(words[b:e]) if is_ent else None
+        blocks = t in ("PERSON", "ORGANIZATION", "LOCATION", "MISC")
+        for k in range(max(b, 0), min(e, n)):
+            if _tok_ner[k] == "O":
+                _tok_ner[k] = t
+            if is_ent and _tok_ent[k] is None:
+                _tok_ent[k] = span
+            if blocks:
+                _tok_in_ent[k] = True
+
     def ner_of(tok: int) -> str:
-        for b, e, t in mentions:
-            if b <= tok < e:
-                return t
-        return "O"
+        return _tok_ner[tok] if 0 <= tok < n else "O"
 
     def canon_of(tok: int, surface: str) -> str:
         if tok in pron_canon:
             return pron_canon[tok]
-        for b, e, t in mentions:
-            if b <= tok < e and t in ("PERSON", "ORGANIZATION", "LOCATION"):
-                return " ".join(words[b:e])
-        return surface
+        ent = _tok_ent[tok] if 0 <= tok < n else None
+        return ent if ent is not None else surface
 
     out = []
 
@@ -210,8 +225,7 @@ def extract_sentence_triples(
         """Inside an entity-type mention (deletion would change the
         entity); value-type mentions (ORDINAL/NUMBER/DATE) stay
         strippable — they are ordinary entailment deletions."""
-        return any(b <= tok < e for b, e, t in mentions
-                   if t in ("PERSON", "ORGANIZATION", "LOCATION", "MISC"))
+        return _tok_in_ent[tok] if 0 <= tok < n else False
 
     def _premods(h: int) -> List[int]:
         """Direct premodifier tokens of an NP head (sorted, excl. det)."""

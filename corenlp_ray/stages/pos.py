@@ -15,6 +15,7 @@ Adds column: tok_pos list<string>.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List
 
 import pyarrow as pa
@@ -37,6 +38,7 @@ _PUNCT_TAGS = {
 _VERBAL = {"VB", "VBP", "VBZ", "VBD", "VBN", "VBG"}
 
 
+@lru_cache(maxsize=1 << 17)  # pure; web vocab repeats heavily
 def _base_tag(word: str, lower: str, sent_initial: bool) -> str:
     if word in _PUNCT_TAGS:
         return _PUNCT_TAGS[word]
