@@ -36,6 +36,7 @@ from corenlp_ray.functions.lexicon import (
     FEMALE_NAMES, GAZETTEER, LOCATIONS, MALE_NAMES, MONTHS, NUMBER_WORDS,
     ORDINAL_WORDS, ORG_SUFFIXES, PERSON_TITLES,
 )
+from corenlp_ray.functions.sutime import RELATIVE_RE, resolve_relative
 
 _NUM_RE = re.compile(r"^[+-]?\d+(?:,\d{3})*(?:\.\d+)?$|^\.\d+$")
 _YEAR_RE = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
@@ -170,8 +171,6 @@ def _try_relative(words: List[str], lowers: List[str], i: int, n: int,
     One anchored regex match per trigger token (the alternation is
     ordered longest-first), then one resolve call — not a per-span
     resolve loop (hot-path cost on web-scale token streams)."""
-    from corenlp_ray.functions.sutime import RELATIVE_RE, resolve_relative
-
     lw = lowers[i]
     if lw not in _REL_FIRST and not lw[:1].isdigit():
         return None

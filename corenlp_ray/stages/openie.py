@@ -215,11 +215,21 @@ def extract_sentence_triples(
                   "actress", "founder", "co-founder", "chief", "captain",
                   "coach", "professor", "king", "queen", "mayor"}
 
+    _neg_cache: Dict[int, bool] = {}
+    _blk_cache: Dict[int, bool] = {}
+
     def _negated(v: int) -> bool:
-        return clause_negated(words, heads, labels, ch, v)
+        r = _neg_cache.get(v)
+        if r is None:
+            r = _neg_cache[v] = clause_negated(words, heads, labels, ch, v)
+        return r
 
     def _clause_blocked(v: int) -> bool:
-        return clause_blocked(words, tags, heads, labels, ch, v)
+        r = _blk_cache.get(v)
+        if r is None:
+            r = _blk_cache[v] = clause_blocked(words, tags, heads, labels,
+                                               ch, v)
+        return r
 
     def _in_mention(tok: int) -> bool:
         """Inside an entity-type mention (deletion would change the

@@ -127,11 +127,14 @@ _NORM_MAP = {
     "\x91": "`", "\x92": "'", "\x93": "``", "\x94": "''", "\x96": "--",
     "\x97": "--", "\x85": "...", "\x95": "\u2022",
 }
-_NORM_RE = re.compile("|".join(re.escape(k) for k in _NORM_MAP))
+# every key is a single char, so str.translate (C-speed) implements the
+# map exactly; the table is hit once per token — the old per-token regex
+# sub was the tokenizer's hottest line
+_NORM_TABLE = str.maketrans(_NORM_MAP)
 
 
 def _normalize_word(s: str) -> str:
-    return _NORM_RE.sub(lambda m: _NORM_MAP[m.group(0)], s)
+    return s.translate(_NORM_TABLE)
 
 
 _ALWAYS_ABBREV_RE = re.compile(
@@ -168,16 +171,18 @@ def tokenize(text: str) -> List[Tuple[str, str, int, int]]:
         b, e = m.start(), m.end()
         if len(orig) == 1 and "\ud800" <= orig <= "\udfff":
             continue  # unpaired surrogate: dropped (PTBLexer behavior)
-        dots = orig.replace(" ", "")
-        if dots and set(dots) == {"."} and len(dots) >= 3:
-            if len(dots) == 3:
-                toks.append(("...", orig, b, e))
-            else:
-                last = text.rindex(".", b, e)
-                toks.append(("...", text[b:last], b, last))
-                toks.append((".", ".", last, e))
-            continue
-        if set(orig) == {"-"} and len(orig) > 2:
+        c0 = orig[0]
+        if c0 == ".":  # dot runs ("....", ". . .") all start with "."
+            dots = orig.replace(" ", "")
+            if set(dots) == {"."} and len(dots) >= 3:
+                if len(dots) == 3:
+                    toks.append(("...", orig, b, e))
+                else:
+                    last = text.rindex(".", b, e)
+                    toks.append(("...", text[b:last], b, last))
+                    toks.append((".", ".", last, e))
+                continue
+        if c0 == "-" and len(orig) > 2 and set(orig) == {"-"}:
             # PTB normalizes any longer dash run to "--"
             toks.append(("--", orig, b, e))
             continue
@@ -189,15 +194,19 @@ def tokenize(text: str) -> List[Tuple[str, str, int, int]]:
                     toks.append((part, part, pos, pos + len(part)))
                 pos += len(part) + 1
             continue
-        low = orig.lower()
-        if low in _ASSIM:
-            # assimilation split: "Gimme" → "Gim" + "me"
-            prev = 0
-            for cut in _ASSIM[low] + (len(orig),):
-                push(orig[prev:cut], b + prev, b + cut)
-                prev = cut
-            continue
-        cm = _CLITIC_RE.search(orig)
+        if len(orig) == 5:  # every assimilation form is 5 chars
+            low = orig.lower()
+            if low in _ASSIM:
+                # assimilation split: "Gimme" → "Gim" + "me"
+                prev = 0
+                for cut in _ASSIM[low] + (len(orig),):
+                    push(orig[prev:cut], b + prev, b + cut)
+                    prev = cut
+                continue
+        # clitics all contain an apostrophe char — skip the regex otherwise
+        cm = (_CLITIC_RE.search(orig)
+              if ("'" in orig or "’" in orig or "`" in orig
+                  or "\x92" in orig) else None)
         # never split the clitic off a bare-apostrophe atom like "'s" itself
         if cm and cm.start() > 0:
             split = cm.start()
@@ -208,7 +217,8 @@ def tokenize(text: str) -> List[Tuple[str, str, int, int]]:
             # sentence-final abbreviation duplicates its period when the
             # sentence visibly ends here (EOF / newline / SGML tag):
             # "Kemper Corp.\n</HEADLINE>" → "Corp." "." (PTB convention)
-            if _ALWAYS_ABBREV_RE.search(orig) and _TAG_RE.match(text, e):
+            if (orig[-1] == "." and _ALWAYS_ABBREV_RE.search(orig)
+                    and _TAG_RE.match(text, e)):
                 # duplicated sentence-final period shares the abbreviation's
                 # final-period span (PTBLexer convention), preserving the
                 # text[begin:end] == orig invariant for offset consumers
