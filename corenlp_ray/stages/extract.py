@@ -69,24 +69,18 @@ def extract_text(html: bytes | str | None) -> str:
         s = rx.sub("\n", s)
     s = _TAG_RE.sub(_tag_repl, s)
     s = _htmllib.unescape(s)
-    lines = []
-    for ln in s.split("\n"):
-        ln = _WS_RUN_RE.sub(" ", ln).strip()
-        if ln:
-            lines.append(ln)
-    return "\n\n".join(lines)
+    # the run class excludes \n, so one whole-document sub is identical to
+    # the per-line sub (and ~40x fewer regex calls on real pages)
+    s = _WS_RUN_RE.sub(" ", s)
+    return "\n\n".join(ln for ln in map(str.strip, s.split("\n")) if ln)
 
 
 def canonicalize_text(text: str) -> str:
     """Normalize arbitrary source text into the same canonical paragraph
     form ``extract_text`` produces (used by the pages generator so that
     text == extract_text(html_of(text)) byte-identically)."""
-    lines = []
-    for ln in text.split("\n"):
-        ln = _WS_RUN_RE.sub(" ", ln).strip()
-        if ln:
-            lines.append(ln)
-    return "\n\n".join(lines)
+    text = _WS_RUN_RE.sub(" ", text)
+    return "\n\n".join(ln for ln in map(str.strip, text.split("\n")) if ln)
 
 
 # token-level CleanXml (the reference's actual annotator shape:

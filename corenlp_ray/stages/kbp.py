@@ -38,6 +38,7 @@ from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
 
+from corenlp_ray.functions.tokenpattern import toks_of
 from corenlp_ray.stages.openie import TRIPLES_SCHEMA
 
 _TITLE_NOUNS = {
@@ -66,6 +67,15 @@ import re as _re_mod
 # URL-shaped token (the reference's URL fine NER type, org:website slot)
 _URL_RE = _re_mod.compile(
     r"(?:https?://|www\.)\S+$|[A-Za-z0-9-]+\.(?:com|org|net|gov|edu)$")
+
+# verb lemmas / surface forms that can start any verbal pattern below —
+# the main loop skips the elif chain for everything else
+_TRIGGER_LEMMAS = frozenset((
+    "bear", "die", "work", "live", "reside", "marry", "found", "find",
+    "establish", "start", "headquarter", "base", "locate", "graduate",
+    "acquire", "buy", "purchase", "join"))
+_TRIGGER_WORDS = frozenset((
+    "born", "married", "headquartered", "based", "located"))
 
 
 class DepRule:
@@ -311,9 +321,12 @@ def kbp_sentence(
     pron_canon = pron_canon or {}
     n = len(words)
     ch: Dict[int, List[Tuple[int, str]]] = {}
+    _cop_heads = set()
     for i, (h, l) in enumerate(zip(heads, labels)):
         if h >= 0:
             ch.setdefault(h, []).append((i, l))
+            if l == "cop":
+                _cop_heads.add(h)
 
     # token → first covering mention, precomputed once (men_at is hit
     # ~10×/sentence across the verbal/copular/possessive patterns; the
@@ -381,10 +394,13 @@ def kbp_sentence(
         lem = lemmas[v]
         if not tags[v].startswith("V"):
             # copular predicate patterns (root nominals with cop child)
-            if any(l == "cop" for _, l in ch.get(v, ())):
+            if v in _cop_heads:
                 _copular_patterns(v, words, tags, ch, men_at, subj_entity,
                                   emit)
             continue
+        if lem not in _TRIGGER_LEMMAS and \
+                words[v].lower() not in _TRIGGER_WORDS:
+            continue  # non-trigger verb: no pattern below can fire
         # ---- verbal patterns ----
         if lem == "bear" or words[v].lower() == "born":
             se = subj_entity(v, ("PERSON",))
@@ -554,7 +570,9 @@ def kbp_sentence(
     # ---- org:website: URL-shaped token parenthesized after the ORG or
     # following a "website" token (ORG_WEBSITE slot; parse shapes around
     # URLs are too degraded for the dep-rule bank) ----
-    url_toks = [k for k in range(n) if _URL_RE.match(words[k])]
+    url_toks = [k for k in range(n)
+                if ("." in words[k] or "//" in words[k])
+                and _URL_RE.match(words[k])]
     if url_toks:
         for m in mentions:
             if m.type != "ORGANIZATION":
@@ -591,8 +609,6 @@ def kbp_sentence(
 
     # ---- data-driven dep-pattern rule bank ----
     if dep_rules:
-        from corenlp_ray.functions.tokenpattern import toks_of
-
         tok_ner = ["O"] * n
         for m in mentions:
             for k in range(m.b, min(m.e, n)):
@@ -662,8 +678,8 @@ def kbp_sentence(
         mc = men_at(c)
         if not mc:
             continue
-        for p in range(n):
-            if heads[p] == c and labels[p] == "conj":
+        for p, l in ch.get(c, ()):  # conj children, via the edge map
+            if l == "conj":
                 mp = men_at(p)
                 if mp and mp.type == mc.type:
                     conj_subjects.setdefault(mc.canonical, []).append(

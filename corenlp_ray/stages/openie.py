@@ -215,21 +215,23 @@ def extract_sentence_triples(
                   "actress", "founder", "co-founder", "chief", "captain",
                   "coach", "professor", "king", "queen", "mayor"}
 
-    _neg_cache: Dict[int, bool] = {}
-    _blk_cache: Dict[int, bool] = {}
+    # nodes carrying an explicit advmod negation, marked in ONE pass over
+    # the edge map (clause_negated re-scanned the frontier per verb; every
+    # verb site queries this, so the per-call work is now set membership)
+    _neg_marked = {t for t, lst in ch.items()
+                   for c, l in lst
+                   if l == "advmod" and words[c].lower() in _NEG}
 
     def _negated(v: int) -> bool:
-        r = _neg_cache.get(v)
-        if r is None:
-            r = _neg_cache[v] = clause_negated(words, heads, labels, ch, v)
-        return r
+        if not _neg_marked:
+            return False
+        if v in _neg_marked:
+            return True
+        return any(c in _neg_marked for c, l in ch.get(v, ())
+                   if l in ("cop", "aux", "aux:pass"))
 
     def _clause_blocked(v: int) -> bool:
-        r = _blk_cache.get(v)
-        if r is None:
-            r = _blk_cache[v] = clause_blocked(words, tags, heads, labels,
-                                               ch, v)
-        return r
+        return clause_blocked(words, tags, heads, labels, ch, v)
 
     def _in_mention(tok: int) -> bool:
         """Inside an entity-type mention (deletion would change the
