@@ -1209,3 +1209,117 @@ def pii_planted_sql() -> str:
         f"CAST(len(regexp_extract_all(text, '{pats['ip']}')) AS BIGINT) "
         "AS n_ips, "
         f"CAST(length({red}) AS BIGINT) AS redacted_len FROM synth")
+
+
+# ------------------------------------------------------------- url ops ----
+
+# the planted URL construction: 4 ids per 20-block share a domain+path
+# (i, i+5, i+10, i+15 → same group, all four messiness variants), so
+# normalization collapses the three tracking/fragment variants onto the
+# clean base while the ?id= variant stays distinct
+_URL_DOMAINS = ["news.example.com", "blog.example.net", "wiki.example.org",
+                "shop.example.io", "hot.example.org"]
+
+
+def _planted_url(i: int) -> str:
+    base = "https://{}/p/{}".format(_URL_DOMAINS[i % 5], (i // 20) % 1000)
+    v = i % 4
+    if v == 0:
+        return base
+    if v == 1:
+        return base + "?utm_source=feed&utm_medium=rss"
+    if v == 2:
+        return base + "?id=" + str(i % 9) + "&utm_campaign=x#sec"
+    return base + "#frag-" + str(i % 3)
+
+
+_URL_SYNTH_SQL = (
+    "SELECT doc_id, 'https://' || list_extract({doms}, (doc_id % 5) + 1) "
+    "|| '/p/' || ((doc_id // 20) % 1000) || "
+    "CASE doc_id % 4 WHEN 0 THEN '' "
+    "WHEN 1 THEN '?utm_source=feed&utm_medium=rss' "
+    "WHEN 2 THEN '?id=' || (doc_id % 9) || '&utm_campaign=x#sec' "
+    "ELSE '#frag-' || (doc_id % 3) END AS url, n_chars FROM documents")
+
+
+def _url_norm_sql(col: str) -> str:
+    """The ops/urls normalization chain, spelled in DuckDB RE2 — the
+    SAME pattern literals the Arrow kernels use."""
+    from corenlp_ray.ops.urls import (
+        DANGLING_PAT, FRAGMENT_PAT, PROMOTE_PAT, TRACKING_PAT)
+
+    s = f"regexp_replace({col}, '{FRAGMENT_PAT}', '')"
+    s = f"regexp_replace({s}, '{TRACKING_PAT}', '', 'g')"
+    s = f"regexp_replace({s}, '{PROMOTE_PAT}', '\\1?')"
+    return f"regexp_replace({s}, '{DANGLING_PAT}', '')"
+
+
+def _url_synth_ds(sf_dir: str, with_chars: bool = False):
+    import ray.data as rd
+
+    cols = ["doc_id", "n_chars"] if with_chars else ["doc_id"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return b.append_column(
+            "url", pa.array([_planted_url(i) for i in ids],
+                            type=pa.string()))
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def q_url_normalize_planted(sf_dir: str):
+    """URL canonicalization (ops/urls.normalize_urls — pure Arrow-RE2);
+    DuckDB applies the same pattern chain to the independently
+    synthesized URLs, pinning the regex semantics end to end."""
+    from corenlp_ray.ops.urls import url_normalize_batch
+
+    return (_url_synth_ds(sf_dir)
+            .map_batches(url_normalize_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "url", "url_norm"]))
+
+
+def url_normalize_planted_sql() -> str:
+    synth = _URL_SYNTH_SQL.format(doms=_sql_list(_URL_DOMAINS))
+    return (f"WITH synth AS ({synth}) "
+            f"SELECT doc_id, url, {_url_norm_sql('url')} AS url_norm "
+            "FROM synth")
+
+
+def q_url_dedup_planted(sf_dir: str):
+    """URL-level exact dedup (ops/urls.url_dedup): one row per
+    normalized URL with canonical (min) doc_id and duplicate count."""
+    from corenlp_ray.ops.urls import url_dedup
+
+    return url_dedup(_url_synth_ds(sf_dir))
+
+
+def url_dedup_planted_sql() -> str:
+    synth = _URL_SYNTH_SQL.format(doms=_sql_list(_URL_DOMAINS))
+    return (f"WITH synth AS ({synth}) "
+            f"SELECT {_url_norm_sql('url')} AS url_norm, "
+            "MIN(doc_id) AS canonical_doc_id, "
+            "COUNT(*) AS dup_count FROM synth GROUP BY 1")
+
+
+def q_domain_stats_planted(sf_dir: str):
+    """Per-domain corpus share (ops/urls.domain_stats): page count +
+    total chars per registered host — the crawl-mix / hot-domain-skew
+    input table."""
+    from corenlp_ray.ops.urls import domain_stats
+
+    return domain_stats(_url_synth_ds(sf_dir, with_chars=True))
+
+
+def domain_stats_planted_sql() -> str:
+    from corenlp_ray.ops.urls import DOMAIN_PAT
+
+    synth = _URL_SYNTH_SQL.format(doms=_sql_list(_URL_DOMAINS))
+    # DuckDB regexp_extract group 1 == the Arrow kernel's named group
+    pat = DOMAIN_PAT.replace("(?P<host>", "(")
+    return (f"WITH synth AS ({synth}), d AS ("
+            f"SELECT regexp_replace(regexp_extract(url, '{pat}', 1), "
+            "'^www\\.', '') AS domain, n_chars FROM synth) "
+            "SELECT domain, COUNT(*) AS n_pages, "
+            "SUM(n_chars) AS total_chars FROM d GROUP BY 1")

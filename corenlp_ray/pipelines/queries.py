@@ -1168,6 +1168,9 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_kg_degree_planted, q_quotes_planted, q_relation_planted,
     q_sentiment_planted, q_simhash_planted, kg_degree_planted_sql,
     q_pii_planted, pii_planted_sql,
+    q_url_normalize_planted, url_normalize_planted_sql,
+    q_url_dedup_planted, url_dedup_planted_sql,
+    q_domain_stats_planted, domain_stats_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1192,6 +1195,13 @@ ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
 ORACLE_SQL["relation_planted"] = relation_planted_sql()
 ORACLE_SQL["kg_degree_planted"] = kg_degree_planted_sql()
 ORACLE_SQL["pii_planted"] = pii_planted_sql()
+# NOTE: keep these three LAST among the oracles — the driver's
+# correctness pass has a fixed query budget (50 in rounds 3-4) and the
+# original 50 oracles must stay inside its window; these are verified by
+# the sf0.001 test mirror (tests/test_query_catalog.py) regardless
+ORACLE_SQL["url_normalize_planted"] = url_normalize_planted_sql()
+ORACLE_SQL["url_dedup_planted"] = url_dedup_planted_sql()
+ORACLE_SQL["domain_stats_planted"] = domain_stats_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1239,6 +1249,9 @@ QUERIES = {
     "relation_planted": q_relation_planted,
     "kg_degree_planted": q_kg_degree_planted,
     "pii_planted": q_pii_planted,
+    "url_normalize_planted": q_url_normalize_planted,
+    "url_dedup_planted": q_url_dedup_planted,
+    "domain_stats_planted": q_domain_stats_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
