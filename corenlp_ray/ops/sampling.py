@@ -1,0 +1,111 @@
+"""Deterministic corpus sampling for crawl-mix control.
+
+Not a reference operator family — this is the LLM-training-data
+extension surface: a 100-TB corpus is never trained on as-is; it is
+DOWNSAMPLED to a target mix (cap the hot domain, up-weight books,
+Bernoulli-thin the tail). The sampling must be a pure function of the
+row key so that (a) re-runs and resumed partitions make identical
+decisions with zero coordination, (b) two clusters of different sizes
+produce byte-identical samples, and (c) a DuckDB oracle can re-derive
+the exact accept set.
+
+The shared decision hash is a 32-bit multiplicative mix (Knuth constant
++ two xor-shift-multiply finalizer rounds) evaluated in numpy uint64
+wraparound arithmetic on the Ray side and HUGEINT arithmetic on the
+SQL side — ``(x mod 2^64) mod 2^32 == x mod 2^32`` makes the two
+exactly equal for any int64 key. No Python per-row work anywhere.
+
+Scale notes: both ops are embarrassingly parallel map_batches stages —
+no shuffle, no state, no driver participation. ``domain_quota_sample``
+broadcasts the quota table via ``ray.put`` once (it is a crawl-mix
+config, thousands of rows at most); the per-batch join is a pandas
+``map`` over the domain column.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+# decision space: hash is uniform on [0, 2^32); accept iff h < rate*2^32
+_SPACE = np.uint64(1) << np.uint64(32)
+_KNUTH = np.uint64(2654435761)
+_MIX = np.uint64(273837989)
+_SHIFT = np.uint64(16)
+
+
+def mix32(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized 32-bit mix of int64 keys; uniform on [0, 2^32).
+
+    Exactly reproducible in SQL (see :func:`mix32_sql`)."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = ((x + np.uint64(seed)) * _KNUTH) % _SPACE
+        h = ((h >> _SHIFT) ^ h) * _MIX % _SPACE
+    return (h >> _SHIFT) ^ h
+
+
+def mix32_sql(col: str, seed: int = 0) -> str:
+    """The identical hash in DuckDB SQL (HUGEINT avoids BIGINT overflow
+    for keys up to 2^63; congruent with numpy's mod-2^64 wraparound
+    because 2^32 divides 2^64)."""
+    h1 = (f"((CAST({col} AS HUGEINT) + {seed}) * 2654435761) "
+          "% 4294967296")
+    h2 = f"(xor(({h1}) >> 16, {h1}) * 273837989) % 4294967296"
+    return f"CAST(xor(({h2}) >> 16, {h2}) AS BIGINT)"
+
+
+def accept_mask(keys: np.ndarray, rate: float, seed: int = 0) -> np.ndarray:
+    """Deterministic Bernoulli(rate) accept mask on int64 keys."""
+    threshold = np.uint64(int(rate * float(_SPACE)))
+    return mix32(keys, seed=seed) < threshold
+
+
+def hash_sample_batch(batch: pa.Table, rate: float, key_col: str = "doc_id",
+                      seed: int = 0) -> pa.Table:
+    """Filter a batch to the deterministic rate-sample of ``key_col``."""
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(accept_mask(keys, rate, seed=seed)))
+
+
+def hash_sample(ds, rate: float, key_col: str = "doc_id", seed: int = 0):
+    """Deterministic Bernoulli sample of a Dataset — keep each row iff
+    ``mix32(key, seed) < rate * 2^32``. Stateless, shuffle-free, and
+    cluster-size invariant (the accept set depends only on keys)."""
+    return ds.map_batches(
+        lambda b: hash_sample_batch(b, rate, key_col=key_col, seed=seed),
+        batch_format="pyarrow")
+
+
+def domain_quota_sample(ds, quotas: Dict[str, float],
+                        default_rate: float = 1.0,
+                        domain_col: str = "domain",
+                        key_col: str = "doc_id", seed: int = 0):
+    """Per-domain deterministic downsampling (crawl-mix enforcement).
+
+    ``quotas`` maps domain → keep rate (the hot domain gets e.g. 0.1,
+    boilerplate mirrors 0.0); unlisted domains keep ``default_rate``.
+    The quota table is a small broadcast — shipped once inside the
+    closure, evaluated per batch with one vectorized ``np.take`` over
+    a factorized domain column. No shuffle; the decision for a row
+    never depends on any other row, so partial re-runs of a failed
+    partition reproduce the global sample exactly.
+    """
+    import pyarrow.compute as pc
+
+    items = sorted(quotas.items())
+    q_doms = pa.array([d for d, _ in items], type=pa.string())
+    # integer thresholds so the accept decision is exact (and identical
+    # to the SQL oracle's literal) even at rate*2^32 boundaries
+    q_thr = np.array([int(r * float(_SPACE)) for _, r in items]
+                     + [int(default_rate * float(_SPACE))], dtype=np.uint64)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        idx = pc.fill_null(
+            pc.index_in(batch.column(domain_col), value_set=q_doms),
+            len(q_doms)).to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(mix32(keys, seed=seed) < q_thr[idx]))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

@@ -1323,3 +1323,97 @@ def domain_stats_planted_sql() -> str:
             "'^www\\.', '') AS domain, n_chars FROM synth) "
             "SELECT domain, COUNT(*) AS n_pages, "
             "SUM(n_chars) AS total_chars FROM d GROUP BY 1")
+
+
+# --------------------------------------------- sampling / packing ops ----
+
+def q_packing_planted(sf_dir: str):
+    """GPT-style sequence-packing plan (ops/packing.pack_sequences):
+    documents concatenated in doc_id order, cut every 128 tokens; each
+    row assigns a within-doc token span to a training sequence. The
+    oracle re-derives the plan with a window cumsum + generate_series,
+    pinning the distributed prefix-sum (group offsets + per-group
+    cumsum) exactly."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.packing import pack_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return pack_sequences(docs, seq_len=128, group_size=64)
+
+
+def packing_planted_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, CASE WHEN trim(text)='' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING), 0) AS BIGINT) AS off FROM t), "
+        "u AS (SELECT doc_id, off, n, unnest(generate_series("
+        "off // 128, (off + n - 1) // 128)) AS seq_id "
+        "FROM c WHERE n > 0) "
+        "SELECT doc_id, seq_id, "
+        "GREATEST(seq_id * 128, off) - off AS tok_start, "
+        "LEAST((seq_id + 1) * 128, off + n) - off AS tok_end FROM u")
+
+
+_SAMPLE_RATE, _SAMPLE_SEED = 0.35, 7
+
+
+def q_hash_sample_planted(sf_dir: str):
+    """Deterministic Bernoulli corpus sample (ops/sampling.hash_sample):
+    keep a doc iff mix32(doc_id, seed) < rate * 2^32. The oracle
+    evaluates the IDENTICAL mix in HUGEINT arithmetic, so the driver
+    pins the hash semantics bit-for-bit."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.sampling import hash_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return hash_sample(docs, _SAMPLE_RATE, seed=_SAMPLE_SEED)
+
+
+def hash_sample_planted_sql() -> str:
+    from corenlp_ray.ops.sampling import mix32_sql
+
+    thr = int(_SAMPLE_RATE * float(1 << 32))
+    return (f"SELECT doc_id, n_chars FROM documents "
+            f"WHERE {mix32_sql('doc_id', _SAMPLE_SEED)} < {thr}")
+
+
+_QUOTAS = {"hot.example.org": 0.2, "news.example.com": 0.6}
+_QUOTA_DEFAULT, _QUOTA_SEED = 0.9, 3
+
+
+def q_domain_quota_planted(sf_dir: str):
+    """Crawl-mix enforcement (ops/sampling.domain_quota_sample): the
+    planted hot domain is capped at 20%, the news domain at 60%, the
+    rest kept at 90% — all decisions pure functions of doc_id."""
+    from corenlp_ray.ops.sampling import domain_quota_sample
+    from corenlp_ray.ops.urls import domain_batch
+
+    ds = _url_synth_ds(sf_dir).map_batches(domain_batch,
+                                           batch_format="pyarrow")
+    return (domain_quota_sample(ds, _QUOTAS, default_rate=_QUOTA_DEFAULT,
+                                seed=_QUOTA_SEED)
+            .select_columns(["doc_id", "domain"]))
+
+
+def domain_quota_planted_sql() -> str:
+    from corenlp_ray.ops.sampling import mix32_sql
+    from corenlp_ray.ops.urls import DOMAIN_PAT
+
+    synth = _URL_SYNTH_SQL.format(doms=_sql_list(_URL_DOMAINS))
+    pat = DOMAIN_PAT.replace("(?P<host>", "(")
+    cases = " ".join(
+        f"WHEN '{d}' THEN {int(r * float(1 << 32))}"
+        for d, r in sorted(_QUOTAS.items()))
+    thr = f"CASE domain {cases} ELSE {int(_QUOTA_DEFAULT * float(1 << 32))} END"
+    return (f"WITH synth AS ({synth}), d AS ("
+            f"SELECT doc_id, regexp_replace(regexp_extract(url, '{pat}', 1), "
+            "'^www\\.', '') AS domain FROM synth) "
+            f"SELECT doc_id, domain FROM d "
+            f"WHERE {mix32_sql('doc_id', _QUOTA_SEED)} < {thr}")

@@ -1171,6 +1171,9 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_url_normalize_planted, url_normalize_planted_sql,
     q_url_dedup_planted, url_dedup_planted_sql,
     q_domain_stats_planted, domain_stats_planted_sql,
+    q_packing_planted, packing_planted_sql,
+    q_hash_sample_planted, hash_sample_planted_sql,
+    q_domain_quota_planted, domain_quota_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1202,6 +1205,9 @@ ORACLE_SQL["pii_planted"] = pii_planted_sql()
 ORACLE_SQL["url_normalize_planted"] = url_normalize_planted_sql()
 ORACLE_SQL["url_dedup_planted"] = url_dedup_planted_sql()
 ORACLE_SQL["domain_stats_planted"] = domain_stats_planted_sql()
+ORACLE_SQL["packing_planted"] = packing_planted_sql()
+ORACLE_SQL["hash_sample_planted"] = hash_sample_planted_sql()
+ORACLE_SQL["domain_quota_planted"] = domain_quota_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1252,6 +1258,9 @@ QUERIES = {
     "url_normalize_planted": q_url_normalize_planted,
     "url_dedup_planted": q_url_dedup_planted,
     "domain_stats_planted": q_domain_stats_planted,
+    "packing_planted": q_packing_planted,
+    "hash_sample_planted": q_hash_sample_planted,
+    "domain_quota_planted": q_domain_quota_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

@@ -1,0 +1,114 @@
+"""Unit tests for ops/sampling.py and ops/packing.py — edge cases the
+planted catalog oracles (packing_planted / hash_sample_planted /
+domain_quota_planted, tests/test_query_catalog.py) don't reach."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from corenlp_ray.ops.packing import _spans_for, pack_sequences
+from corenlp_ray.ops.sampling import (accept_mask, domain_quota_sample,
+                                      hash_sample, mix32)
+
+
+# ------------------------------------------------------------ sampling ----
+
+def test_mix32_deterministic_and_uniformish():
+    keys = np.arange(100_000, dtype=np.int64)
+    h = mix32(keys, seed=1)
+    assert np.array_equal(h, mix32(keys, seed=1))
+    assert not np.array_equal(h, mix32(keys, seed=2))
+    assert h.max() < (1 << 32)
+    # roughly uniform: each quartile of the space holds 25% ± 1%
+    q = np.bincount((h >> np.uint64(30)).astype(int), minlength=4)
+    assert np.all(np.abs(q / len(keys) - 0.25) < 0.01)
+
+
+def test_accept_mask_rates():
+    keys = np.arange(200_000, dtype=np.int64)
+    for rate in (0.0, 0.1, 0.5, 1.0):
+        frac = accept_mask(keys, rate, seed=9).mean()
+        assert abs(frac - rate) < 0.005
+
+
+def test_hash_sample_cluster_size_invariant(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    a = hash_sample(rd.from_arrow(tbl), 0.3, seed=4).to_pandas()
+    b = hash_sample(rd.from_arrow(tbl).repartition(7), 0.3,
+                    seed=4).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_domain_quota_zero_and_unlisted(ray_session):
+    import ray.data as rd
+
+    n = 2000
+    doms = ["a.com", "b.com", "c.com"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "domain": pa.array([doms[i % 3] for i in range(n)]),
+    })
+    out = domain_quota_sample(
+        rd.from_arrow(tbl), {"a.com": 0.0, "b.com": 1.0},
+        default_rate=0.5, seed=11).to_pandas()
+    by = out.groupby("domain").size()
+    assert "a.com" not in by.index          # rate 0 drops everything
+    assert by["b.com"] == n // 3 + (n % 3 > 1)  # rate 1 keeps everything
+    assert 0.35 < by["c.com"] / (n // 3) < 0.65  # default applies
+
+
+# ------------------------------------------------------------- packing ----
+
+def test_spans_exact_boundaries():
+    # doc of 10 tokens starting at offset 250 with seq_len 128 spans
+    # sequences 1 (tokens 0..6 -> global 250..255) and 2 (6..10)
+    t = _spans_for(np.array([5]), np.array([250]), np.array([10]), 128)
+    assert t.to_pydict() == {
+        "doc_id": [5, 5], "seq_id": [1, 2],
+        "tok_start": [0, 6], "tok_end": [6, 10]}
+
+
+def test_spans_doc_on_seq_boundary():
+    t = _spans_for(np.array([1]), np.array([128]), np.array([128]), 128)
+    assert t.to_pydict() == {
+        "doc_id": [1], "seq_id": [1], "tok_start": [0], "tok_end": [128]}
+
+
+@pytest.mark.parametrize("group_size", [1, 16, 4096])
+def test_pack_group_size_invariant(ray_session, group_size):
+    """The plan is a pure function of (doc_id, n_tokens) — coarse-group
+    granularity and block layout must not change it."""
+    import ray.data as rd
+
+    texts = ["tok " * ((i * 37) % 55) if i % 9 else "" for i in range(300)]
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array([t.strip() for t in texts])})
+    plan = (pack_sequences(rd.from_arrow(tbl).repartition(5), 64,
+                           group_size=group_size)
+            .to_pandas().sort_values(["doc_id", "seq_id"])
+            .reset_index(drop=True))
+    # reference: serial cumsum
+    n = np.array([len(t.split()) if t.strip() else 0
+                  for t in [x.strip() for x in texts]])
+    off = np.cumsum(n) - n
+    rows = []
+    for d in range(300):
+        if not n[d]:
+            continue
+        for s in range(off[d] // 64, (off[d] + n[d] - 1) // 64 + 1):
+            rows.append((d, s, max(s * 64, off[d]) - off[d],
+                         min((s + 1) * 64, off[d] + n[d]) - off[d]))
+    assert list(map(tuple, plan.itertuples(index=False))) == rows
+
+
+def test_pack_total_token_conservation(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                    "text": pa.array(["w " * (i % 13) for i in range(50)])})
+    plan = pack_sequences(rd.from_arrow(tbl), 32, group_size=8).to_pandas()
+    total = sum(i % 13 for i in range(50))
+    assert int((plan["tok_end"] - plan["tok_start"]).sum()) == total
+    # every span is non-empty and within a single sequence
+    assert (plan["tok_end"] > plan["tok_start"]).all()
