@@ -1417,3 +1417,50 @@ def domain_quota_planted_sql() -> str:
             "'^www\\.', '') AS domain FROM synth) "
             f"SELECT doc_id, domain FROM d "
             f"WHERE {mix32_sql('doc_id', _QUOTA_SEED)} < {thr}")
+
+
+# ---------------------------------------------------------- graph ops ----
+
+def q_pagerank_planted(sf_dir: str):
+    """PageRank over the planted flagship KG (ops/graph.pagerank):
+    3 damped iterations of the edge-partitioned formulation — per
+    round, one co-partitioned rank ⋈ edges join and one native
+    dst-aggregate. The oracle unrolls the identical 3 iterations as
+    correlated-subquery CTEs over the SAME SQL-derived KG, so the
+    driver pins the iterative semantics (dangling-mass leak included)
+    to 6 decimals."""
+    import pyarrow as pa  # noqa: F401
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops.graph import pagerank
+    from corenlp_ray.stages.canonicalize import build_alias_map, build_kg
+
+    triples = _planted_triples(sf_dir, _openie_text).materialize()
+    kg = build_kg(triples, alias_map=build_alias_map(triples))
+    out = pagerank(kg, iterations=3, damping=0.85,
+                   src_col="subj", dst_col="obj")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("rank"), "rank",
+                            pc.round(b.column("rank"), ndigits=6))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def pagerank_planted_sql() -> str:
+    inner = kg_planted_sql()
+    it = ("SELECT v.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE("
+          "(SELECT SUM({prev}.r / d.outdeg) FROM e "
+          "JOIN d ON d.src = e.src JOIN {prev} ON {prev}.node = e.src "
+          "WHERE e.dst = v.node), 0) AS r FROM v")
+    return (
+        f"WITH kg AS ({inner}), "
+        "e AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg), "
+        "v AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v), "
+        "d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), "
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM v), "
+        f"r1 AS ({it.format(prev='r0')}), "
+        f"r2 AS ({it.format(prev='r1')}), "
+        f"r3 AS ({it.format(prev='r2')}) "
+        "SELECT node, round(r, 6) AS rank FROM r3")

@@ -1174,6 +1174,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_packing_planted, packing_planted_sql,
     q_hash_sample_planted, hash_sample_planted_sql,
     q_domain_quota_planted, domain_quota_planted_sql,
+    q_pagerank_planted, pagerank_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1208,6 +1209,7 @@ ORACLE_SQL["domain_stats_planted"] = domain_stats_planted_sql()
 ORACLE_SQL["packing_planted"] = packing_planted_sql()
 ORACLE_SQL["hash_sample_planted"] = hash_sample_planted_sql()
 ORACLE_SQL["domain_quota_planted"] = domain_quota_planted_sql()
+ORACLE_SQL["pagerank_planted"] = pagerank_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1261,6 +1263,7 @@ QUERIES = {
     "packing_planted": q_packing_planted,
     "hash_sample_planted": q_hash_sample_planted,
     "domain_quota_planted": q_domain_quota_planted,
+    "pagerank_planted": q_pagerank_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

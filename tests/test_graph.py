@@ -1,0 +1,74 @@
+"""Unit tests for ops/graph.pagerank — cases the full-chain
+pagerank_planted oracle (tests/test_query_catalog.py) doesn't isolate."""
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+from corenlp_ray.ops.graph import pagerank
+
+
+def _manual(edges, iters=3, d=0.85):
+    E = sorted(set(edges))
+    V = sorted({x for e in E for x in e})
+    outdeg = collections.Counter(e[0] for e in E)
+    r = {v: 1.0 / len(V) for v in V}
+    for _ in range(iters):
+        nr = {v: (1 - d) / len(V) for v in V}
+        for s, t in E:
+            nr[t] += d * r[s] / outdeg[s]
+        r = nr
+    return r
+
+
+def _run(edges, ray_unused, **kw):
+    import ray.data as rd
+
+    tbl = pa.table({"subj": [e[0] for e in edges],
+                    "obj": [e[1] for e in edges]})
+    df = pagerank(rd.from_arrow(tbl), **kw).to_pandas()
+    return dict(zip(df["node"], df["rank"]))
+
+
+def test_pagerank_matches_manual(ray_session):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("a", "b")]  # includes a parallel edge
+    got = _run(edges, ray_session)
+    want = _manual(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_pagerank_dangling_and_source_only(ray_session):
+    # b has no out-edges (dangling: mass leaks); a has no in-edges
+    got = _run([("a", "b")], ray_session, iterations=2)
+    want = _manual([("a", "b")], iters=2)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    # a only ever receives the base term
+    assert abs(got["a"] - 0.15 / 2) < 1e-12
+
+
+def test_pagerank_mass_bounded(ray_session):
+    # ring: no dangling nodes -> total mass conserved at 1.0
+    edges = [(str(i), str((i + 1) % 10)) for i in range(10)]
+    got = _run(edges, ray_session, iterations=4)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # symmetric ring -> uniform ranks
+    assert np.allclose(list(got.values()), 0.1)
+
+
+def test_pagerank_block_layout_invariant(ray_session):
+    import ray.data as rd
+
+    edges = [(f"n{i % 17}", f"n{(i * 7) % 17}") for i in range(200)
+             if i % 17 != (i * 7) % 17]
+    tbl = pa.table({"subj": [e[0] for e in edges],
+                    "obj": [e[1] for e in edges]})
+    a = pagerank(rd.from_arrow(tbl)).to_pandas()
+    b = pagerank(rd.from_arrow(tbl).repartition(9)).to_pandas()
+    ma, mb = dict(zip(a["node"], a["rank"])), dict(zip(b["node"], b["rank"]))
+    assert set(ma) == set(mb)
+    for v in ma:
+        assert abs(ma[v] - mb[v]) < 1e-12
