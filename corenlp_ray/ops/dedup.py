@@ -945,3 +945,93 @@ def embedding_dedup(embeds_ds, threshold: float = 0.95):
         return batch
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-gram spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("tok_start", pa.int64()),
+    ("tok_end", pa.int64()),
+])
+
+
+def _shingle_positions(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, pos, sh): every k-token shingle of every doc, fully
+    vectorized — flat token explode, then ``pl.concat_str`` of k
+    shifted columns (one Rust pass, no per-shingle Python)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = df["text"].fill_null("").str.extract_all(r"\S+")
+    n_toks = toks.list.len().to_numpy().astype(np.int64)
+    doc_ids = df["doc_id"].to_numpy().astype(np.int64)
+    flat = pl.DataFrame({
+        "doc_id": np.repeat(doc_ids, n_toks),
+        "tok": toks.explode().drop_nulls(),
+    })
+    if not len(flat):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "sh": pa.array([], pa.string())})
+    sh = flat.select(
+        pl.col("doc_id"),
+        pl.concat_str([pl.col("tok").shift(-j) for j in range(k)],
+                      separator=" ").alias("sh"),
+        (pl.col("doc_id").shift(-(k - 1)) == pl.col("doc_id")).alias("ok"),
+    )
+    starts = np.zeros(len(n_toks), dtype=np.int64)
+    np.cumsum(n_toks[:-1], out=starts[1:])
+    pos = np.arange(int(n_toks.sum()), dtype=np.int64) \
+        - np.repeat(starts, n_toks)
+    out = sh.with_columns(pl.Series("pos", pos)).filter(
+        pl.col("ok").fill_null(False)).select(["doc_id", "pos", "sh"])
+    return out.to_arrow().cast(pa.schema([("doc_id", pa.int64()),
+                                          ("pos", pa.int64()),
+                                          ("sh", pa.string())]))
+
+
+def repeated_ngram_spans(docs_ds, k: int = 8, min_count: int = 2):
+    """Maximal token spans covered by k-shingles that occur ≥min_count
+    times corpus-wide (Lee et al. 2022 substring-dedup shape: training
+    corpora repeat long boilerplate passages verbatim; removing them
+    needs SPANS, not whole-document verdicts).
+
+    Returns (doc_id, tok_start, tok_end), 0-based end-exclusive token
+    offsets (whitespace convention, ops/textstats.token_count_batch).
+
+    Shape: one shingle-explode map (no Python per shingle), ONE
+    all-to-all on the shingle key keeping only groups ≥min_count, then
+    a per-doc groupby that merges overlapping/adjacent duplicated
+    positions into maximal spans with a vectorized gaps-and-islands
+    pass. The explode ships the shingle STRINGS (≈k× corpus bytes) so
+    group equality is exact — the 100-TB variant ships a 128-bit
+    shingle hash instead (the decontamination layout, ops/webfilters)
+    and re-verifies inside the group; exactness here is what lets the
+    DuckDB oracle (``repeated_spans_planted``) pin the semantics."""
+
+    def _dups(g: pa.Table) -> pa.Table:
+        if g.num_rows < min_count:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("pos", pa.int64())]).empty_table()
+        return g.select(["doc_id", "pos"])
+
+    def _merge(g: pa.Table) -> pa.Table:
+        pos = np.sort(g.column("pos").to_numpy(zero_copy_only=False))
+        doc = g.column("doc_id")[0].as_py()
+        # islands: a new span starts where the gap exceeds 1
+        brk = np.flatnonzero(np.diff(pos) > 1)
+        starts = pos[np.concatenate(([0], brk + 1))]
+        ends = pos[np.concatenate((brk, [len(pos) - 1]))] + k
+        return pa.Table.from_pydict(
+            {"doc_id": np.full(len(starts), doc, dtype=np.int64),
+             "tok_start": starts, "tok_end": ends},
+            schema=_SPAN_SCHEMA)
+
+    sh = docs_ds.map_batches(lambda b: _shingle_positions(b, k),
+                             batch_format="pyarrow")
+    dup_pos = sh.groupby("sh").map_groups(_dups, batch_format="pyarrow")
+    return (dup_pos.groupby("doc_id")
+            .map_groups(_merge, batch_format="pyarrow"))

@@ -1464,3 +1464,35 @@ def pagerank_planted_sql() -> str:
         f"r2 AS ({it.format(prev='r1')}), "
         f"r3 AS ({it.format(prev='r2')}) "
         "SELECT node, round(r, 6) AS rank FROM r3")
+
+
+def q_repeated_spans_planted(sf_dir: str):
+    """Substring-level dedup (ops/dedup.repeated_ngram_spans): maximal
+    token spans covered by 8-shingles occurring ≥2 times corpus-wide
+    (Lee et al. 2022 shape). One shingle-key all-to-all + per-doc
+    gaps-and-islands merge; the oracle re-derives it with
+    generate_series + window islands over the raw documents table."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.dedup import repeated_ngram_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return repeated_ngram_spans(docs, k=8)
+
+
+def repeated_spans_planted_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks "
+        "FROM documents WHERE trim(text) <> ''), "
+        "g AS (SELECT doc_id, unnest(generate_series(1, "
+        "len(toks) - 8 + 1)) AS pos, toks FROM t WHERE len(toks) >= 8), "
+        "s AS (SELECT doc_id, pos, "
+        "array_to_string(toks[pos:pos+7], ' ') AS sh FROM g), "
+        "dup AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) >= 2), "
+        "p AS (SELECT doc_id, pos FROM s JOIN dup USING (sh)), "
+        "i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY pos) AS grp FROM p) "
+        "SELECT doc_id, MIN(pos) - 1 AS tok_start, "
+        "MAX(pos) - 1 + 8 AS tok_end FROM i GROUP BY doc_id, grp")
