@@ -993,7 +993,8 @@ def _shingle_positions(batch: pa.Table, k: int) -> pa.Table:
                                           ("sh", pa.string())]))
 
 
-def repeated_ngram_spans(docs_ds, k: int = 8, min_count: int = 2):
+def repeated_ngram_spans(docs_ds, k: int = 8, min_count: int = 2,
+                         exact: bool = True):
     """Maximal token spans covered by k-shingles that occur ≥min_count
     times corpus-wide (Lee et al. 2022 substring-dedup shape: training
     corpora repeat long boilerplate passages verbatim; removing them
@@ -1006,11 +1007,18 @@ def repeated_ngram_spans(docs_ds, k: int = 8, min_count: int = 2):
     all-to-all on the shingle key keeping only groups ≥min_count, then
     a per-doc groupby that merges overlapping/adjacent duplicated
     positions into maximal spans with a vectorized gaps-and-islands
-    pass. The explode ships the shingle STRINGS (≈k× corpus bytes) so
-    group equality is exact — the 100-TB variant ships a 128-bit
-    shingle hash instead (the decontamination layout, ops/webfilters)
-    and re-verifies inside the group; exactness here is what lets the
-    DuckDB oracle (``repeated_spans_planted``) pin the semantics."""
+    pass.
+
+    ``exact=True`` ships the shingle STRINGS (≈k× corpus bytes into the
+    all-to-all) so group equality is literal — the semantics the DuckDB
+    oracle (``repeated_spans_planted``) pins. ``exact=False`` is the
+    100-TB layout: the shuffle key is polars' 64-bit row hash of the
+    shingle (8 B/row, the ``ops/_partition.py`` kernel), trading a
+    ~collision-rate false-positive floor (birthday bound
+    n²/2⁶⁵ colliding shingle PAIRS corpus-wide — at 10¹² shingles
+    ≈3×10⁴ spurious positions, each at worst widening one span by k
+    tokens of discarded data) for a k×-to-8-B shuffle-byte cut;
+    equality of both paths on collision-free corpora is test-pinned."""
 
     def _dups(g: pa.Table) -> pa.Table:
         if g.num_rows < min_count:
@@ -1030,8 +1038,23 @@ def repeated_ngram_spans(docs_ds, k: int = 8, min_count: int = 2):
              "tok_start": starts, "tok_end": ends},
             schema=_SPAN_SCHEMA)
 
+    def _to_hash_key(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
+        h = pl.from_arrow(b.select(["sh"])).hash_rows(seed=0)
+        return pa.table({
+            "doc_id": b.column("doc_id"), "pos": b.column("pos"),
+            # reinterpret u64 as i64 (Arrow groupby key); bijective
+            "sh": h.cast(pl.Int64, wrap_numerical=True).to_arrow()})
+
     sh = docs_ds.map_batches(lambda b: _shingle_positions(b, k),
                              batch_format="pyarrow")
+    if not exact:
+        sh = sh.map_batches(_to_hash_key, batch_format="pyarrow")
     dup_pos = sh.groupby("sh").map_groups(_dups, batch_format="pyarrow")
     return (dup_pos.groupby("doc_id")
             .map_groups(_merge, batch_format="pyarrow"))

@@ -44,3 +44,22 @@ def test_short_and_empty_docs_skipped(ray_session):
     spans = _run(["", "one two", "x y z w x y z w"], None, k=4)
     # only the self-repeat in doc 2: shingles 0..4, dup at 0 and 4
     assert spans == [(2, 0, 4), (2, 4, 8)]
+
+
+def test_hash_path_matches_exact(ray_session):
+    """exact=False (64-bit-hash shuffle key, the 100-TB layout) must
+    agree with the exact string-key path on a collision-free corpus."""
+    import ray.data as rd
+
+    texts = [f"w{i} " * 3 + "common boiler plate text here " + f"t{i}"
+             for i in range(40)] + ["common boiler plate text here solo"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    a = repeated_ngram_spans(rd.from_arrow(tbl), k=4,
+                             exact=True).to_pandas()
+    b = repeated_ngram_spans(rd.from_arrow(tbl), k=4,
+                             exact=False).to_pandas()
+    key = ["doc_id", "tok_start", "tok_end"]
+    assert sorted(map(tuple, a[key].itertuples(index=False))) == \
+        sorted(map(tuple, b[key].itertuples(index=False)))
+    assert len(a) > 0
