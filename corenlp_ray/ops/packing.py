@@ -110,8 +110,14 @@ def pack_sequences(docs_ds, seq_len: int, group_size: int = 4096):
     g_off = np.cumsum(tot) - tot  # tokens before each group
     offsets_ref = ray.put(dict(zip(grp.tolist(), g_off.tolist())))
 
+    _local = {}  # per-worker deserialized-offsets cache: ray.get of a
+    # plasma dict re-deserializes per call, and map_groups calls _emit
+    # once per group — fetch once per worker process instead
+
     def _emit(group: pa.Table) -> pa.Table:
-        offsets = ray.get(offsets_ref)
+        if "offsets" not in _local:
+            _local["offsets"] = ray.get(offsets_ref)
+        offsets = _local["offsets"]
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
         cnt = group.column("n_tokens").to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
