@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "top_tokens",
     "ann_topk",
     "event_windows",
+    "packing_planted",        # sequence packing (distributed prefix-sum)
+    "repeated_spans_planted",  # substring-level dedup (shingle shuffle)
 ]
 
 
