@@ -1,0 +1,299 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter (Wenzek et al. 2020: score every page with a small LM trained on
+a trusted corpus; keep the low-perplexity head).
+
+Not a reference operator — this is the LLM-training-data extension
+surface. The model is a bigram LM with add-one smoothing over the
+engine's whitespace tokens (``ops/textstats.token_count_batch``
+convention), chosen so a DuckDB oracle can re-derive every score
+exactly: for a document ``w_1..w_n``,
+
+    nll_1 = log2(N + V)            - log2(c1(w_1) + 1)
+    nll_i = log2(c1(w_{i-1}) + V)  - log2(c2(w_{i-1}, w_i) + 1)   i > 1
+    lm_bits = mean(nll_i)          # bits per token; ppl = 2**lm_bits
+
+where ``c1``/``c2`` are corpus unigram/bigram counts, ``N`` total
+tokens, ``V`` distinct unigrams. Unseen grams fall through the +1 / +V
+smoothing, so the model scores held-out text without special cases.
+
+Distributed shape:
+
+- **Training** is one shuffle: per-batch partial gram counts (polars
+  ``group_by`` on the exploded token frame — no Python per-row work)
+  collapse through the native map-combined hash aggregate into one
+  (w1, w2, count) table; unigrams ride the same aggregate as rows with
+  ``w2 = ''`` (tokens are ``\\S+`` so the sentinel cannot collide).
+- **Scoring** has two regimes, same split as the MinHash verify stage:
+  below ``broadcast_limit`` distinct grams the count table is
+  ``ray.put`` ONCE and every scoring task joins against it in-process
+  (polars hash joins per batch, numpy ``log2`` for the arithmetic);
+  above it, the exploded (doc_id, pos, w, prev) token table is bucketed
+  on the gram key and joined distributed
+  (``ops/joins.bucketed_hash_join``) — three key-partitioned joins plus
+  one doc_id aggregate, no driver state. Both regimes are pinned
+  row-identical by ``tests/test_lm.py``.
+- ``min_count`` prunes the tail of the count table (at web scale the
+  distinct-gram count is ~10^9; pruned grams score as unseen, which is
+  exactly the smoothing semantics) — the knob that keeps the broadcast
+  regime viable on 100 TB.
+
+The full pipeline (train on corpus → score corpus) is the oracled
+catalog query ``lm_perplexity`` — the DuckDB oracle recomputes counts
+and scores from the raw documents table, so the driver pins tokenizer,
+smoothing, and mean to 6 decimals.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _polars():
+    import polars as pl
+    return pl
+
+
+def _token_frame(batch: pa.Table, text_col: str):
+    """(doc_id, toks list) polars frame for non-empty docs; ``\\S+``
+    extraction ≡ whitespace-split of trimmed text (the oracle's
+    ``regexp_split_to_array(trim(text), '\\s+')``)."""
+    pl = _polars()
+    df = pl.from_arrow(batch.select(["doc_id", text_col]))
+    return (df.with_columns(
+                pl.col(text_col).str.extract_all(r"\S+").alias("toks"))
+              .filter(pl.col("toks").list.len() > 0)
+              .select(["doc_id", "toks"]))
+
+
+def _gram_partials(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial gram counts: unigram rows carry ``w2=''``."""
+    pl = _polars()
+    t = _token_frame(batch, text_col)
+    e = (t.explode("toks")
+          .with_columns(pl.col("toks").shift(1).over("doc_id")
+                        .alias("prev")))
+    uni = (e.group_by("toks").len()
+            .select(pl.col("toks").alias("w1"),
+                    pl.lit("").alias("w2"),
+                    pl.col("len").cast(pl.Int64).alias("c")))
+    bi = (e.filter(pl.col("prev").is_not_null())
+           .group_by(["prev", "toks"]).len()
+           .select(pl.col("prev").alias("w1"),
+                   pl.col("toks").alias("w2"),
+                   pl.col("len").cast(pl.Int64).alias("c")))
+    return pl.concat([uni, bi]).to_arrow()
+
+
+def train_bigram_counts(docs_ds, text_col: str = "text",
+                        min_count: int = 1):
+    """Corpus gram counts as a Dataset of (w1, w2, c) — ``w2=''`` rows
+    are unigrams. One native two-phase aggregate; ``min_count`` prunes
+    the tail AFTER the aggregate (so N and V still reflect the full
+    corpus — they are returned by :func:`lm_stats`)."""
+    from ray.data.aggregate import Sum
+
+    counts = (docs_ds
+              .map_batches(lambda b: _gram_partials(b, text_col),
+                           batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
+    if min_count > 1:
+        import pyarrow.compute as pc
+        mc = int(min_count)
+
+        def prune(b: pa.Table) -> pa.Table:
+            keep = pc.or_(pc.greater_equal(b.column("c"), mc),
+                          pc.equal(b.column("w2"), ""))
+            return b.filter(keep)
+
+        counts = counts.map_batches(prune, batch_format="pyarrow")
+    return counts
+
+
+def lm_stats(counts_ds) -> tuple[int, int]:
+    """(N total tokens, V distinct unigrams) from a counts Dataset —
+    one tiny aggregate over the unigram rows."""
+    from ray.data.aggregate import Count, Sum
+
+    uni = counts_ds.filter(expr="w2 == ''")
+    row = uni.aggregate(Sum("c", alias_name="n"), Count())
+    return int(row["n"]), int(row["count()"])
+
+
+class _BroadcastScorer:
+    """Actor-pool scoring stage: fetches the broadcast count frames once
+    per worker, scores each batch with polars joins + numpy log2."""
+
+    def __init__(self, counts_ref, n_tokens: int, vocab: int,
+                 text_col: str):
+        import ray
+        pl = _polars()
+        tbl = ray.get(counts_ref)
+        df = pl.from_arrow(tbl)
+        self._uc = (df.filter(pl.col("w2") == "")
+                      .select(pl.col("w1").alias("w"),
+                              pl.col("c").alias("cu")))
+        self._bc = df.filter(pl.col("w2") != "").select(["w1", "w2", "c"])
+        self._n, self._v = float(n_tokens), float(vocab)
+        self._text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pl = _polars()
+        t = _token_frame(batch, self._text_col)
+        if t.height == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "lm_bits": pa.array([], pa.float64())})
+        e = (t.explode("toks")
+              .with_columns(pl.col("toks").shift(1).over("doc_id")
+                            .alias("prev"))
+              .join(self._uc, left_on="toks", right_on="w", how="left")
+              .join(self._uc.rename({"w": "prev", "cu": "cu_prev"}),
+                    on="prev", how="left")
+              .join(self._bc.rename({"w1": "prev", "w2": "toks",
+                                     "c": "cb"}),
+                    on=["prev", "toks"], how="left"))
+        doc = e.get_column("doc_id").to_numpy()
+        first = e.get_column("prev").is_null().to_numpy()
+        cu = e.get_column("cu").fill_null(0).to_numpy().astype(np.float64)
+        cup = (e.get_column("cu_prev").fill_null(0).to_numpy()
+               .astype(np.float64))
+        cb = e.get_column("cb").fill_null(0).to_numpy().astype(np.float64)
+        nll = np.where(
+            first,
+            np.log2(self._n + self._v) - np.log2(cu + 1.0),
+            np.log2(cup + self._v) - np.log2(cb + 1.0))
+        out = (pl.DataFrame({"doc_id": doc, "nll": nll})
+               .group_by("doc_id")
+               .agg(pl.len().cast(pl.Int64).alias("n_tokens"),
+                    pl.col("nll").mean().round(6).alias("lm_bits")))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("lm_bits", pa.float64())]))
+
+
+# above this many count rows the broadcast table stops being "small
+# side" (~100 MB of grams) and scoring switches to the bucketed joins
+BROADCAST_LIMIT = 2_000_000
+
+
+def score_perplexity(docs_ds, counts_ds, text_col: str = "text",
+                     broadcast_limit: Optional[int] = None):
+    """Score every non-empty doc: (doc_id, n_tokens, lm_bits) with
+    ``lm_bits`` = mean bits/token (round 6); perplexity = 2**lm_bits.
+
+    Picks the broadcast regime under ``broadcast_limit`` distinct grams
+    and the distributed-join regime above it (see module docstring)."""
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    n_tokens, vocab = lm_stats(counts_ds)
+    n_grams = counts_ds.count()
+    if n_grams <= limit:
+        import ray
+        counts_ref = ray.put(
+            pa.concat_tables(ray.get(counts_ds.to_arrow_refs())))
+        return docs_ds.map_batches(
+            _BroadcastScorer,
+            fn_constructor_kwargs=dict(counts_ref=counts_ref,
+                                       n_tokens=n_tokens, vocab=vocab,
+                                       text_col=text_col),
+            batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)
+    return _score_joined(docs_ds, counts_ds, n_tokens, vocab, text_col)
+
+
+def _exploded_tokens(docs_ds, text_col: str):
+    """(doc_id, pos, tok, prev) token table — the join-regime's big
+    side; one shuffle-free pass."""
+    pl = _polars()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = _token_frame(batch, text_col)
+        e = (t.explode("toks")
+              .with_columns(
+                  (pl.col("toks").cum_count().over("doc_id"))
+                  .cast(pl.Int64).alias("pos"),
+                  pl.col("toks").shift(1).over("doc_id").alias("prev"))
+              .select(["doc_id", "pos",
+                       pl.col("toks").alias("tok"), "prev"]))
+        return e.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("pos", pa.int64()),
+            ("tok", pa.string()), ("prev", pa.string())]))
+
+    return docs_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _score_joined(docs_ds, counts_ds, n_tokens: int, vocab: int,
+                  text_col: str):
+    """Distributed-join scoring regime: bucket the exploded token table
+    on the gram keys, join counts, aggregate per doc. Three bucketed
+    joins (unigram-of-token, unigram-of-prev, bigram) — every shuffle
+    is key-partitioned; no broadcast state."""
+    from ray.data.aggregate import Count, Mean
+
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    pl = _polars()
+    uni = (counts_ds.filter(expr="w2 == ''")
+           .map_batches(lambda b: pl.from_arrow(b)
+                        .select(pl.col("w1").alias("tok"),
+                                pl.col("c").alias("cu")).to_arrow(),
+                        batch_format="pyarrow"))
+    uni_prev = uni.map_batches(
+        lambda b: b.rename_columns(["prev", "cu_prev"]),
+        batch_format="pyarrow")
+    bi = (counts_ds.filter(expr="w2 != ''")
+          .map_batches(lambda b: pl.from_arrow(b)
+                       .select(pl.col("w1").alias("prev"),
+                               pl.col("w2").alias("tok"),
+                               pl.col("c").alias("cb")).to_arrow(),
+                       batch_format="pyarrow"))
+
+    toks = _exploded_tokens(docs_ds, text_col)
+    # first tokens have prev NULL — route them through the unigram join
+    # only; bucketed joins key on strings, so give NULL a sentinel that
+    # no \S+ token can equal (empty string)
+    toks = toks.map_batches(
+        lambda b: b.set_column(b.column_names.index("prev"), "prev",
+                               b.column("prev").fill_null("")),
+        batch_format="pyarrow")
+    j = bucketed_hash_join(toks, uni, on="tok", how="left")
+    j = bucketed_hash_join(j, uni_prev, on="prev", how="left")
+    j = bucketed_hash_join(j, bi, on=["prev", "tok"], how="left")
+
+    n, v = float(n_tokens), float(vocab)
+
+    def nll(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch)
+        first = d.get_column("prev").to_numpy() == ""
+        cu = d.get_column("cu").fill_null(0).to_numpy().astype(np.float64)
+        cup = (d.get_column("cu_prev").fill_null(0).to_numpy()
+               .astype(np.float64))
+        cb = d.get_column("cb").fill_null(0).to_numpy().astype(np.float64)
+        vals = np.where(first,
+                        np.log2(n + v) - np.log2(cu + 1.0),
+                        np.log2(cup + v) - np.log2(cb + 1.0))
+        return pa.table({"doc_id": batch.column("doc_id"), "nll": vals})
+
+    scored = j.map_batches(nll, batch_format="pyarrow")
+    out = (scored.groupby("doc_id")
+           .aggregate(Count(), Mean("nll", alias_name="lm_bits")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("count()").cast(pa.int64()),
+            "lm_bits": pc.round(batch.column("lm_bits"), 6)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def lm_perplexity(docs_ds, text_col: str = "text", min_count: int = 1,
+                  broadcast_limit: Optional[int] = None):
+    """Train-on-corpus → score-corpus in one call (the CCNet self-score
+    shape; pass a different trusted corpus to ``train_bigram_counts``
+    for the two-corpus filter)."""
+    counts = train_bigram_counts(docs_ds, text_col=text_col,
+                                 min_count=min_count).materialize()
+    return score_perplexity(docs_ds, counts, text_col=text_col,
+                            broadcast_limit=broadcast_limit)

@@ -1496,3 +1496,46 @@ def repeated_spans_planted_sql() -> str:
         "PARTITION BY doc_id ORDER BY pos) AS grp FROM p) "
         "SELECT doc_id, MIN(pos) - 1 AS tok_start, "
         "MAX(pos) - 1 + 8 AS tok_end FROM i GROUP BY doc_id, grp")
+
+
+def q_lm_perplexity_planted(sf_dir: str):
+    """CCNet-style LM quality scoring (ops/lm.lm_perplexity): train an
+    add-one-smoothed bigram LM on the corpus (one two-phase gram
+    aggregate), broadcast the count table, score every doc to mean
+    bits/token. The oracle re-derives counts AND scores from the raw
+    documents table, so the driver pins tokenizer, smoothing and the
+    per-doc mean to 6 decimals."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.lm import lm_perplexity
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return lm_perplexity(docs)
+
+
+def lm_perplexity_planted_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks "
+        "FROM documents WHERE trim(text) <> ''), "
+        "e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) "
+        "AS pos, toks FROM t), "
+        "w AS (SELECT doc_id, pos, toks[pos] AS tok, "
+        "CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev FROM e), "
+        "uc AS (SELECT tok AS w, CAST(COUNT(*) AS DOUBLE) AS c "
+        "FROM w GROUP BY tok), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w), "
+        "vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc), "
+        "bc AS (SELECT prev AS w1, tok AS w2, "
+        "CAST(COUNT(*) AS DOUBLE) AS c FROM w "
+        "WHERE prev IS NOT NULL GROUP BY prev, tok), "
+        "s AS (SELECT w.doc_id, CASE WHEN w.prev IS NULL THEN "
+        "log2((SELECT n FROM nn) + (SELECT v FROM vv)) - log2(u1.c + 1) "
+        "ELSE log2(up.c + (SELECT v FROM vv)) - log2(COALESCE(b.c, 0) + 1) "
+        "END AS nll FROM w "
+        "LEFT JOIN uc u1 ON u1.w = w.tok "
+        "LEFT JOIN uc up ON up.w = w.prev "
+        "LEFT JOIN bc b ON b.w1 = w.prev AND b.w2 = w.tok) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "round(AVG(nll), 6) AS lm_bits FROM s GROUP BY doc_id")

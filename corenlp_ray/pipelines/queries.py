@@ -1176,6 +1176,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_domain_quota_planted, domain_quota_planted_sql,
     q_pagerank_planted, pagerank_planted_sql,
     q_repeated_spans_planted, repeated_spans_planted_sql,
+    q_lm_perplexity_planted, lm_perplexity_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1212,6 +1213,7 @@ ORACLE_SQL["hash_sample_planted"] = hash_sample_planted_sql()
 ORACLE_SQL["domain_quota_planted"] = domain_quota_planted_sql()
 ORACLE_SQL["pagerank_planted"] = pagerank_planted_sql()
 ORACLE_SQL["repeated_spans_planted"] = repeated_spans_planted_sql()
+ORACLE_SQL["lm_perplexity_planted"] = lm_perplexity_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1267,6 +1269,7 @@ QUERIES = {
     "domain_quota_planted": q_domain_quota_planted,
     "pagerank_planted": q_pagerank_planted,
     "repeated_spans_planted": q_repeated_spans_planted,
+    "lm_perplexity_planted": q_lm_perplexity_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
