@@ -1539,3 +1539,28 @@ def lm_perplexity_planted_sql() -> str:
         "LEFT JOIN bc b ON b.w1 = w.prev AND b.w2 = w.tok) "
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
         "round(AVG(nll), 6) AS lm_bits FROM s GROUP BY doc_id")
+
+
+def q_kmeans_planted(sf_dir: str):
+    """Distributed k-means oracle (ops/clustering.kmeans): the REAL
+    Lloyd's pipeline (min-id init, 2 broadcast-assign/partial-reduce
+    rounds, final assignment pass) over the planted cluster geometry —
+    8 well-separated one-hot clusters with a small jitter dim, so the
+    converged assignment is analytically doc_id % 8 (cross-cluster
+    distance ~2 vs within-cluster jitter ~1e-3; no argmin ties)."""
+    from corenlp_ray.ops.clustering import kmeans_assignments
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = [int(i) for i in b.column("doc_id").to_pylist()]
+        return pa.Table.from_pydict(
+            {"vec_id": ids, "embedding": [_planted_vec(i) for i in ids]},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("embedding", pa.list_(pa.float64()))]))
+
+    embeds = _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return kmeans_assignments(embeds, k=8, iterations=2)
+
+
+def kmeans_planted_sql() -> str:
+    return ("SELECT doc_id AS vec_id, doc_id % 8 AS cluster "
+            "FROM documents")

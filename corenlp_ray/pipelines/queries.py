@@ -758,6 +758,23 @@ def q_ivf_ann(sf_dir: str):
     return _round_col(ivf_topk(ds, qvec, k=10), "cosine")
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """SemDeDup-style corpus clustering: distributed Lloyd's k-means
+    over the real embeddings table (ops/clustering.kmeans). Rows-only
+    (iterative float argmin over real-valued vectors is not robustly
+    SQL-expressible); the planted twin ``kmeans_planted`` value-hashes
+    the identical pipeline on analytic geometry, and
+    tests/test_clustering.py pins agreement with the ground-truth
+    ``label`` column on this table."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.clustering import kmeans_assignments
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_assignments(ds, k=8, iterations=3)
+
+
 def q_sutime_relative(sf_dir: str):
     """SUTime relative-date resolution as a distributed stage. The
     synthetic documents contain no natural relative-date phrases, so
@@ -1177,6 +1194,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_pagerank_planted, pagerank_planted_sql,
     q_repeated_spans_planted, repeated_spans_planted_sql,
     q_lm_perplexity_planted, lm_perplexity_planted_sql,
+    q_kmeans_planted, kmeans_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1214,6 +1232,7 @@ ORACLE_SQL["domain_quota_planted"] = domain_quota_planted_sql()
 ORACLE_SQL["pagerank_planted"] = pagerank_planted_sql()
 ORACLE_SQL["repeated_spans_planted"] = repeated_spans_planted_sql()
 ORACLE_SQL["lm_perplexity_planted"] = lm_perplexity_planted_sql()
+ORACLE_SQL["kmeans_planted"] = kmeans_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1270,6 +1289,7 @@ QUERIES = {
     "pagerank_planted": q_pagerank_planted,
     "repeated_spans_planted": q_repeated_spans_planted,
     "lm_perplexity_planted": q_lm_perplexity_planted,
+    "kmeans_planted": q_kmeans_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -1286,6 +1306,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_dedup": q_embedding_dedup,
     "ivf_ann": q_ivf_ann,
+    "kmeans_clusters": q_kmeans_clusters,
     "sutime_relative": q_sutime_relative,
     "wikidict_linking": q_wikidict_linking,
     "multilingual_tokens": q_multilingual_tokens,
