@@ -138,3 +138,112 @@ def kmeans_assignments(embeds_ds, k: int, iterations: int = 3,
     ds, _ = kmeans(embeds_ds, k, iterations=iterations,
                    id_col=id_col, emb_col=emb_col)
     return ds
+
+
+# within-cluster pairwise compare cap: above this, a cluster is chunked
+# (id-sorted) and compared within chunks only — recall loss is LOGGED
+# per the no-silent-caps rule; at scale, raise k instead so clusters
+# stay under the cap
+MAX_PAIRWISE = 4096
+
+DROPPED_PAIRS: dict = {}  # per-process counter of skipped comparisons
+
+
+def _cluster_dup_edges(group: pa.Table, threshold: float,
+                       id_col: str, emb_col: str) -> pa.Table:
+    """(doc_a, doc_b) pairs within one cluster with cosine ≥ threshold
+    (ids sorted so doc_a < doc_b)."""
+    import logging
+
+    ids = group.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    x = _mat(group, emb_col)[order]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0.0, 1.0, norms)
+    out_a, out_b = [], []
+    n = len(ids)
+    if n > MAX_PAIRWISE:
+        n_chunks = -(-n // MAX_PAIRWISE)
+        skipped = n * (n - 1) // 2
+        for s in range(0, n, MAX_PAIRWISE):
+            m = min(MAX_PAIRWISE, n - s)
+            skipped -= m * (m - 1) // 2
+        DROPPED_PAIRS["semantic_dedup"] = (
+            DROPPED_PAIRS.get("semantic_dedup", 0) + skipped)
+        logging.getLogger(__name__).warning(
+            "semantic_dedup: cluster of %d > MAX_PAIRWISE=%d split into "
+            "%d chunks; %d cross-chunk comparisons skipped "
+            "(process total skipped=%d)", n, MAX_PAIRWISE, n_chunks,
+            skipped, DROPPED_PAIRS["semantic_dedup"])
+    for s in range(0, n, MAX_PAIRWISE):
+        xi = x[s:s + MAX_PAIRWISE]
+        ii = ids[s:s + MAX_PAIRWISE]
+        sim = xi @ xi.T
+        a, b = np.where(np.triu(sim >= threshold, k=1))
+        out_a.append(ii[a])
+        out_b.append(ii[b])
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a) if out_a else [],
+                          pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b) if out_b else [],
+                          pa.int64())})
+
+
+def semantic_dedup(embeds_ds, k: int, threshold: float = 0.95,
+                   iterations: int = 2, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023): k-means partition → exact cosine
+    dup edges WITHIN each cluster → distributed connected components →
+    (id_col, dup_group = min id of the near-dup group; singletons map
+    to themselves).
+
+    The k-means fence bounds the pairwise compare to |cluster|² — the
+    same bucketize-then-verify shape as the MinHash and embedding-LSH
+    dedup paths, with the cluster structure doing the candidate
+    generation. All shuffles are key-partitioned; nothing materializes
+    on the driver except the k×d centroid matrix."""
+    import ray
+
+    from corenlp_ray.ops.dedup import connected_components
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    _, cents = kmeans(embeds_ds, k, iterations=iterations,
+                      id_col=id_col, emb_col=emb_col)
+    cref = ray.put(cents)
+    cache: dict = {}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if "c" not in cache:
+            cache["c"] = ray.get(cref)
+        a = _assign(_mat(batch, emb_col), cache["c"])
+        return batch.append_column("cluster", pa.array(a, pa.int64()))
+
+    tagged = (embeds_ds.select_columns([id_col, emb_col])
+              .map_batches(tag, batch_format="pyarrow"))
+    edges = (tagged.groupby("cluster")
+             .map_groups(lambda g: _cluster_dup_edges(
+                 g, threshold, id_col, emb_col),
+                 batch_format="pyarrow")
+             .materialize())
+
+    ids = embeds_ds.select_columns([id_col])
+    if edges.limit(1).count() == 0:
+        return ids.map_batches(
+            lambda b: pa.table({id_col: b.column(id_col),
+                                "dup_group": b.column(id_col)}),
+            batch_format="pyarrow")
+    labels = connected_components(edges)
+    labels = labels.map_batches(
+        lambda b: b.rename_columns([id_col, "dup_group"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(ids, labels, on=id_col, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        grp = pc.coalesce(batch.column("dup_group").cast(pa.int64()),
+                          batch.column(id_col))
+        return pa.table({id_col: batch.column(id_col),
+                         "dup_group": grp})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

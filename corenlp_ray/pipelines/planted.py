@@ -1564,3 +1564,29 @@ def q_kmeans_planted(sf_dir: str):
 def kmeans_planted_sql() -> str:
     return ("SELECT doc_id AS vec_id, doc_id % 8 AS cluster "
             "FROM documents")
+
+
+def q_semantic_dedup_planted(sf_dir: str):
+    """SemDeDup oracle (ops/clustering.semantic_dedup): the REAL
+    pipeline — k-means fence, within-cluster cosine matmul, distributed
+    connected components, label join-back — over the planted geometry.
+    Every member of a planted cluster has pairwise cosine ≥ 0.999998,
+    far above the 0.99 threshold, so each residue class collapses to
+    one dup group whose representative is its minimum id = doc_id % 8
+    (the analytic oracle)."""
+    from corenlp_ray.ops.clustering import semantic_dedup
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = [int(i) for i in b.column("doc_id").to_pylist()]
+        return pa.Table.from_pydict(
+            {"vec_id": ids, "embedding": [_planted_vec(i) for i in ids]},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("embedding", pa.list_(pa.float64()))]))
+
+    embeds = _docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return semantic_dedup(embeds, k=8, threshold=0.99, iterations=2)
+
+
+def semantic_dedup_planted_sql() -> str:
+    return ("SELECT doc_id AS vec_id, doc_id % 8 AS dup_group "
+            "FROM documents")

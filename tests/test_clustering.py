@@ -76,3 +76,51 @@ def test_real_embeddings_deterministic_and_complete(ray_session):
                             iterations=2).take_all()}
     assert a == b and len(a) == 500
     assert set(a.values()) <= set(range(8))
+
+
+def test_semantic_dedup_groups_and_singletons(ray_session):
+    from corenlp_ray.ops.clustering import semantic_dedup
+    # two near-dup pairs + two singletons; k=2 fences them apart
+    vecs = [[1.0, 0.0, 0.0], [0.999, 0.01, 0.0],   # group rep 0
+            [0.0, 1.0, 0.0], [0.0, 0.999, 0.02],    # group rep 2
+            [0.7, 0.7, 0.1], [-1.0, 0.0, 0.0]]      # singletons
+    ds = _ds(list(range(6)), vecs, parallelism=3)
+    out = {r["vec_id"]: r["dup_group"] for r in
+           semantic_dedup(ds, k=2, threshold=0.995).take_all()}
+    assert out[0] == 0 and out[1] == 0
+    assert out[2] == 2 and out[3] == 2
+    assert out[5] == 5  # opposite direction: cosine −1, never a dup
+
+
+def test_semantic_dedup_no_dups(ray_session):
+    from corenlp_ray.ops.clustering import semantic_dedup
+    vecs = np.eye(4).tolist()
+    out = {r["vec_id"]: r["dup_group"] for r in
+           semantic_dedup(_ds(list(range(4)), vecs), k=2,
+                          threshold=0.9).take_all()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_pairwise_cap_logs_dropped(ray_session, caplog):
+    import logging
+
+    from corenlp_ray.ops import clustering
+    from corenlp_ray.ops.clustering import _cluster_dup_edges
+    old = clustering.MAX_PAIRWISE
+    clustering.MAX_PAIRWISE = 4
+    try:
+        g = pa.table({
+            "vec_id": pa.array(list(range(10)), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 10,
+                                  pa.list_(pa.float64()))})
+        before = clustering.DROPPED_PAIRS.get("semantic_dedup", 0)
+        with caplog.at_level(logging.WARNING,
+                             logger="corenlp_ray.ops.clustering"):
+            edges = _cluster_dup_edges(g, 0.99, "vec_id", "embedding")
+        dropped = clustering.DROPPED_PAIRS["semantic_dedup"] - before
+        # 45 total pairs − (4·3/2 + 4·3/2 + 2·1/2) within-chunk = 32
+        assert dropped == 32
+        assert "skipped" in caplog.text
+        assert edges.num_rows == 6 + 6 + 1
+    finally:
+        clustering.MAX_PAIRWISE = old
