@@ -297,3 +297,97 @@ def lm_perplexity(docs_ds, text_col: str = "text", min_count: int = 1,
                                  min_count=min_count).materialize()
     return score_perplexity(docs_ds, counts, text_col=text_col,
                             broadcast_limit=broadcast_limit)
+
+
+# ---------------------------------------------------------------- DSIR ----
+
+def train_unigram_counts(docs_ds, text_col: str = "text"):
+    """Corpus unigram counts as a Dataset of (w, c) — one native
+    two-phase aggregate (the unigram half of the bigram trainer)."""
+    from ray.data.aggregate import Sum
+
+    pl = _polars()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = _token_frame(batch, text_col)
+        return (t.explode("toks").group_by("toks").len()
+                 .select(pl.col("toks").alias("w"),
+                         pl.col("len").cast(pl.Int64).alias("c"))
+                 .to_arrow())
+
+    return (docs_ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("w").aggregate(Sum("c", alias_name="c")))
+
+
+def unigram_stats(counts_ds) -> tuple[int, int]:
+    """(N total tokens, V distinct words) of a unigram counts Dataset."""
+    from ray.data.aggregate import Count, Sum
+
+    row = counts_ds.aggregate(Sum("c", alias_name="n"), Count())
+    return int(row["n"]), int(row["count()"])
+
+
+class _DsirScorer:
+    """Per-batch DSIR scoring against two broadcast unigram tables."""
+
+    def __init__(self, tref, rref, nt, vt, nr, vr, text_col):
+        import ray
+        pl = _polars()
+        self._t = (pl.from_arrow(ray.get(tref))
+                   .rename({"c": "ct"}))
+        self._r = (pl.from_arrow(ray.get(rref))
+                   .rename({"c": "cr"}))
+        self._nt, self._vt = float(nt), float(vt)
+        self._nr, self._vr = float(nr), float(vr)
+        self._text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pl = _polars()
+        t = _token_frame(batch, self._text_col)
+        if t.height == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "dsir_bits": pa.array([], pa.float64())})
+        e = (t.explode("toks")
+              .join(self._t, left_on="toks", right_on="w", how="left")
+              .join(self._r, left_on="toks", right_on="w", how="left"))
+        ct = e.get_column("ct").fill_null(0).to_numpy().astype(np.float64)
+        cr = e.get_column("cr").fill_null(0).to_numpy().astype(np.float64)
+        bits = ((np.log2(ct + 1.0) - np.log2(self._nt + self._vt))
+                - (np.log2(cr + 1.0) - np.log2(self._nr + self._vr)))
+        out = (pl.DataFrame({"doc_id": e.get_column("doc_id").to_numpy(),
+                             "bits": bits})
+               .group_by("doc_id")
+               .agg(pl.len().cast(pl.Int64).alias("n_tokens"),
+                    pl.col("bits").mean().round(6).alias("dsir_bits")))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("dsir_bits", pa.float64())]))
+
+
+def dsir_logratio(raw_ds, target_ds, text_col: str = "text"):
+    """DSIR importance weights (Xie et al. 2023, reduced to the unigram
+    feature space so a DuckDB oracle can re-derive every weight): score
+    each raw doc by the mean per-token log-likelihood ratio between an
+    add-one-smoothed target-corpus unigram LM and the raw-corpus LM —
+
+        dsir_bits = mean_i [ log2 p_target(w_i) − log2 p_raw(w_i) ]
+
+    Positive = target-like (keep under importance resampling). Two
+    two-phase count aggregates + one broadcast-scored map_batches pass;
+    at web scale prune both count tables with a min-count before the
+    broadcast (pruned grams fall through the +1 smoothing), the same
+    regime knob as :func:`score_perplexity`."""
+    import ray
+
+    tc = train_unigram_counts(target_ds, text_col=text_col).materialize()
+    rc = train_unigram_counts(raw_ds, text_col=text_col).materialize()
+    nt, vt = unigram_stats(tc)
+    nr, vr = unigram_stats(rc)
+    tref = ray.put(pa.concat_tables(ray.get(tc.to_arrow_refs())))
+    rref = ray.put(pa.concat_tables(ray.get(rc.to_arrow_refs())))
+    return raw_ds.map_batches(
+        _DsirScorer,
+        fn_constructor_kwargs=dict(tref=tref, rref=rref, nt=nt, vt=vt,
+                                   nr=nr, vr=vr, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)

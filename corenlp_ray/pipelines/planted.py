@@ -1590,3 +1590,47 @@ def q_semantic_dedup_planted(sf_dir: str):
 def semantic_dedup_planted_sql() -> str:
     return ("SELECT doc_id AS vec_id, doc_id % 8 AS dup_group "
             "FROM documents")
+
+
+def q_dsir_planted(sf_dir: str):
+    """DSIR importance weights (ops/lm.dsir_logratio): target corpus =
+    the English pages, raw = everything; each raw doc scored by the
+    mean per-token log2-likelihood ratio between the two add-one
+    unigram LMs. The oracle re-derives both count tables and every
+    weight from the raw documents table."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.lm import dsir_logratio
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    raw = docs.select_columns(["doc_id", "text"])
+    target = (docs.filter(expr="lang == 'en'")
+              .select_columns(["doc_id", "text"]))
+    return dsir_logratio(raw, target)
+
+
+def dsir_planted_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, lang, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks "
+        "FROM documents WHERE trim(text) <> ''), "
+        "w AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t), "
+        "tc AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM w "
+        "WHERE lang = 'en' GROUP BY tok), "
+        "rc AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM w "
+        "GROUP BY tok), "
+        "nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w "
+        "WHERE lang = 'en'), "
+        "vt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM tc), "
+        "nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w), "
+        "vr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM rc), "
+        "s AS (SELECT w.doc_id, "
+        "(log2(COALESCE(tc.c, 0) + 1) - "
+        "log2((SELECT n FROM nt) + (SELECT v FROM vt))) - "
+        "(log2(rc.c + 1) - "
+        "log2((SELECT n FROM nr) + (SELECT v FROM vr))) AS bits "
+        "FROM w LEFT JOIN tc ON tc.tok = w.tok "
+        "LEFT JOIN rc ON rc.tok = w.tok) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "round(AVG(bits), 6) AS dsir_bits FROM s GROUP BY doc_id")

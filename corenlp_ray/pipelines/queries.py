@@ -1196,6 +1196,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_lm_perplexity_planted, lm_perplexity_planted_sql,
     q_kmeans_planted, kmeans_planted_sql,
     q_semantic_dedup_planted, semantic_dedup_planted_sql,
+    q_dsir_planted, dsir_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1235,6 +1236,7 @@ ORACLE_SQL["repeated_spans_planted"] = repeated_spans_planted_sql()
 ORACLE_SQL["lm_perplexity_planted"] = lm_perplexity_planted_sql()
 ORACLE_SQL["kmeans_planted"] = kmeans_planted_sql()
 ORACLE_SQL["semantic_dedup_planted"] = semantic_dedup_planted_sql()
+ORACLE_SQL["dsir_planted"] = dsir_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1293,6 +1295,7 @@ QUERIES = {
     "lm_perplexity_planted": q_lm_perplexity_planted,
     "kmeans_planted": q_kmeans_planted,
     "semantic_dedup_planted": q_semantic_dedup_planted,
+    "dsir_planted": q_dsir_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

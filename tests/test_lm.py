@@ -94,3 +94,36 @@ def test_scores_are_finite_and_plausible(ray_session):
     bits = np.array([r["lm_bits"] for r in out])
     assert np.isfinite(bits).all()
     assert (bits > 0).all() and (bits < 32).all()
+
+
+def test_dsir_hand_computation(ray_session):
+    from corenlp_ray.ops.lm import dsir_logratio
+    raw = _ds(["a b", "c c"])
+    target = _ds(["a b"])
+    out = {r["doc_id"]: r for r in dsir_logratio(raw, target).take_all()}
+    # target: ct(a)=ct(b)=1, Nt=2, Vt=2; raw: cr(a)=cr(b)=1, cr(c)=2,
+    # Nr=4, Vr=3
+    def bits(ct, cr):
+        return ((math.log2(ct + 1) - math.log2(2 + 2))
+                - (math.log2(cr + 1) - math.log2(4 + 3)))
+    d0 = (bits(1, 1) + bits(1, 1)) / 2
+    d1 = (bits(0, 2) + bits(0, 2)) / 2
+    assert out[0]["dsir_bits"] == pytest.approx(round(d0, 6), abs=1e-9)
+    assert out[1]["dsir_bits"] == pytest.approx(round(d1, 6), abs=1e-9)
+    assert out[0]["dsir_bits"] > 0 > out[1]["dsir_bits"]
+
+
+def test_dsir_target_docs_score_higher(ray_session):
+    import ray.data as rd
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    langs = {r["doc_id"]: r["lang"] for r in
+             docs.select_columns(["doc_id", "lang"]).take_all()}
+    from corenlp_ray.ops.lm import dsir_logratio
+    out = dsir_logratio(
+        docs.select_columns(["doc_id", "text"]),
+        docs.filter(expr="lang == 'en'")
+            .select_columns(["doc_id", "text"])).take_all()
+    en = [r["dsir_bits"] for r in out if langs[r["doc_id"]] == "en"]
+    rest = [r["dsir_bits"] for r in out if langs[r["doc_id"]] != "en"]
+    assert np.mean(en) > np.mean(rest)
