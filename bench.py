@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "event_windows",
     "packing_planted",        # sequence packing (distributed prefix-sum)
     "repeated_spans_planted",  # substring-level dedup (shingle shuffle)
+    "lm_perplexity_planted",  # bigram-LM quality scoring (CCNet shape)
+    "semantic_dedup_planted",  # SemDeDup: k-means + in-cluster cosine
 ]
 
 
