@@ -149,10 +149,15 @@ MAX_PAIRWISE = 4096
 DROPPED_PAIRS: dict = {}  # per-process counter of skipped comparisons
 
 
-def _cluster_dup_edges(group: pa.Table, threshold: float,
-                       id_col: str, emb_col: str) -> pa.Table:
-    """(doc_a, doc_b) pairs within one cluster with cosine ≥ threshold
-    (ids sorted so doc_a < doc_b)."""
+def _cluster_dup_labels(group: pa.Table, threshold: float,
+                        id_col: str, emb_col: str) -> pa.Table:
+    """(id, dup_group) for one cluster: exact connected components of
+    the in-cluster cosine-threshold graph, computed locally by
+    vectorized min-label propagation on the boolean similarity matrix
+    (iterations = component diameter; near-dup groups are shallow).
+    Candidate edges are cluster-local BY CONSTRUCTION (the k-means
+    fence), so these local components ARE the global dup groups — no
+    edge materialization, no global CC round."""
     import logging
 
     ids = group.column(id_col).to_numpy(zero_copy_only=False)
@@ -161,7 +166,6 @@ def _cluster_dup_edges(group: pa.Table, threshold: float,
     x = _mat(group, emb_col)[order]
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0.0, 1.0, norms)
-    out_a, out_b = [], []
     n = len(ids)
     if n > MAX_PAIRWISE:
         n_chunks = -(-n // MAX_PAIRWISE)
@@ -176,37 +180,43 @@ def _cluster_dup_edges(group: pa.Table, threshold: float,
             "%d chunks; %d cross-chunk comparisons skipped "
             "(process total skipped=%d)", n, MAX_PAIRWISE, n_chunks,
             skipped, DROPPED_PAIRS["semantic_dedup"])
+    out = np.empty(n, dtype=np.int64)
     for s in range(0, n, MAX_PAIRWISE):
         xi = x[s:s + MAX_PAIRWISE]
         ii = ids[s:s + MAX_PAIRWISE]
-        sim = xi @ xi.T
-        a, b = np.where(np.triu(sim >= threshold, k=1))
-        out_a.append(ii[a])
-        out_b.append(ii[b])
-    return pa.table({
-        "doc_a": pa.array(np.concatenate(out_a) if out_a else [],
-                          pa.int64()),
-        "doc_b": pa.array(np.concatenate(out_b) if out_b else [],
-                          pa.int64())})
+        adj = (xi @ xi.T) >= threshold
+        np.fill_diagonal(adj, True)
+        labels = ii.copy()
+        while True:
+            # label(i) <- min label over i's neighborhood (incl. self)
+            spread = np.where(adj, labels[None, :], np.iinfo(np.int64).max)
+            new = spread.min(axis=1)
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        out[s:s + len(ii)] = labels
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "dup_group": pa.array(out, pa.int64())})
 
 
 def semantic_dedup(embeds_ds, k: int, threshold: float = 0.95,
                    iterations: int = 2, id_col: str = "vec_id",
                    emb_col: str = "embedding"):
     """SemDeDup (Abbas et al. 2023): k-means partition → exact cosine
-    dup edges WITHIN each cluster → distributed connected components →
-    (id_col, dup_group = min id of the near-dup group; singletons map
-    to themselves).
+    dup groups WITHIN each cluster → (id_col, dup_group = min id of the
+    near-dup group; singletons map to themselves).
 
     The k-means fence bounds the pairwise compare to |cluster|² — the
     same bucketize-then-verify shape as the MinHash and embedding-LSH
     dedup paths, with the cluster structure doing the candidate
-    generation. All shuffles are key-partitioned; nothing materializes
-    on the driver except the k×d centroid matrix."""
+    generation. Because every candidate edge is cluster-local, the dup
+    groups are computed EXACTLY inside each ``map_groups`` call and the
+    op's only all-to-all is the one cluster groupby; n label rows come
+    out where an edge-materializing design would shuffle up to n² edges
+    into a global connected-components loop (dup cliques are the common
+    case — boilerplate pages, mirrored sites). Nothing materializes on
+    the driver except the k×d centroid matrix."""
     import ray
-
-    from corenlp_ray.ops.dedup import connected_components
-    from corenlp_ray.ops.joins import bucketed_hash_join
 
     _, cents = kmeans(embeds_ds, k, iterations=iterations,
                       id_col=id_col, emb_col=emb_col)
@@ -221,29 +231,7 @@ def semantic_dedup(embeds_ds, k: int, threshold: float = 0.95,
 
     tagged = (embeds_ds.select_columns([id_col, emb_col])
               .map_batches(tag, batch_format="pyarrow"))
-    edges = (tagged.groupby("cluster")
-             .map_groups(lambda g: _cluster_dup_edges(
-                 g, threshold, id_col, emb_col),
-                 batch_format="pyarrow")
-             .materialize())
-
-    ids = embeds_ds.select_columns([id_col])
-    if edges.limit(1).count() == 0:
-        return ids.map_batches(
-            lambda b: pa.table({id_col: b.column(id_col),
-                                "dup_group": b.column(id_col)}),
-            batch_format="pyarrow")
-    labels = connected_components(edges)
-    labels = labels.map_batches(
-        lambda b: b.rename_columns([id_col, "dup_group"]),
-        batch_format="pyarrow")
-    joined = bucketed_hash_join(ids, labels, on=id_col, how="left")
-
-    def finish(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        grp = pc.coalesce(batch.column("dup_group").cast(pa.int64()),
-                          batch.column(id_col))
-        return pa.table({id_col: batch.column(id_col),
-                         "dup_group": grp})
-
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return (tagged.groupby("cluster")
+            .map_groups(lambda g: _cluster_dup_labels(
+                g, threshold, id_col, emb_col),
+                batch_format="pyarrow"))

@@ -105,7 +105,7 @@ def test_pairwise_cap_logs_dropped(ray_session, caplog):
     import logging
 
     from corenlp_ray.ops import clustering
-    from corenlp_ray.ops.clustering import _cluster_dup_edges
+    from corenlp_ray.ops.clustering import _cluster_dup_labels
     old = clustering.MAX_PAIRWISE
     clustering.MAX_PAIRWISE = 4
     try:
@@ -116,11 +116,13 @@ def test_pairwise_cap_logs_dropped(ray_session, caplog):
         before = clustering.DROPPED_PAIRS.get("semantic_dedup", 0)
         with caplog.at_level(logging.WARNING,
                              logger="corenlp_ray.ops.clustering"):
-            edges = _cluster_dup_edges(g, 0.99, "vec_id", "embedding")
+            labels = _cluster_dup_labels(g, 0.99, "vec_id", "embedding")
         dropped = clustering.DROPPED_PAIRS["semantic_dedup"] - before
         # 45 total pairs − (4·3/2 + 4·3/2 + 2·1/2) within-chunk = 32
         assert dropped == 32
         assert "skipped" in caplog.text
-        assert edges.num_rows == 6 + 6 + 1
+        # chunked fallback: one dup group per chunk
+        assert labels.column("dup_group").to_pylist() == [
+            0, 0, 0, 0, 4, 4, 4, 4, 8, 8]
     finally:
         clustering.MAX_PAIRWISE = old

@@ -35,5 +35,7 @@ def test_queries_cover_oracles_in_order():
     first_rows_only = next(i for i, k in enumerate(q) if k not in o)
     assert all(k in o for k in q[:first_rows_only])
     assert all(k not in o for k in q[first_rows_only:])
-    # all oracles inside the driver's 50-query window
-    assert all(k in q[:50] for k in o)
+    # the driver's 50-query window must be spent ENTIRELY on oracled
+    # queries (the catalog now carries more than 50 oracles; the
+    # overflow is verified by tests/test_query_catalog.py instead)
+    assert all(k in o for k in q[:50])
