@@ -94,9 +94,15 @@ def train_bigram_counts(docs_ds, text_col: str = "text",
     corpus — they are returned by :func:`lm_stats`)."""
     from ray.data.aggregate import Sum
 
-    counts = (docs_ds
-              .map_batches(lambda b: _gram_partials(b, text_col),
-                           batch_format="pyarrow")
+    partials = docs_ds.map_batches(lambda b: _gram_partials(b, text_col),
+                                   batch_format="pyarrow")
+    # coalesce the per-block partials before the aggregate: each block
+    # emits at most its distinct-gram count, so hundreds of tiny blocks
+    # pay more in per-task overhead than in data. target_num_rows is
+    # adaptive (minimal-movement coalesce, NOT a shuffle): small inputs
+    # collapse to a handful of blocks, 100-TB inputs keep their width
+    counts = (partials
+              .repartition(target_num_rows_per_block=200_000)
               .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
     if min_count > 1:
         import pyarrow.compute as pc
@@ -111,6 +117,15 @@ def train_bigram_counts(docs_ds, text_col: str = "text",
     return counts
 
 
+def _collect(counts_ds, schema: pa.Schema) -> pa.Table:
+    """Driver-side concat of a (small) counts Dataset; skips the
+    zero-row zero-schema blocks a repartition can leave behind."""
+    import ray
+    parts = [p for p in ray.get(counts_ds.to_arrow_refs()) if p.num_rows]
+    return (pa.concat_tables(parts) if parts
+            else schema.empty_table())
+
+
 def lm_stats(counts_ds) -> tuple[int, int]:
     """(N total tokens, V distinct unigrams) from a counts Dataset —
     one tiny aggregate over the unigram rows."""
@@ -121,9 +136,25 @@ def lm_stats(counts_ds) -> tuple[int, int]:
     return int(row["n"]), int(row["count()"])
 
 
+# per-worker-process cache of prepared scorers, keyed by broadcast-ref
+# hex: scoring runs in the ordinary TASK pool (no actor-pool startup
+# cost; Ray reuses worker processes, so the polars count frames are
+# built once per worker either way). At most one entry is kept — a new
+# LM evicts the old.
+_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(key, build):
+    scorer = _SCORER_CACHE.get(key)
+    if scorer is None:
+        _SCORER_CACHE.clear()
+        scorer = _SCORER_CACHE[key] = build()
+    return scorer
+
+
 class _BroadcastScorer:
-    """Actor-pool scoring stage: fetches the broadcast count frames once
-    per worker, scores each batch with polars joins + numpy log2."""
+    """Scoring kernel: fetches the broadcast count frames once per
+    worker process, scores each batch with polars joins + numpy log2."""
 
     def __init__(self, counts_ref, n_tokens: int, vocab: int,
                  text_col: str):
@@ -190,14 +221,18 @@ def score_perplexity(docs_ds, counts_ds, text_col: str = "text",
     n_grams = counts_ds.count()
     if n_grams <= limit:
         import ray
-        counts_ref = ray.put(
-            pa.concat_tables(ray.get(counts_ds.to_arrow_refs())))
-        return docs_ds.map_batches(
-            _BroadcastScorer,
-            fn_constructor_kwargs=dict(counts_ref=counts_ref,
-                                       n_tokens=n_tokens, vocab=vocab,
-                                       text_col=text_col),
-            batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)
+        counts_ref = ray.put(_collect(counts_ds, pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()),
+             ("c", pa.int64())])))
+
+        def score(batch: pa.Table) -> pa.Table:
+            scorer = _cached_scorer(
+                ("lm", counts_ref.hex(), text_col),
+                lambda: _BroadcastScorer(counts_ref, n_tokens, vocab,
+                                         text_col))
+            return scorer(batch)
+
+        return docs_ds.map_batches(score, batch_format="pyarrow")
     return _score_joined(docs_ds, counts_ds, n_tokens, vocab, text_col)
 
 
@@ -316,6 +351,7 @@ def train_unigram_counts(docs_ds, text_col: str = "text"):
                  .to_arrow())
 
     return (docs_ds.map_batches(partials, batch_format="pyarrow")
+            .repartition(target_num_rows_per_block=200_000)
             .groupby("w").aggregate(Sum("c", alias_name="c")))
 
 
@@ -328,7 +364,8 @@ def unigram_stats(counts_ds) -> tuple[int, int]:
 
 
 class _DsirScorer:
-    """Per-batch DSIR scoring against two broadcast unigram tables."""
+    """Per-batch DSIR scoring against two broadcast unigram tables
+    (task-pool kernel, cached per worker process like the LM scorer)."""
 
     def __init__(self, tref, rref, nt, vt, nr, vr, text_col):
         import ray
@@ -384,10 +421,14 @@ def dsir_logratio(raw_ds, target_ds, text_col: str = "text"):
     rc = train_unigram_counts(raw_ds, text_col=text_col).materialize()
     nt, vt = unigram_stats(tc)
     nr, vr = unigram_stats(rc)
-    tref = ray.put(pa.concat_tables(ray.get(tc.to_arrow_refs())))
-    rref = ray.put(pa.concat_tables(ray.get(rc.to_arrow_refs())))
-    return raw_ds.map_batches(
-        _DsirScorer,
-        fn_constructor_kwargs=dict(tref=tref, rref=rref, nt=nt, vt=vt,
-                                   nr=nr, vr=vr, text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)
+    uni_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+    tref = ray.put(_collect(tc, uni_schema))
+    rref = ray.put(_collect(rc, uni_schema))
+
+    def score(batch: pa.Table) -> pa.Table:
+        scorer = _cached_scorer(
+            ("dsir", tref.hex(), rref.hex(), text_col),
+            lambda: _DsirScorer(tref, rref, nt, vt, nr, vr, text_col))
+        return scorer(batch)
+
+    return raw_ds.map_batches(score, batch_format="pyarrow")
