@@ -130,3 +130,69 @@ def pack_sequences(docs_ds, seq_len: int, group_size: int = 4096):
         return _spans_for(ids[nz], offs[nz], cnt[nz], seq_len)
 
     return counted.groupby("grp").map_groups(_emit, batch_format="pyarrow")
+
+
+def pack_sequences_shuffled(docs_ds, seq_len: int, seed: int = 0):
+    """Packing plan over the DETERMINISTICALLY SHUFFLED corpus: docs are
+    concatenated in ``(mix32(doc_id, seed), doc_id)`` order instead of
+    doc_id order — the standard pre-training recipe (shuffle before
+    packing) without any RNG state or a global sort of the corpus.
+
+    Same distributed prefix-sum as :func:`pack_sequences`, but the
+    coarse group is the TOP 16 BITS of the decision hash, so group
+    order == concatenation order and the driver's cumsum stays one row
+    per occupied hash block (≤ 65 536 rows at any corpus size). The
+    plan is a pure function of (doc_id, n_tokens, seed): cluster-size,
+    block-layout and resume invariant, and re-derivable in SQL via the
+    identical HUGEINT hash (``ops/sampling.mix32_sql``)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from corenlp_ray.ops.sampling import mix32
+    from corenlp_ray.ops.textstats import token_count_batch
+
+    def _count(batch: pa.Table) -> pa.Table:
+        b = token_count_batch(batch)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        key = mix32(ids, seed=seed).astype(np.int64)
+        return pa.table({
+            "doc_id": ids,
+            "key": key,
+            "grp": key >> np.int64(16),
+            "n_tokens": b.column("n_tokens"),
+        })
+
+    counted = docs_ds.map_batches(_count, batch_format="pyarrow")
+    totals = (counted.select_columns(["grp", "n_tokens"])
+              .groupby("grp").aggregate(Sum("n_tokens", alias_name="tot"))
+              .to_arrow_refs())
+    parts = [p for p in ray.get(totals) if p.num_rows]
+    tot_tbl = (pa.concat_tables(parts) if parts else
+               pa.table({"grp": pa.array([], pa.int64()),
+                         "tot": pa.array([], pa.int64())}))
+    grp = tot_tbl.column("grp").to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = tot_tbl.column("tot").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(grp)
+    grp, tot = grp[order], tot[order]
+    g_off = np.cumsum(tot) - tot
+    offsets_ref = ray.put(dict(zip(grp.tolist(), g_off.tolist())))
+
+    _local = {}  # per-worker offsets cache (same trick as pack_sequences)
+
+    def _emit(group: pa.Table) -> pa.Table:
+        if "offsets" not in _local:
+            _local["offsets"] = ray.get(offsets_ref)
+        offsets = _local["offsets"]
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        cnt = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))   # concatenation order in-group
+        ids, key, cnt = ids[order], key[order], cnt[order]
+        base = offsets[int(key[0]) >> 16]
+        offs = base + np.cumsum(cnt) - cnt
+        nz = cnt > 0
+        if not nz.any():
+            return _PLAN_SCHEMA.empty_table()
+        return _spans_for(ids[nz], offs[nz], cnt[nz], seq_len)
+
+    return counted.groupby("grp").map_groups(_emit, batch_format="pyarrow")

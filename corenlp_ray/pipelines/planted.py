@@ -1634,3 +1634,41 @@ def dsir_planted_sql() -> str:
         "LEFT JOIN rc ON rc.tok = w.tok) "
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
         "round(AVG(bits), 6) AS dsir_bits FROM s GROUP BY doc_id")
+
+
+_SHUF_PACK_SEED = 11
+
+
+def q_packing_shuffled_planted(sf_dir: str):
+    """Shuffled packing plan (ops/packing.pack_sequences_shuffled):
+    docs concatenated in (mix32(doc_id, seed), doc_id) order — the
+    deterministic shuffle-before-packing recipe. The oracle re-derives
+    the plan with the IDENTICAL HUGEINT hash + window cumsum, so the
+    driver pins shuffle order, prefix sums and span cuts together."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.packing import pack_sequences_shuffled
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return pack_sequences_shuffled(docs, seq_len=128,
+                                   seed=_SHUF_PACK_SEED)
+
+
+def packing_shuffled_planted_sql() -> str:
+    from corenlp_ray.ops.sampling import mix32_sql
+
+    h = mix32_sql("doc_id", _SHUF_PACK_SEED)
+    return (
+        "WITH t AS (SELECT doc_id, CASE WHEN trim(text)='' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n, "
+        f"{h} AS key FROM documents), "
+        "c AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER ("
+        "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING), 0) AS BIGINT) AS off FROM t), "
+        "u AS (SELECT doc_id, off, n, unnest(generate_series("
+        "off // 128, (off + n - 1) // 128)) AS seq_id "
+        "FROM c WHERE n > 0) "
+        "SELECT doc_id, seq_id, "
+        "GREATEST(seq_id * 128, off) - off AS tok_start, "
+        "LEAST((seq_id + 1) * 128, off + n) - off AS tok_end FROM u")

@@ -1197,6 +1197,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_kmeans_planted, kmeans_planted_sql,
     q_semantic_dedup_planted, semantic_dedup_planted_sql,
     q_dsir_planted, dsir_planted_sql,
+    q_packing_shuffled_planted, packing_shuffled_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1237,6 +1238,7 @@ ORACLE_SQL["lm_perplexity_planted"] = lm_perplexity_planted_sql()
 ORACLE_SQL["kmeans_planted"] = kmeans_planted_sql()
 ORACLE_SQL["semantic_dedup_planted"] = semantic_dedup_planted_sql()
 ORACLE_SQL["dsir_planted"] = dsir_planted_sql()
+ORACLE_SQL["packing_shuffled_planted"] = packing_shuffled_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1296,6 +1298,7 @@ QUERIES = {
     "kmeans_planted": q_kmeans_planted,
     "semantic_dedup_planted": q_semantic_dedup_planted,
     "dsir_planted": q_dsir_planted,
+    "packing_shuffled_planted": q_packing_shuffled_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,

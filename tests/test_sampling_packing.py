@@ -112,3 +112,65 @@ def test_pack_total_token_conservation(ray_session):
     assert int((plan["tok_end"] - plan["tok_start"]).sum()) == total
     # every span is non-empty and within a single sequence
     assert (plan["tok_end"] > plan["tok_start"]).all()
+
+
+def test_shuffled_pack_matches_serial_reference(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.packing import pack_sequences_shuffled
+    from corenlp_ray.ops.sampling import mix32
+
+    texts = ["w " * (i % 9) for i in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array([t.strip() for t in texts])})
+    plan = (pack_sequences_shuffled(rd.from_arrow(tbl).repartition(7),
+                                    32, seed=5)
+            .to_pandas().sort_values(["doc_id", "seq_id"])
+            .reset_index(drop=True))
+    # serial reference: concatenate in (mix32(id, 5), id) order
+    ids = np.arange(120)
+    n = np.array([len(t.split()) if t.strip() else 0
+                  for t in [x.strip() for x in texts]])
+    key = mix32(ids, seed=5).astype(np.int64)
+    order = np.lexsort((ids, key))
+    off = np.zeros(120, dtype=np.int64)
+    pos = 0
+    for d in order:
+        off[d] = pos
+        pos += n[d]
+    rows = []
+    for d in range(120):
+        if not n[d]:
+            continue
+        for s in range(off[d] // 32, (off[d] + n[d] - 1) // 32 + 1):
+            rows.append((d, s, max(s * 32, off[d]) - off[d],
+                         min((s + 1) * 32, off[d] + n[d]) - off[d]))
+    rows.sort()
+    assert list(map(tuple, plan.itertuples(index=False))) == rows
+
+
+def test_shuffled_pack_layout_invariant_and_differs_from_id_order(
+        ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.packing import (pack_sequences,
+                                         pack_sequences_shuffled)
+
+    tbl = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                    "text": pa.array(["x " * (3 + i % 5)
+                                      for i in range(80)])})
+    a = (pack_sequences_shuffled(rd.from_arrow(tbl), 16, seed=2)
+         .to_pandas().sort_values(["doc_id", "seq_id"])
+         .reset_index(drop=True))
+    b = (pack_sequences_shuffled(rd.from_arrow(tbl).repartition(11),
+                                 16, seed=2)
+         .to_pandas().sort_values(["doc_id", "seq_id"])
+         .reset_index(drop=True))
+    assert a.equals(b)
+    c = (pack_sequences(rd.from_arrow(tbl), 16, group_size=16)
+         .to_pandas().sort_values(["doc_id", "seq_id"])
+         .reset_index(drop=True))
+    assert not a.equals(c)  # the shuffle actually changes the layout
+    # but token totals are conserved either way
+    assert ((a.tok_end - a.tok_start).sum()
+            == (c.tok_end - c.tok_start).sum())
