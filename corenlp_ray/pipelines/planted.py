@@ -1672,3 +1672,38 @@ def packing_shuffled_planted_sql() -> str:
         "SELECT doc_id, seq_id, "
         "GREATEST(seq_id * 128, off) - off AS tok_start, "
         "LEAST((seq_id + 1) * 128, off + n) - off AS tok_end FROM u")
+
+
+def q_tfidf_planted(sf_dir: str):
+    """TF-IDF keyword extraction (ops/tfidf.tfidf_top_terms): per-doc
+    top-5 terms by tf * log2((N+1)/(df+1)), rank ties broken term-asc.
+    The oracle re-derives tf, df, N, scores, and the windowed rank from
+    the raw documents table."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.tfidf import tfidf_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5)
+
+
+def tfidf_planted_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks "
+        "FROM documents WHERE trim(text) <> ''), "
+        "w AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf "
+        "FROM w GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) "
+        "AS df FROM w GROUP BY tok), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t), "
+        "s AS (SELECT tf.doc_id, tf.tok, tf.tf * "
+        "log2(((SELECT n FROM nn) + 1) / (df.df + 1)) AS score "
+        "FROM tf JOIN df USING (tok)), "
+        "r AS (SELECT doc_id, tok, score, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank "
+        "FROM s) "
+        "SELECT doc_id, tok AS term, round(score, 6) AS score, "
+        "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5")

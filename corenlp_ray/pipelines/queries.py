@@ -1198,6 +1198,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_semantic_dedup_planted, semantic_dedup_planted_sql,
     q_dsir_planted, dsir_planted_sql,
     q_packing_shuffled_planted, packing_shuffled_planted_sql,
+    q_tfidf_planted, tfidf_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1239,6 +1240,7 @@ ORACLE_SQL["kmeans_planted"] = kmeans_planted_sql()
 ORACLE_SQL["semantic_dedup_planted"] = semantic_dedup_planted_sql()
 ORACLE_SQL["dsir_planted"] = dsir_planted_sql()
 ORACLE_SQL["packing_shuffled_planted"] = packing_shuffled_planted_sql()
+ORACLE_SQL["tfidf_planted"] = tfidf_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1299,6 +1301,7 @@ QUERIES = {
     "semantic_dedup_planted": q_semantic_dedup_planted,
     "dsir_planted": q_dsir_planted,
     "packing_shuffled_planted": q_packing_shuffled_planted,
+    "tfidf_planted": q_tfidf_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
