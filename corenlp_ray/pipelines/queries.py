@@ -1339,10 +1339,22 @@ QUERIES = {
 }
 
 # The driver's correctness pass walks QUERIES in dict order with a fixed
-# query budget (50 in round 3, which left 7 committed oracles unverified
-# — round-3 verdict item #3). Reorder so every ORACLE_SQL-backed query
-# precedes every rows-only twin; the invariant holds automatically as
-# queries are added.
-QUERIES = {k: QUERIES[k]
-           for k in ([k for k in QUERIES if k in ORACLE_SQL]
-                     + [k for k in QUERIES if k not in ORACLE_SQL])}
+# query budget (50 in rounds 3-4, which left 7 committed oracles
+# unverified in r3 — round-3 verdict item #3). Reorder so every
+# ORACLE_SQL-backed query precedes every rows-only twin. With more than
+# 50 oracles, rotate the window so its 50 slots maximize the UNION of
+# driver-verified oracles across rounds: the six TPC-H join oracles
+# below were driver-verified green in BOTH r2 and r3, so they yield
+# their slots to the never-driver-verified final-round-4 op oracles
+# (every oracle outside the window is still checked by the sf0.001
+# mirror tests/test_query_catalog.py and the committed sf0.01
+# side-by-side run in BASELINE.md).
+_WINDOW_DEPRIORITIZED = [
+    "customer_orders", "lineitem_status_revenue", "asof_events",
+    "pricing_summary", "top_orders", "region_suppliers",
+]
+QUERIES = {k: QUERIES[k] for k in (
+    [k for k in QUERIES
+     if k in ORACLE_SQL and k not in _WINDOW_DEPRIORITIZED]
+    + [k for k in _WINDOW_DEPRIORITIZED if k in ORACLE_SQL]
+    + [k for k in QUERIES if k not in ORACLE_SQL])}
