@@ -109,3 +109,47 @@ def domain_quota_sample(ds, quotas: Dict[str, float],
         return batch.filter(pa.array(mix32(keys, seed=seed) < q_thr[idx]))
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def split_thresholds(fractions) -> list:
+    """[(name, int threshold)] with cumulative integer thresholds on
+    [0, 2^32]; the LAST split absorbs rounding remainder (threshold
+    forced to 2^32), so every row lands in exactly one split."""
+    items = list(fractions.items())
+    if not items:
+        raise ValueError("fractions must be non-empty")
+    total = 0.0
+    out = []
+    for name, frac in items:
+        total += float(frac)
+        out.append((name, int(total * float(_SPACE))))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out[-1] = (out[-1][0], int(_SPACE))
+    return out
+
+
+def hash_split_batch(batch: pa.Table, thresholds: list,
+                     key_col: str = "doc_id", seed: int = 0) -> pa.Table:
+    """+ split: deterministic train/valid/test assignment by mix32
+    range — searchsorted over the cumulative integer thresholds."""
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    h = mix32(keys, seed=seed)
+    bounds = np.asarray([t for _, t in thresholds], dtype=np.uint64)
+    idx = np.searchsorted(bounds, h, side="right")
+    names = np.asarray([n for n, _ in thresholds], dtype=object)
+    return batch.append_column("split",
+                               pa.array(names[idx], pa.string()))
+
+
+def hash_split(ds, fractions, key_col: str = "doc_id", seed: int = 0):
+    """Deterministic corpus split (train/valid/test and friends): each
+    row's split is a pure function of its key, so resumed partitions,
+    re-sharded runs and different cluster sizes produce the identical
+    split — and a DuckDB oracle can re-derive it with the same integer
+    thresholds (``mix32_sql``). Stateless, shuffle-free."""
+    thresholds = split_thresholds(fractions)
+    return ds.map_batches(
+        lambda b: hash_split_batch(b, thresholds, key_col=key_col,
+                                   seed=seed),
+        batch_format="pyarrow")

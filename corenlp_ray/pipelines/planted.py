@@ -1707,3 +1707,32 @@ def tfidf_planted_sql() -> str:
         "FROM s) "
         "SELECT doc_id, tok AS term, round(score, 6) AS score, "
         "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5")
+
+
+_SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+_SPLIT_SEED = 19
+
+
+def q_hash_split_planted(sf_dir: str):
+    """Deterministic train/valid/test split (ops/sampling.hash_split):
+    split = mix32(doc_id, seed) bucketed by cumulative integer
+    thresholds. The oracle evaluates the IDENTICAL HUGEINT hash and
+    thresholds, pinning the assignment bit-for-bit."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.sampling import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return hash_split(docs, _SPLITS, seed=_SPLIT_SEED)
+
+
+def hash_split_planted_sql() -> str:
+    from corenlp_ray.ops.sampling import mix32_sql, split_thresholds
+
+    h = mix32_sql("doc_id", _SPLIT_SEED)
+    ths = split_thresholds(_SPLITS)
+    cases = " ".join(f"WHEN {h} < {t} THEN '{n}'"
+                     for n, t in ths[:-1])
+    return (f"SELECT doc_id, lang, CASE {cases} "
+            f"ELSE '{ths[-1][0]}' END AS split FROM documents")

@@ -1199,6 +1199,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_dsir_planted, dsir_planted_sql,
     q_packing_shuffled_planted, packing_shuffled_planted_sql,
     q_tfidf_planted, tfidf_planted_sql,
+    q_hash_split_planted, hash_split_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1241,6 +1242,7 @@ ORACLE_SQL["semantic_dedup_planted"] = semantic_dedup_planted_sql()
 ORACLE_SQL["dsir_planted"] = dsir_planted_sql()
 ORACLE_SQL["packing_shuffled_planted"] = packing_shuffled_planted_sql()
 ORACLE_SQL["tfidf_planted"] = tfidf_planted_sql()
+ORACLE_SQL["hash_split_planted"] = hash_split_planted_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1302,6 +1304,7 @@ QUERIES = {
     "dsir_planted": q_dsir_planted,
     "packing_shuffled_planted": q_packing_shuffled_planted,
     "tfidf_planted": q_tfidf_planted,
+    "hash_split_planted": q_hash_split_planted,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -1352,6 +1355,9 @@ QUERIES = {
 _WINDOW_DEPRIORITIZED = [
     "customer_orders", "lineitem_status_revenue", "asof_events",
     "pricing_summary", "top_orders", "region_suppliers",
+    # lang_counts: driver-verified green in both r2 and r3 — yields its
+    # slot to the never-verified hash_split_planted (oracle #65)
+    "lang_counts",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

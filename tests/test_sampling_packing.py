@@ -174,3 +174,34 @@ def test_shuffled_pack_layout_invariant_and_differs_from_id_order(
     # but token totals are conserved either way
     assert ((a.tok_end - a.tok_start).sum()
             == (c.tok_end - c.tok_start).sum())
+
+
+def test_hash_split_partitions_every_row_once(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.sampling import hash_split
+
+    tbl = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    out = hash_split(rd.from_arrow(tbl).repartition(5),
+                     {"train": 0.9, "valid": 0.05, "test": 0.05},
+                     seed=3).take_all()
+    assert len(out) == 2000
+    from collections import Counter
+    sizes = Counter(r["split"] for r in out)
+    assert set(sizes) == {"train", "valid", "test"}
+    assert 0.85 < sizes["train"] / 2000 < 0.95
+    # deterministic across layouts
+    out2 = hash_split(rd.from_arrow(tbl).repartition(17),
+                      {"train": 0.9, "valid": 0.05, "test": 0.05},
+                      seed=3).take_all()
+    assert ({r["doc_id"]: r["split"] for r in out}
+            == {r["doc_id"]: r["split"] for r in out2})
+
+
+def test_hash_split_validates_fractions(ray_session):
+    from corenlp_ray.ops.sampling import split_thresholds
+
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.2})
+    ths = split_thresholds({"a": 0.5, "b": 0.5})
+    assert ths[-1] == ("b", 1 << 32)
