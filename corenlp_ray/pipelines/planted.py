@@ -1736,3 +1736,64 @@ def hash_split_planted_sql() -> str:
                      for n, t in ths[:-1])
     return (f"SELECT doc_id, lang, CASE {cases} "
             f"ELSE '{ths[-1][0]}' END AS split FROM documents")
+
+
+_QUALITY_K = 16  # the word-salad corpus has ~31 unique tokens; k=16
+# keeps the OOV path non-trivial at every sf (production default is 512)
+
+
+def q_quality_classifier_planted(sf_dir: str):
+    """Classifier-based quality filtering (ops/quality_model.py): top-k
+    corpus vocab (count DESC, token ASC) with mix32(rank) integer
+    thousandth weights, broadcast once, scored per batch. Integer
+    quality_units + one float division make the oracle bit-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from corenlp_ray.ops.quality_model import classify_quality
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _cast_keep(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("keep")
+        return b.set_column(i, "keep", pc.cast(b.column("keep"),
+                                               pa.int64()))
+
+    return (classify_quality(docs, k=_QUALITY_K)
+            .select_columns(["doc_id", "n_tokens", "n_oov",
+                             "quality_units", "quality_score", "keep"])
+            .map_batches(_cast_keep, batch_format="pyarrow"))
+
+
+def quality_classifier_planted_sql() -> str:
+    from corenlp_ray.ops.quality_model import (OOV_UNITS, WEIGHT_SEED,
+                                               _UNITS)
+    from corenlp_ray.ops.sampling import mix32_sql
+
+    h = mix32_sql("rank", WEIGHT_SEED)
+    span = 2 * _UNITS + 1
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z]+'), "
+        "x -> x != '')) AS tok FROM documents), "
+        "cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+        "ranked AS (SELECT tok, row_number() OVER "
+        "(ORDER BY c DESC, tok) AS rank FROM cnt), "
+        f"vocab AS (SELECT tok, ({h}) % {span} - {_UNITS} AS w "
+        f"FROM ranked WHERE rank <= {_QUALITY_K}), "
+        "sc AS (SELECT t.doc_id, count(*) AS n_tokens, "
+        "count(*) - count(v.w) AS n_oov, "
+        f"CAST(sum(COALESCE(v.w, {OOV_UNITS})) AS BIGINT) "
+        "AS quality_units "
+        "FROM toks t LEFT JOIN vocab v ON t.tok = v.tok "
+        "GROUP BY t.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov, "
+        "COALESCE(sc.quality_units, 0) AS quality_units, "
+        "CASE WHEN sc.n_tokens > 0 THEN sc.quality_units / "
+        f"({_UNITS}.0 * sc.n_tokens) ELSE 0.0 END AS quality_score, "
+        "CAST(COALESCE(sc.quality_units, 0) > 0 AS BIGINT) AS keep "
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id")

@@ -26,6 +26,18 @@ def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
         pc.round(tbl.column(col), ndigits=digits))
 
 
+def _bool_to_int64(col: str):
+    """Per-batch bool→int64 cast: the driver's value-hash compare is
+    pinned on integer columns (booleans stay bool in the library ops;
+    only the driver-facing query surface casts)."""
+    def _fn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = b.schema.get_field_index(col)
+        return b.set_column(i, col, pc.cast(b.column(col), pa.int64()))
+    return _fn
+
+
 def _min_id_embedding(path: str, id_col: str = "vec_id",
                       emb_col: str = "embedding"):
     """Deterministic query vector = embedding of the smallest id, WITHOUT
@@ -1014,23 +1026,31 @@ def q_repetition_stats(sf_dir: str):
 def q_decontamination(sf_dir: str):
     """Benchmark n-gram decontamination flags: broadcast bench-hash
     probe over 8-token shingles (doc_id % 97 == 0 docs stand in for
-    the benchmark suite); DuckDB-cross-checked in
-    tests/test_webfilters.py."""
+    the benchmark suite). ORACLE_SQL re-derives the flag by shingle
+    STRING equality (hash equality ⟺ string equality modulo 64-bit
+    collisions); the bool is cast to int64 for the driver's
+    value-hash."""
     from corenlp_ray.ops.webfilters import decontaminate
 
     return (decontaminate(_docs(sf_dir, ["doc_id", "text"]))
-            .select_columns(["doc_id", "contaminated"]))
+            .select_columns(["doc_id", "contaminated"])
+            .map_batches(_bool_to_int64("contaminated"),
+                         batch_format="pyarrow"))
 
 
 def q_c4_clean(sf_dir: str):
     """C4-recipe line/page cleaning (terminal punctuation + min words +
-    boilerplate gates); DuckDB-cross-checked in
-    tests/test_webfilters.py."""
+    boilerplate gates); ORACLE_SQL applies the identical rules (the
+    word-salad test corpus has no terminal punctuation, so the oracle
+    pins the all-zero outcome — the rule mechanics are pinned on
+    multi-line constructions by tests/test_webfilters.py)."""
     from corenlp_ray.ops.webfilters import c4_clean_batch
 
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(c4_clean_batch, batch_format="pyarrow")
-            .select_columns(["doc_id", "n_lines_kept", "page_keep"]))
+            .select_columns(["doc_id", "n_lines_kept", "page_keep"])
+            .map_batches(_bool_to_int64("page_keep"),
+                         batch_format="pyarrow"))
 
 
 def q_doc_valence(sf_dir: str):
@@ -1200,6 +1220,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_packing_shuffled_planted, packing_shuffled_planted_sql,
     q_tfidf_planted, tfidf_planted_sql,
     q_hash_split_planted, hash_split_planted_sql,
+    q_quality_classifier_planted, quality_classifier_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1243,6 +1264,56 @@ ORACLE_SQL["dsir_planted"] = dsir_planted_sql()
 ORACLE_SQL["packing_shuffled_planted"] = packing_shuffled_planted_sql()
 ORACLE_SQL["tfidf_planted"] = tfidf_planted_sql()
 ORACLE_SQL["hash_split_planted"] = hash_split_planted_sql()
+ORACLE_SQL["quality_classifier_planted"] = quality_classifier_planted_sql()
+
+# Promoted from tests/test_webfilters.py DuckDB parity checks (late r4):
+# the same SQL the sf0.001 suites proved, now on the driver surface.
+# Hash equality in the decontamination op ⟺ shingle-string equality
+# (64-bit collision odds ~1e-10 at sf0.01 scale).
+ORACLE_SQL["decontamination"] = (
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    r"lower(trim(text)), '\s+'), x -> x != '') AS t FROM documents), "
+    "bench AS (SELECT DISTINCT array_to_string(t[1:8], ' ') AS ng "
+    "FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 8), "
+    "sh AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s "
+    "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) "
+    "AS i) g WHERE len(t) >= 8) "
+    "SELECT tk.doc_id, CAST(COALESCE(bool_or(sh.s IN "
+    "(SELECT ng FROM bench)), FALSE) AS BIGINT) AS contaminated "
+    "FROM toks tk LEFT JOIN sh ON tk.doc_id = sh.doc_id "
+    "GROUP BY tk.doc_id")
+ORACLE_SQL["repetition_stats"] = (
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    r"text, '\s+'), x -> x != '') AS t FROM documents), "
+    "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b FROM "
+    "(SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i "
+    "FROM toks WHERE len(t) >= 2)), "
+    "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg "
+    "GROUP BY doc_id, b), "
+    "frac AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac "
+    "FROM cnt GROUP BY doc_id), "
+    "base AS (SELECT doc_id, "
+    "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, "
+    "CASE WHEN len(string_split(text, chr(10))) > 1 THEN 1.0 - "
+    "len(list_distinct(string_split(text, chr(10)))) * 1.0 / "
+    "len(string_split(text, chr(10))) ELSE 0.0 END AS dup_line_frac, "
+    "CASE WHEN len(string_split(text, chr(10)||chr(10))) > 1 THEN "
+    "1.0 - len(list_distinct(string_split(text, chr(10)||chr(10)))) "
+    "* 1.0 / len(string_split(text, chr(10)||chr(10))) ELSE 0.0 END "
+    "AS dup_para_frac FROM documents) "
+    "SELECT base.doc_id, n_lines, dup_line_frac, dup_para_frac, "
+    "COALESCE(frac.top_bigram_frac, 0.0) AS top_bigram_frac "
+    "FROM base LEFT JOIN frac ON base.doc_id = frac.doc_id")
+ORACLE_SQL["c4_clean"] = (
+    "WITH k AS (SELECT doc_id, text, list_filter(list_transform("
+    "string_split(text, chr(10)), s -> trim(s)), s -> "
+    "regexp_matches(s, '[.!?\"]$') AND "
+    r"len(regexp_extract_all(s, '\S+')) >= 3 AND "
+    "NOT contains(lower(s), 'javascript')) AS kept FROM documents) "
+    "SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept, "
+    "CAST((len(kept) >= 3 AND NOT contains(text, '{') AND "
+    "NOT contains(lower(text), 'lorem ipsum')) AS BIGINT) AS page_keep "
+    "FROM k")
 
 QUERIES = {
     # SQL-oracled
@@ -1305,6 +1376,11 @@ QUERIES = {
     "packing_shuffled_planted": q_packing_shuffled_planted,
     "tfidf_planted": q_tfidf_planted,
     "hash_split_planted": q_hash_split_planted,
+    "quality_classifier_planted": q_quality_classifier_planted,
+    # promoted from test-only DuckDB parity to driver oracles (late r4)
+    "repetition_stats": q_repetition_stats,
+    "decontamination": q_decontamination,
+    "c4_clean": q_c4_clean,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -1334,9 +1410,6 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "fingerprints": q_fingerprints,
     "pii_stats": q_pii_stats,
-    "repetition_stats": q_repetition_stats,
-    "decontamination": q_decontamination,
-    "c4_clean": q_c4_clean,
     "multimodal": q_multimodal,
     "kg_triples_weighted": q_kg_triples_weighted,
 }
@@ -1355,9 +1428,11 @@ QUERIES = {
 _WINDOW_DEPRIORITIZED = [
     "customer_orders", "lineitem_status_revenue", "asof_events",
     "pricing_summary", "top_orders", "region_suppliers",
-    # lang_counts: driver-verified green in both r2 and r3 — yields its
-    # slot to the never-verified hash_split_planted (oracle #65)
-    "lang_counts",
+    # driver-verified green in BOTH r2 and r3 — these yield their slots
+    # to the never-driver-verified late-r4 oracles (hash_split,
+    # quality_classifier, decontamination, repetition_stats, c4_clean)
+    "lang_counts", "token_count", "doc_quality", "stopword_ratio",
+    "dedup_exact",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES
