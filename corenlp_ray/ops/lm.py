@@ -432,3 +432,50 @@ def dsir_logratio(raw_ds, target_ds, text_col: str = "text"):
         return scorer(batch)
 
     return raw_ds.map_batches(score, batch_format="pyarrow")
+
+
+def perplexity_buckets(scored_ds, n_buckets: int = 3,
+                       labels=("head", "middle", "tail")):
+    """+ bucket: CCNet's final step (Wenzek et al. 2020 §4.4) — split
+    the corpus into head/middle/tail by LM-score rank with EXACT SQL
+    ``ntile(n)`` semantics: rows ranked by (lm_bits, doc_id); earlier
+    buckets absorb the remainder, sizes differ by at most 1.
+
+    Distributed shape: ``scored_ds`` (one thin row per doc) is
+    materialized once; the rank boundaries come from ONE all-to-all
+    sort of the 2-column projection plus ``split_at_indices`` +
+    ``limit(1)`` per boundary (only n_buckets-1 single rows ever reach
+    the driver); assignment is then a broadcast lexicographic compare
+    per batch — the corpus itself never shuffles."""
+    import numpy as np
+
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    scored = scored_ds.materialize()
+    n = scored.count()
+    q, r = divmod(n, n_buckets)
+    sizes = [q + (1 if i < r else 0) for i in range(n_buckets)]
+    idxs = list(np.cumsum(sizes)[:-1].astype(int))
+    srt = (scored.select_columns(["doc_id", "lm_bits"])
+           .sort(["lm_bits", "doc_id"]))
+    cuts = []  # first (lm_bits, doc_id) of bucket i+1; None = empty
+    for part in srt.split_at_indices(idxs)[1:]:
+        rows = part.limit(1).take_all()
+        cuts.append((float(rows[0]["lm_bits"]), int(rows[0]["doc_id"]))
+                    if rows else None)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bits = batch.column("lm_bits").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.zeros(batch.num_rows, dtype=np.int64)
+        for cut in cuts:
+            if cut is None:
+                continue
+            cb, ci = cut
+            # row is at/after this boundary → bucket index + 1
+            idx += ((bits > cb) | ((bits == cb) & (ids >= ci)))
+        lab = np.asarray(labels, dtype=object)
+        return batch.append_column("bucket",
+                                   pa.array(lab[idx], pa.string()))
+
+    return scored.map_batches(assign, batch_format="pyarrow")

@@ -1797,3 +1797,29 @@ def quality_classifier_planted_sql() -> str:
         f"({_UNITS}.0 * sc.n_tokens) ELSE 0.0 END AS quality_score, "
         "CAST(COALESCE(sc.quality_units, 0) > 0 AS BIGINT) AS keep "
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id")
+
+
+def q_perplexity_buckets_planted(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets (ops/lm.
+    perplexity_buckets): the real bigram-LM scorer feeds an exact
+    distributed ntile(3) over (lm_bits, doc_id) — sort of the thin
+    score table for the two boundary rows, then a broadcast compare.
+    The oracle is the same score SQL wrapped in ``ntile(3) OVER
+    (ORDER BY lm_bits, doc_id)``; lm_bits rounds to 6 decimals on both
+    sides, so the rank order is bit-identical."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.lm import lm_perplexity, perplexity_buckets
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return perplexity_buckets(lm_perplexity(docs))
+
+
+def perplexity_buckets_planted_sql() -> str:
+    return (
+        f"WITH base AS ({lm_perplexity_planted_sql()}) "
+        "SELECT doc_id, n_tokens, lm_bits, "
+        "CASE ntile(3) OVER (ORDER BY lm_bits, doc_id) "
+        "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
+        "AS bucket FROM base")

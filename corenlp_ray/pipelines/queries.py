@@ -1221,6 +1221,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_tfidf_planted, tfidf_planted_sql,
     q_hash_split_planted, hash_split_planted_sql,
     q_quality_classifier_planted, quality_classifier_planted_sql,
+    q_perplexity_buckets_planted, perplexity_buckets_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1265,6 +1266,7 @@ ORACLE_SQL["packing_shuffled_planted"] = packing_shuffled_planted_sql()
 ORACLE_SQL["tfidf_planted"] = tfidf_planted_sql()
 ORACLE_SQL["hash_split_planted"] = hash_split_planted_sql()
 ORACLE_SQL["quality_classifier_planted"] = quality_classifier_planted_sql()
+ORACLE_SQL["perplexity_buckets_planted"] = perplexity_buckets_planted_sql()
 
 # Promoted from tests/test_webfilters.py DuckDB parity checks (late r4):
 # the same SQL the sf0.001 suites proved, now on the driver surface.
@@ -1377,6 +1379,7 @@ QUERIES = {
     "tfidf_planted": q_tfidf_planted,
     "hash_split_planted": q_hash_split_planted,
     "quality_classifier_planted": q_quality_classifier_planted,
+    "perplexity_buckets_planted": q_perplexity_buckets_planted,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1432,7 +1435,7 @@ _WINDOW_DEPRIORITIZED = [
     # to the never-driver-verified late-r4 oracles (hash_split,
     # quality_classifier, decontamination, repetition_stats, c4_clean)
     "lang_counts", "token_count", "doc_quality", "stopword_ratio",
-    "dedup_exact",
+    "dedup_exact", "top_tokens",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES
