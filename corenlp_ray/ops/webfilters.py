@@ -284,3 +284,84 @@ def c4_clean_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         res = res.append_column(name, pa.array(out[name].to_list(),
                                                type=typ))
     return res
+
+
+# Gopher quality gates (Rae et al. 2021 appendix A1.1, public recipe).
+# Every threshold is evaluated in INTEGER arithmetic (10*symbols <
+# n_words etc.) so the SQL oracle is bit-exact — no float boundaries.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
+                       min_words: int = _GOPHER_MIN_WORDS,
+                       max_words: int = _GOPHER_MAX_WORDS) -> pa.Table:
+    """+ n_words, n_lines, n_symbols (``#`` chars + non-overlapping
+    ``...``), n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+    n_stop_hits (DISTINCT stopwords present), gopher_keep (bool AND of
+    the seven published gates):
+
+    1. min_words <= n_words <= max_words
+    2. mean word length in [3, 10]   (3*n <= total_chars <= 10*n)
+    3. symbol-to-word ratio < 0.1    (10*n_symbols < n_words)
+    4. bullet-start lines < 90%      (10*n_bullet < 9*n_lines)
+    5. ellipsis-end lines < 30%      (10*n_ellipsis < 3*n_lines)
+    6. >= 80% words contain an alpha (5*n_alpha_words >= 4*n_words)
+    7. >= 2 distinct Gopher stopwords present
+
+    One polars pipeline per batch (explode + boolean sums); no per-row
+    Python."""
+    import polars as pl
+
+    df = (pl.DataFrame({"text": batch.column(text_col).to_pylist()})
+          .with_row_index("_row"))
+    toks = (df.select("_row",
+                      pl.col("text").str.strip_chars()
+                      .str.replace_all(r"\s+", " ").str.split(" ")
+                      .alias("t"))
+            .explode("t").filter(pl.col("t") != ""))
+    tstats = (toks.group_by("_row")
+              .agg(pl.len().cast(pl.Int64).alias("n_words"),
+                   pl.col("t").str.len_chars().sum().cast(pl.Int64)
+                   .alias("total_chars"),
+                   pl.col("t").str.contains("[A-Za-z]").sum()
+                   .cast(pl.Int64).alias("n_alpha_words"),
+                   pl.col("t").str.to_lowercase()
+                   .filter(pl.col("t").str.to_lowercase()
+                           .is_in(list(_GOPHER_STOPS)))
+                   .n_unique().cast(pl.Int64).alias("n_stop_hits")))
+    lines = (df.select("_row", pl.col("text").str.split("\n")
+                       .alias("ln")).explode("ln"))
+    lstats = (lines.group_by("_row")
+              .agg(pl.len().cast(pl.Int64).alias("n_lines"),
+                   pl.col("ln").str.contains(r"^\s*[-*•]").sum()
+                   .cast(pl.Int64).alias("n_bullet_lines"),
+                   pl.col("ln").str.contains(r"\.\.\.\s*$").sum()
+                   .cast(pl.Int64).alias("n_ellipsis_lines")))
+    sym = df.select(
+        "_row",
+        (pl.col("text").str.count_matches("#", literal=True)
+         + pl.col("text").str.count_matches(r"\.\.\."))
+        .cast(pl.Int64).alias("n_symbols"))
+    out = (df.select("_row")
+           .join(tstats, on="_row", how="left")
+           .join(lstats, on="_row", how="left")
+           .join(sym, on="_row", how="left")
+           .fill_null(0).sort("_row"))
+    keep = (
+        (out["n_words"] >= min_words) & (out["n_words"] <= max_words)
+        & (3 * out["n_words"] <= out["total_chars"])
+        & (out["total_chars"] <= 10 * out["n_words"])
+        & (10 * out["n_symbols"] < out["n_words"])
+        & (10 * out["n_bullet_lines"] < 9 * out["n_lines"])
+        & (10 * out["n_ellipsis_lines"] < 3 * out["n_lines"])
+        & (5 * out["n_alpha_words"] >= 4 * out["n_words"])
+        & (out["n_stop_hits"] >= 2))
+    res = batch
+    for name in ("n_words", "n_lines", "n_symbols", "n_bullet_lines",
+                 "n_ellipsis_lines", "n_alpha_words", "n_stop_hits"):
+        res = res.append_column(name, pa.array(out[name].to_list(),
+                                               type=pa.int64()))
+    return res.append_column("gopher_keep",
+                             pa.array(keep.to_list(), type=pa.bool_()))

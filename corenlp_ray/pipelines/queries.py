@@ -1053,6 +1053,23 @@ def q_c4_clean(sf_dir: str):
                          batch_format="pyarrow"))
 
 
+def q_gopher_rules(sf_dir: str):
+    """The seven published Gopher document-quality gates (Rae et al.
+    2021 A1.1) as one combined keep flag. Every threshold compares
+    INTEGERS (10*symbols < n_words, 3n <= chars <= 10n, ...), so the
+    oracle is exact with no float boundaries."""
+    from corenlp_ray.ops.webfilters import gopher_rules_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(gopher_rules_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_words", "n_lines", "n_symbols",
+                             "n_bullet_lines", "n_ellipsis_lines",
+                             "n_alpha_words", "n_stop_hits",
+                             "gopher_keep"])
+            .map_batches(_bool_to_int64("gopher_keep"),
+                         batch_format="pyarrow"))
+
+
 def q_doc_valence(sf_dir: str):
     """Document-level lexicon valence: positive-hit minus negative-hit
     counts over lowercase [^a-z]+-split tokens (the vectorizable
@@ -1306,6 +1323,47 @@ ORACLE_SQL["repetition_stats"] = (
     "SELECT base.doc_id, n_lines, dup_line_frac, dup_para_frac, "
     "COALESCE(frac.top_bigram_frac, 0.0) AS top_bigram_frac "
     "FROM base LEFT JOIN frac ON base.doc_id = frac.doc_id")
+ORACLE_SQL["gopher_rules"] = (
+    "WITH toks AS (SELECT doc_id, text, list_filter("
+    r"regexp_split_to_array(text, '\s+'), x -> x != '') AS t "
+    "FROM documents), "
+    "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), "
+    "ts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+    "CAST(sum(len(w)) AS BIGINT) AS total_chars, "
+    "CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 "
+    "END) AS BIGINT) AS n_alpha_words, "
+    "CAST(count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',"
+    "'and','that','have','with') THEN lower(w) END) AS BIGINT) "
+    "AS n_stop_hits FROM tok GROUP BY doc_id), "
+    "ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l "
+    "FROM documents), "
+    "ls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+    r"CAST(sum(CASE WHEN regexp_matches(l, '^\s*[-*•]') THEN 1 ELSE 0 "
+    "END) AS BIGINT) AS n_bullet_lines, "
+    r"CAST(sum(CASE WHEN regexp_matches(l, '\.\.\.\s*$') THEN 1 ELSE 0 "
+    "END) AS BIGINT) AS n_ellipsis_lines FROM ln GROUP BY doc_id), "
+    "sym AS (SELECT doc_id, CAST(len(text) - len(replace(text, '#', "
+    "'')) + (len(text) - len(replace(text, '...', ''))) // 3 "
+    "AS BIGINT) AS n_symbols FROM documents) "
+    "SELECT d.doc_id, COALESCE(ts.n_words, 0) AS n_words, "
+    "ls.n_lines AS n_lines, sym.n_symbols AS n_symbols, "
+    "ls.n_bullet_lines AS n_bullet_lines, "
+    "ls.n_ellipsis_lines AS n_ellipsis_lines, "
+    "COALESCE(ts.n_alpha_words, 0) AS n_alpha_words, "
+    "COALESCE(ts.n_stop_hits, 0) AS n_stop_hits, "
+    "CAST((COALESCE(ts.n_words, 0) >= 50 AND "
+    "COALESCE(ts.n_words, 0) <= 100000 AND "
+    "3 * COALESCE(ts.n_words, 0) <= COALESCE(ts.total_chars, 0) AND "
+    "COALESCE(ts.total_chars, 0) <= 10 * COALESCE(ts.n_words, 0) AND "
+    "10 * sym.n_symbols < COALESCE(ts.n_words, 0) AND "
+    "10 * ls.n_bullet_lines < 9 * ls.n_lines AND "
+    "10 * ls.n_ellipsis_lines < 3 * ls.n_lines AND "
+    "5 * COALESCE(ts.n_alpha_words, 0) >= 4 * COALESCE(ts.n_words, 0) "
+    "AND COALESCE(ts.n_stop_hits, 0) >= 2) AS BIGINT) AS gopher_keep "
+    "FROM documents d "
+    "LEFT JOIN ts ON d.doc_id = ts.doc_id "
+    "JOIN ls ON d.doc_id = ls.doc_id "
+    "JOIN sym ON d.doc_id = sym.doc_id")
 ORACLE_SQL["c4_clean"] = (
     "WITH k AS (SELECT doc_id, text, list_filter(list_transform("
     "string_split(text, chr(10)), s -> trim(s)), s -> "
@@ -1384,6 +1442,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
     "c4_clean": q_c4_clean,
+    "gopher_rules": q_gopher_rules,
     # rows-only
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -1435,7 +1494,7 @@ _WINDOW_DEPRIORITIZED = [
     # to the never-driver-verified late-r4 oracles (hash_split,
     # quality_classifier, decontamination, repetition_stats, c4_clean)
     "lang_counts", "token_count", "doc_quality", "stopword_ratio",
-    "dedup_exact", "top_tokens",
+    "dedup_exact", "top_tokens", "event_windows",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

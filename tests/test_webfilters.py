@@ -208,3 +208,52 @@ def test_c4_clean_duckdb_parity():
         "array_to_string(kept, chr(10)) AS text_clean "
         "FROM k ORDER BY doc_id").fetchdf()
     pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_gopher_rules_semantics():
+    from corenlp_ray.ops.webfilters import gopher_rules_batch
+
+    good = ("the cat and dog have fun with food " * 8).strip()  # 64 words
+    t = pa.table({"doc_id": list(range(6)), "text": [
+        good,                                   # passes all gates
+        "the cat and dog",                      # too few words
+        good + " ##### " + "#" * 60,            # symbol ratio >= 0.1
+        "\n".join(["- " + good] * 10),          # 100% bullet lines
+        good.replace("the", "xxx").replace("and", "yyy")
+            .replace("have", "zzz").replace("with", "www"),  # no stops
+        "",                                     # empty
+    ]})
+    out = gopher_rules_batch(t).to_pandas()
+    assert out["gopher_keep"].tolist() == [
+        True, False, False, False, False, False]
+    assert out["n_words"].tolist()[0] == 64
+    assert out["n_stop_hits"].tolist()[0] == 4  # the, and, have, with
+    assert out["n_symbols"].tolist()[2] >= 65
+    assert out["n_bullet_lines"].tolist()[3] == 10
+    assert out["n_lines"].tolist()[5] == 1 and out["n_words"].tolist()[5] == 0
+
+
+def test_gopher_rules_ellipsis_and_mean_length():
+    from corenlp_ray.ops.webfilters import gopher_rules_batch
+
+    base = ("the cat and dog have fun with food " * 8).strip()
+    t = pa.table({"doc_id": [0, 1], "text": [
+        "\n".join([base + " ..."] * 10),     # every line ends ...
+        ("a " * 60 + "the and").strip(),     # mean word len < 3
+    ]})
+    out = gopher_rules_batch(t).to_pandas()
+    assert out["n_ellipsis_lines"].tolist()[0] == 10
+    assert not out["gopher_keep"].any()
+
+
+def test_gopher_rules_query_duckdb_parity(ray_session):
+    from corenlp_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    mine = (QUERIES["gopher_rules"](SF).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(ORACLE_SQL["gopher_rules"]).fetchdf()
+            .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
