@@ -1823,3 +1823,103 @@ def perplexity_buckets_planted_sql() -> str:
         "CASE ntile(3) OVER (ORDER BY lm_bits, doc_id) "
         "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
         "AS bucket FROM base")
+
+
+def _weblines_text(doc_id: int, text: str) -> str:
+    """Python twin of _sqlfrags.weblines_ctes: deterministic multi-line
+    webtext from a doc's whitespace tokens (stopword-led 5-token lines,
+    bullet/javascript/period/ellipsis decorations, 3-line paragraphs,
+    '{ code }' trailer for doc_id % 13 == 0)."""
+    import re as _re
+
+    from corenlp_ray.pipelines._sqlfrags import GOPHER_STOPS
+
+    toks = [x for x in _re.split(r"\s+", text.strip()) if x]
+    lines = []
+    for k in range(1, (len(toks) + 4) // 5 + 1):
+        rest = " ".join(toks[5 * k - 4:5 * k])
+        base = GOPHER_STOPS[k % 8] + ((" " + rest) if rest else "")
+        lines.append(("- " if k % 6 == 0 else "") + base
+                     + (" javascript" if k % 12 == 0 else "")
+                     + ("." if k % 4 != 0 else "")
+                     + (" ..." if k % 9 == 0 else ""))
+    body = "\n\n".join("\n".join(lines[p * 3:p * 3 + 3])
+                       for p in range((len(lines) + 2) // 3))
+    return body + ("\n{ code }" if doc_id % 13 == 0 else "")
+
+
+def _webdocs(sf_dir: str):
+    """documents → synthesized multi-line webtext Dataset (doc_id, text)."""
+    import ray.data as rd
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        txt = b.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([_weblines_text(int(i), t or "")
+                              for i, t in zip(ids, txt)], pa.string())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(synth, batch_format="pyarrow"))
+
+
+def q_c4_planted(sf_dir: str):
+    """C4 cleaning over the weblines construction: periods, javascript
+    lines, bullets, short lines and '{ code }' pages all occur, so
+    n_lines_kept/page_keep vary per doc and the REAL c4_clean_batch is
+    pinned non-trivially (the raw-corpus c4_clean oracle is all-zero on
+    word salad)."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops.webfilters import c4_clean_batch
+
+    def cast(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("page_keep")
+        return b.set_column(i, "page_keep",
+                            pc.cast(b.column("page_keep"), pa.int64()))
+
+    return (_webdocs(sf_dir)
+            .map_batches(c4_clean_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_lines_kept", "page_keep"])
+            .map_batches(cast, batch_format="pyarrow"))
+
+
+def c4_planted_sql() -> str:
+    from corenlp_ray.pipelines._sqlfrags import c4_clean_sql, weblines_ctes
+
+    inner = c4_clean_sql("webdocs")
+    assert inner.startswith("WITH ")
+    return f"WITH {weblines_ctes('documents')}, {inner[len('WITH '):]}"
+
+
+def q_gopher_planted(sf_dir: str):
+    """Gopher gates over the weblines construction: stopwords cycle in,
+    bullet/ellipsis fractions and symbol counts vary, so every gate can
+    flip and gopher_keep is non-trivial per doc."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops.webfilters import gopher_rules_batch
+
+    def cast(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("gopher_keep")
+        return b.set_column(i, "gopher_keep",
+                            pc.cast(b.column("gopher_keep"), pa.int64()))
+
+    return (_webdocs(sf_dir)
+            .map_batches(gopher_rules_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_words", "n_lines", "n_symbols",
+                             "n_bullet_lines", "n_ellipsis_lines",
+                             "n_alpha_words", "n_stop_hits",
+                             "gopher_keep"])
+            .map_batches(cast, batch_format="pyarrow"))
+
+
+def gopher_planted_sql() -> str:
+    from corenlp_ray.pipelines._sqlfrags import (gopher_rules_sql,
+                                                 weblines_ctes)
+
+    inner = gopher_rules_sql("webdocs")
+    assert inner.startswith("WITH ")
+    return f"WITH {weblines_ctes('documents')}, {inner[len('WITH '):]}"

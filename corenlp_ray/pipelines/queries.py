@@ -1239,6 +1239,8 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_hash_split_planted, hash_split_planted_sql,
     q_quality_classifier_planted, quality_classifier_planted_sql,
     q_perplexity_buckets_planted, perplexity_buckets_planted_sql,
+    q_c4_planted, c4_planted_sql,
+    q_gopher_planted, gopher_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1284,6 +1286,8 @@ ORACLE_SQL["tfidf_planted"] = tfidf_planted_sql()
 ORACLE_SQL["hash_split_planted"] = hash_split_planted_sql()
 ORACLE_SQL["quality_classifier_planted"] = quality_classifier_planted_sql()
 ORACLE_SQL["perplexity_buckets_planted"] = perplexity_buckets_planted_sql()
+ORACLE_SQL["c4_planted"] = c4_planted_sql()
+ORACLE_SQL["gopher_planted"] = gopher_planted_sql()
 
 # Promoted from tests/test_webfilters.py DuckDB parity checks (late r4):
 # the same SQL the sf0.001 suites proved, now on the driver surface.
@@ -1323,57 +1327,11 @@ ORACLE_SQL["repetition_stats"] = (
     "SELECT base.doc_id, n_lines, dup_line_frac, dup_para_frac, "
     "COALESCE(frac.top_bigram_frac, 0.0) AS top_bigram_frac "
     "FROM base LEFT JOIN frac ON base.doc_id = frac.doc_id")
-ORACLE_SQL["gopher_rules"] = (
-    "WITH toks AS (SELECT doc_id, text, list_filter("
-    r"regexp_split_to_array(text, '\s+'), x -> x != '') AS t "
-    "FROM documents), "
-    "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), "
-    "ts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
-    "CAST(sum(len(w)) AS BIGINT) AS total_chars, "
-    "CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 "
-    "END) AS BIGINT) AS n_alpha_words, "
-    "CAST(count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',"
-    "'and','that','have','with') THEN lower(w) END) AS BIGINT) "
-    "AS n_stop_hits FROM tok GROUP BY doc_id), "
-    "ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l "
-    "FROM documents), "
-    "ls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
-    r"CAST(sum(CASE WHEN regexp_matches(l, '^\s*[-*•]') THEN 1 ELSE 0 "
-    "END) AS BIGINT) AS n_bullet_lines, "
-    r"CAST(sum(CASE WHEN regexp_matches(l, '\.\.\.\s*$') THEN 1 ELSE 0 "
-    "END) AS BIGINT) AS n_ellipsis_lines FROM ln GROUP BY doc_id), "
-    "sym AS (SELECT doc_id, CAST(len(text) - len(replace(text, '#', "
-    "'')) + (len(text) - len(replace(text, '...', ''))) // 3 "
-    "AS BIGINT) AS n_symbols FROM documents) "
-    "SELECT d.doc_id, COALESCE(ts.n_words, 0) AS n_words, "
-    "ls.n_lines AS n_lines, sym.n_symbols AS n_symbols, "
-    "ls.n_bullet_lines AS n_bullet_lines, "
-    "ls.n_ellipsis_lines AS n_ellipsis_lines, "
-    "COALESCE(ts.n_alpha_words, 0) AS n_alpha_words, "
-    "COALESCE(ts.n_stop_hits, 0) AS n_stop_hits, "
-    "CAST((COALESCE(ts.n_words, 0) >= 50 AND "
-    "COALESCE(ts.n_words, 0) <= 100000 AND "
-    "3 * COALESCE(ts.n_words, 0) <= COALESCE(ts.total_chars, 0) AND "
-    "COALESCE(ts.total_chars, 0) <= 10 * COALESCE(ts.n_words, 0) AND "
-    "10 * sym.n_symbols < COALESCE(ts.n_words, 0) AND "
-    "10 * ls.n_bullet_lines < 9 * ls.n_lines AND "
-    "10 * ls.n_ellipsis_lines < 3 * ls.n_lines AND "
-    "5 * COALESCE(ts.n_alpha_words, 0) >= 4 * COALESCE(ts.n_words, 0) "
-    "AND COALESCE(ts.n_stop_hits, 0) >= 2) AS BIGINT) AS gopher_keep "
-    "FROM documents d "
-    "LEFT JOIN ts ON d.doc_id = ts.doc_id "
-    "JOIN ls ON d.doc_id = ls.doc_id "
-    "JOIN sym ON d.doc_id = sym.doc_id")
-ORACLE_SQL["c4_clean"] = (
-    "WITH k AS (SELECT doc_id, text, list_filter(list_transform("
-    "string_split(text, chr(10)), s -> trim(s)), s -> "
-    "regexp_matches(s, '[.!?\"]$') AND "
-    r"len(regexp_extract_all(s, '\S+')) >= 3 AND "
-    "NOT contains(lower(s), 'javascript')) AS kept FROM documents) "
-    "SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept, "
-    "CAST((len(kept) >= 3 AND NOT contains(text, '{') AND "
-    "NOT contains(lower(text), 'lorem ipsum')) AS BIGINT) AS page_keep "
-    "FROM k")
+from corenlp_ray.pipelines._sqlfrags import (  # noqa: E402
+    c4_clean_sql, gopher_rules_sql)
+
+ORACLE_SQL["gopher_rules"] = gopher_rules_sql()
+ORACLE_SQL["c4_clean"] = c4_clean_sql()
 
 QUERIES = {
     # SQL-oracled
@@ -1438,6 +1396,8 @@ QUERIES = {
     "hash_split_planted": q_hash_split_planted,
     "quality_classifier_planted": q_quality_classifier_planted,
     "perplexity_buckets_planted": q_perplexity_buckets_planted,
+    "c4_planted": q_c4_planted,
+    "gopher_planted": q_gopher_planted,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1494,7 +1454,8 @@ _WINDOW_DEPRIORITIZED = [
     # to the never-driver-verified late-r4 oracles (hash_split,
     # quality_classifier, decontamination, repetition_stats, c4_clean)
     "lang_counts", "token_count", "doc_quality", "stopword_ratio",
-    "dedup_exact", "top_tokens", "event_windows",
+    "dedup_exact", "top_tokens", "event_windows", "hopping_windows",
+    "session_windows",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

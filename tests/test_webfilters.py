@@ -257,3 +257,39 @@ def test_gopher_rules_query_duckdb_parity(ray_session):
     want = (con.execute(ORACLE_SQL["gopher_rules"]).fetchdf()
             .sort_values("doc_id", ignore_index=True))
     pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_weblines_construction_matches_sql():
+    """The Python and SQL weblines constructions must agree char-for-char
+    (they feed the c4_planted/gopher_planted full-chain oracles)."""
+    import pyarrow.parquet as pq
+
+    from corenlp_ray.pipelines._sqlfrags import weblines_ctes
+    from corenlp_ray.pipelines.planted import _weblines_text
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = dict(con.execute(
+        f"WITH {weblines_ctes('documents')} "
+        "SELECT doc_id, text FROM webdocs").fetchall())
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    for d, x in zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()):
+        assert _weblines_text(int(d), x or "") == want[d]
+    # decorations actually occur
+    joined = "\n".join(want.values())
+    assert "- " in joined and " ..." in joined and "javascript" in joined
+    assert "{ code }" in joined
+
+
+def test_weblines_edge_docs():
+    from corenlp_ray.pipelines.planted import _weblines_text
+
+    assert _weblines_text(13, "") == "\n{ code }"   # token-less, %13 doc
+    assert _weblines_text(1, "") == ""
+    # k=1: the group's first token is REPLACED by stop cycle index 1
+    # ('be'), 'solo' held positions 5k-4 so it drops; period (1%4!=0)
+    assert _weblines_text(1, "solo") == "be."
+    assert _weblines_text(1, "a b c d e f") == "be b c d e.\nto."
