@@ -1058,3 +1058,70 @@ def repeated_ngram_spans(docs_ds, k: int = 8, min_count: int = 2,
     dup_pos = sh.groupby("sh").map_groups(_dups, batch_format="pyarrow")
     return (dup_pos.groupby("doc_id")
             .map_groups(_merge, batch_format="pyarrow"))
+
+
+# -------------------------------------------------- paragraph dedup ----
+
+def paragraph_dedup(docs_ds, sep: str = "\n\n"):
+    """Corpus-wide paragraph-level exact dedup — the CCNet/RefinedWeb
+    line-dedup recipe at paragraph granularity: every duplicated
+    paragraph keeps only its FIRST occurrence (min doc_id, then min
+    para_idx) across the whole corpus; documents are reassembled from
+    their surviving paragraphs. Output: one row per doc that keeps at
+    least one paragraph — (doc_id, n_paras, n_paras_kept, text_dedup).
+
+    Scale shape: two partitioned all-to-alls. (1) paragraphs co-locate
+    by hash64(para) % npart — the hash only ROUTES; the winner pick
+    groups by the paragraph STRING inside each partition, so the result
+    is exact with no collision caveat. ONE vectorized pandas
+    groupby-head per partition (the paragraph text rides this shuffle
+    once — inherent, reassembly needs it). (2) winners co-locate by
+    doc_id % npart and ONE vectorized per-partition groupby rebuilds
+    the texts. No per-group Python calls, no driver materialization."""
+    import polars as pl
+
+    npart = _npartitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False),
+            "text": batch.column("text").to_pylist()})
+        p = (df.with_columns(pl.col("text").str.split(sep).alias("para"))
+             .with_columns(
+                 pl.col("para").list.len().cast(pl.Int64)
+                 .alias("n_paras"),
+                 pl.int_ranges(pl.col("para").list.len())
+                 .alias("para_idx"))
+             .drop("text")
+             .explode("para", "para_idx")
+             .with_columns(
+                 pl.col("para_idx").cast(pl.Int64),
+                 (pl.col("para").hash(seed=0) % pl.lit(npart,
+                                                       dtype=pl.UInt64))
+                 .cast(pl.Int64).alias("_part")))
+        return p.to_arrow()
+
+    paras = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["para", "doc_id", "para_idx"])
+        first = part.groupby("para", sort=False).head(1)
+        out = first[["doc_id", "para_idx", "para", "n_paras"]].copy()
+        out["_p2"] = out["doc_id"] % npart
+        return out
+
+    kept = paras.groupby("_part").map_groups(pick, batch_format="pandas")
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["doc_id", "para_idx"])
+        g = part.groupby("doc_id", sort=False)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].first().astype("int64"),
+            "n_paras": g["n_paras"].first().astype("int64"),
+            "n_paras_kept": g.size().astype("int64"),
+            "text_dedup": g["para"].agg(sep.join),
+        }).reset_index(drop=True)
+
+    return kept.groupby("_p2").map_groups(reassemble,
+                                          batch_format="pandas")

@@ -1923,3 +1923,56 @@ def gopher_planted_sql() -> str:
     inner = gopher_rules_sql("webdocs")
     assert inner.startswith("WITH ")
     return f"WITH {weblines_ctes('documents')}, {inner[len('WITH '):]}"
+
+
+# constant boilerplate paragraph shared by EVERY page — the classic
+# cross-document duplicate that paragraph-level dedup exists to remove
+_SHARED_HEADER = ("the shared boilerplate header repeats across pages.\n"
+                  "be advised this paragraph is identical everywhere.\n"
+                  "to be removed by paragraph dedup.")
+
+
+def q_paragraph_dedup_planted(sf_dir: str):
+    """Paragraph-level corpus dedup (ops/dedup.paragraph_dedup) over the
+    weblines construction with a constant boilerplate header paragraph
+    prepended to every page: the header survives only on the minimum
+    doc_id; organic cross-page paragraph collisions (the 31-token salad
+    vocabulary makes some 3-line paragraphs coincide) dedup too. The
+    oracle re-derives winners with row_number() OVER (PARTITION BY
+    paragraph ORDER BY doc_id, para_idx)."""
+    from corenlp_ray.ops.dedup import paragraph_dedup
+
+    def add_header(b: pa.Table) -> pa.Table:
+        txt = [(_SHARED_HEADER + "\n\n" + t) for t in
+               b.column("text").to_pylist()]
+        return b.set_column(b.schema.get_field_index("text"), "text",
+                            pa.array(txt, pa.string()))
+
+    return paragraph_dedup(
+        _webdocs(sf_dir).map_batches(add_header, batch_format="pyarrow"))
+
+
+def paragraph_dedup_planted_sql() -> str:
+    from corenlp_ray.pipelines._sqlfrags import weblines_ctes
+
+    header_sql = _SHARED_HEADER.replace("\n", "' || chr(10) || '")
+    return (
+        f"WITH {weblines_ctes('documents')}, "
+        f"pages AS (SELECT doc_id, '{header_sql}' || chr(10) || chr(10) "
+        "|| text AS text FROM webdocs), "
+        "split AS (SELECT doc_id, string_split(text, chr(10) || "
+        "chr(10)) AS ps FROM pages), "
+        "parts AS (SELECT doc_id, i - 1 AS para_idx, ps[i] AS para "
+        "FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) "
+        "AS i FROM split)), "
+        "kept AS (SELECT doc_id, para_idx, para FROM "
+        "(SELECT doc_id, para_idx, para, row_number() OVER "
+        "(PARTITION BY para ORDER BY doc_id, para_idx) AS rn "
+        "FROM parts) WHERE rn = 1), "
+        "counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras "
+        "FROM parts GROUP BY doc_id) "
+        "SELECT k.doc_id, c.n_paras, "
+        "CAST(count(*) AS BIGINT) AS n_paras_kept, "
+        "string_agg(k.para, chr(10) || chr(10) ORDER BY k.para_idx) "
+        "AS text_dedup FROM kept k JOIN counts c ON k.doc_id = "
+        "c.doc_id GROUP BY k.doc_id, c.n_paras")

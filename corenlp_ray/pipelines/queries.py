@@ -1241,6 +1241,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_perplexity_buckets_planted, perplexity_buckets_planted_sql,
     q_c4_planted, c4_planted_sql,
     q_gopher_planted, gopher_planted_sql,
+    q_paragraph_dedup_planted, paragraph_dedup_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1288,6 +1289,7 @@ ORACLE_SQL["quality_classifier_planted"] = quality_classifier_planted_sql()
 ORACLE_SQL["perplexity_buckets_planted"] = perplexity_buckets_planted_sql()
 ORACLE_SQL["c4_planted"] = c4_planted_sql()
 ORACLE_SQL["gopher_planted"] = gopher_planted_sql()
+ORACLE_SQL["paragraph_dedup_planted"] = paragraph_dedup_planted_sql()
 
 # Promoted from tests/test_webfilters.py DuckDB parity checks (late r4):
 # the same SQL the sf0.001 suites proved, now on the driver surface.
@@ -1398,6 +1400,7 @@ QUERIES = {
     "perplexity_buckets_planted": q_perplexity_buckets_planted,
     "c4_planted": q_c4_planted,
     "gopher_planted": q_gopher_planted,
+    "paragraph_dedup_planted": q_paragraph_dedup_planted,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1455,7 +1458,7 @@ _WINDOW_DEPRIORITIZED = [
     # quality_classifier, decontamination, repetition_stats, c4_clean)
     "lang_counts", "token_count", "doc_quality", "stopword_ratio",
     "dedup_exact", "top_tokens", "event_windows", "hopping_windows",
-    "session_windows",
+    "session_windows", "top_docs_per_lang",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES
