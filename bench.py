@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "repeated_spans_planted",  # substring-level dedup (shingle shuffle)
     "lm_perplexity_planted",  # bigram-LM quality scoring (CCNet shape)
     "semantic_dedup_planted",  # SemDeDup: k-means + in-cluster cosine
+    "quality_classifier_planted",  # hashed-linear quality filter
+    "gopher_rules",           # the 7 Gopher quality gates
+    "perplexity_buckets_planted",  # CCNet head/middle/tail split
+    "paragraph_dedup_planted",  # corpus-wide paragraph dedup
 ]
 
 
