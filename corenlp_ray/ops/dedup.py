@@ -1125,3 +1125,68 @@ def paragraph_dedup(docs_ds, sep: str = "\n\n"):
 
     return kept.groupby("_p2").map_groups(reassemble,
                                           batch_format="pandas")
+
+
+# ------------------------------------------- cross-snapshot incremental ----
+
+def incremental_dedup(new_ds, prior_ds):
+    """Cross-snapshot incremental dedup — the Common-Crawl operating mode
+    where each monthly snapshot is deduplicated against everything
+    already ingested (CCNet processes each new crawl against the prior
+    corpus; same recipe in RefinedWeb §3.3): a NEW document survives iff
+    its exact text hash (a) does not appear in the PRIOR corpus and (b)
+    is the first occurrence (min doc_id) within the new snapshot.
+
+    Output: (doc_id, text_hash, dup_count) — one row per surviving new
+    document, ``dup_count`` = how many new-snapshot docs shared its text.
+
+    Scale shape (the 100-TB path): both sides reduce to thin hash rows
+    before the only all-to-all — the prior corpus ships ONE row per
+    DISTINCT hash per batch (per-batch combiner; at steady state the
+    prior side is a pre-materialized hash index, re-read not recomputed)
+    and the new side ships (doc_id, 16-byte hash). Both co-locate by
+    hash64(text_hash) % npart — routing only; the anti-join and winner
+    pick compare the full md5 STRING inside each partition, so the
+    result is exact with no collision caveat. One vectorized pandas
+    isin + groupby per partition; no driver state, no full-corpus
+    broadcast (the prior index at 10^12 docs is far too big to
+    broadcast — this is precisely the case where a shuffle join is the
+    right call, SURVEY §2.4)."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops._partition import add_partition_column
+
+    npart = _npartitions()
+
+    def thin_new(batch: pa.Table) -> pa.Table:
+        b = fingerprint_batch(batch).select(["doc_id", "text_hash"])
+        b = b.append_column("side", pa.array([0] * b.num_rows,
+                                             type=pa.int32()))
+        return add_partition_column(b, ["text_hash"], npart)
+
+    def thin_prior(batch: pa.Table) -> pa.Table:
+        h = fingerprint_batch(batch).column("text_hash")
+        h = pc.unique(h)  # per-batch combiner: distinct hashes only
+        b = pa.table({"doc_id": pa.array([-1] * len(h), type=pa.int64()),
+                      "text_hash": h,
+                      "side": pa.array([1] * len(h), type=pa.int32())})
+        return add_partition_column(b, ["text_hash"], npart)
+
+    union = (new_ds.map_batches(thin_new, batch_format="pyarrow")
+             .union(prior_ds.map_batches(thin_prior,
+                                         batch_format="pyarrow")))
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        seen = part.loc[part["side"] == 1, "text_hash"]
+        new = part[part["side"] == 0]
+        new = new[~new["text_hash"].isin(set(seen))]
+        if not len(new):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "text_hash": pd.Series([], dtype="str"),
+                                 "dup_count": pd.Series([], dtype="int64")})
+        g = new.groupby("text_hash", sort=False)["doc_id"]
+        return pd.DataFrame({"doc_id": g.min().astype("int64").values,
+                             "text_hash": g.min().index,
+                             "dup_count": g.size().astype("int64").values})
+
+    return union.groupby("_part").map_groups(pick, batch_format="pandas")

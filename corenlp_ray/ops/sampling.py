@@ -153,3 +153,66 @@ def hash_split(ds, fractions, key_col: str = "doc_id", seed: int = 0):
         lambda b: hash_split_batch(b, thresholds, key_col=key_col,
                                    seed=seed),
         batch_format="pyarrow")
+
+
+def mixture_thresholds(counts: Dict[str, int],
+                       weights: Dict[str, int]) -> Dict[str, int]:
+    """Exact integer accept thresholds that rebalance a corpus to a
+    target domain mixture (the data-mixing step of every published LLM
+    recipe — The Pile's per-source epochs, Gopher/MassiveText's
+    sampling proportions, DoReMi's domain weights): given observed
+    per-domain row counts and INTEGER target weights (domain d should
+    contribute w_d / Σw of the sampled corpus), keep domain d at rate
+    ``r_d = w_d · min_e(count_e / w_e) / count_d`` — the largest sample
+    that hits the target mixture exactly without upsampling any domain
+    (the binding domain keeps rate 1).
+
+    Everything is exact integer arithmetic so a DuckDB oracle re-derives
+    the identical accept set: the binding domain minimizes the FLOOR
+    key ``count_d · 2^20 // w_d`` (ties → lexicographically smallest
+    domain), and the returned thresholds are
+    ``min(2^32, 2^32 · w_d · count_b // (w_b · count_d))`` on the mix32
+    decision space. Domains absent from ``weights`` (or with weight 0)
+    get threshold 0 — dropped, matching a mixture that excludes them."""
+    live = sorted((d, int(counts[d]), int(w)) for d, w in weights.items()
+                  if int(w) > 0 and int(counts.get(d, 0)) > 0)
+    if not live:
+        raise ValueError("no domain has both weight > 0 and rows > 0")
+    SCALE = 1 << 20
+    _, cb, wb = min(live, key=lambda t: (t[1] * SCALE // t[2], t[0]))
+    space = 1 << 32
+    return {d: min(space, space * w * cb // (wb * c)) for d, c, w in live}
+
+
+def mixture_sample(ds, weights: Dict[str, int],
+                   domain_col: str = "lang", key_col: str = "doc_id",
+                   seed: int = 0):
+    """Deterministic mixture rebalancing: downsample each domain so the
+    surviving corpus matches the target integer-weight mixture, keeping
+    the binding (scarcest-relative-to-target) domain whole.
+
+    Scale shape: ONE cheap pre-pass — a native groupby-count over just
+    the domain column (per-batch combiner inside Ray's aggregate; the
+    result is one row per domain, thousands at most) — then the same
+    stateless hash-filter as ``hash_sample``: no shuffle of the corpus,
+    no state, decisions are pure functions of (domain, key) so resumed
+    partitions and different cluster sizes reproduce the sample
+    byte-identically."""
+    cnt_rows = ds.select_columns([domain_col]).groupby(
+        domain_col).count().take_all()
+    counts = {r[domain_col]: r["count()"] for r in cnt_rows}
+    thr = mixture_thresholds(counts, weights)
+    items = sorted(thr.items())
+    q_doms = pa.array([d for d, _ in items], type=pa.string())
+    q_thr = np.array([t for _, t in items] + [0], dtype=np.uint64)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.fill_null(
+            pc.index_in(batch.column(domain_col), value_set=q_doms),
+            len(items)).to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(mix32(keys, seed=seed) < q_thr[idx]))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

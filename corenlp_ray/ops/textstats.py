@@ -210,3 +210,57 @@ def grouped_top_k(ds, key: str, order_col: str, k: int = 3):
 
     partial = ds.map_batches(local_topk, batch_format="pandas")
     return partial.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def inverted_index(docs_ds, min_df: int = 2, max_postings: int = 32):
+    """Distributed inverted-index construction — the web-corpus search /
+    retrieval primitive: token → (exact document frequency, the first
+    ``max_postings`` doc_ids ascending as a comma-joined postings
+    string). Token convention matches ``top_tokens``: non-empty runs of
+    [a-z] in the lowercased text, DISTINCT per document.
+
+    Scale shape: the per-batch kernel reduces each batch to thin
+    DISTINCT (token, doc_id) pairs in one vectorized polars pass, so
+    the single all-to-all (groupby token) never carries text. The
+    postings cap is part of the CONTRACT, not a silent drop — ``df``
+    stays exact for every term, and min-doc_id-first truncation is
+    deterministic (at 10^12 docs a stopword's full postings list is
+    petabyte-shaped; exact df + bounded postings is the classic
+    index-shard layout). ``min_df`` prunes hapax noise after the
+    aggregate.
+
+    Oracle: unnest(regexp_split_to_array(lower(text), '[^a-z]+')) pairs
+    → count(*) + array_to_string(list(doc_id ORDER BY doc_id)[1:N])."""
+    import polars as pl
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False),
+            "text": batch.column("text").to_pylist()})
+        out = (df.with_columns(
+                   pl.col("text").str.to_lowercase()
+                   .str.extract_all(r"[a-z]+").alias("token"))
+               .drop("text").explode("token")
+               .drop_nulls("token").unique(["token", "doc_id"]))
+        return out.select(["token", "doc_id"]).to_arrow()
+
+    thin = docs_ds.map_batches(pairs, batch_format="pyarrow")
+
+    def build(part) -> "pd.DataFrame":
+        import pandas as pd
+
+        part = part.sort_values(["token", "doc_id"])
+        g = part.groupby("token", sort=False)["doc_id"]
+        out = pd.DataFrame({
+            "token": g.size().index,
+            "df": g.size().astype("int64").values,
+            "postings": g.agg(lambda s: ",".join(
+                map(str, s.iloc[:max_postings]))).values,
+        })
+        return out[out["df"] >= min_df].reset_index(drop=True)
+
+    from corenlp_ray.ops.dedup import partitioned_group_apply
+
+    return partitioned_group_apply(thin, ["token"], build,
+                                   inner_is_partition=True)

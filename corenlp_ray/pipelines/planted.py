@@ -1976,3 +1976,67 @@ def paragraph_dedup_planted_sql() -> str:
         "string_agg(k.para, chr(10) || chr(10) ORDER BY k.para_idx) "
         "AS text_dedup FROM kept k JOIN counts c ON k.doc_id = "
         "c.doc_id GROUP BY k.doc_id, c.n_paras")
+
+
+# ------------------------------------- cross-snapshot incremental dedup ----
+
+def q_incremental_dedup_planted(sf_dir: str):
+    """Cross-snapshot incremental dedup (ops/dedup.incremental_dedup):
+    the PRIOR corpus is every doc with doc_id % 3 == 0, the NEW
+    snapshot is the rest (CCNet's per-crawl operating mode). Two
+    planted duplicate families make both dedup modes non-trivial on
+    the all-distinct test corpus: docs with doc_id % 7 == 0 share 13
+    'XSNAP k' texts that straddle both snapshots (anti-joined away),
+    and docs with doc_id % 7 == 1 ∧ doc_id % 3 != 0 share 5 'NEWDUP k'
+    texts that exist ONLY in the new snapshot (each survives once with
+    dup_count > 1). The oracle re-derives the planting, the md5
+    fingerprints, the prior anti-join and the min-doc_id winner pick
+    in SQL."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.dedup import incremental_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(ids, b.column("text").to_pylist()):
+            if i % 7 == 0:
+                out.append(f"XSNAP {i % 13}")
+            elif i % 7 == 1 and i % 3 != 0:
+                out.append(f"NEWDUP {i % 5}")
+            else:
+                out.append(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+
+    def _mod3(batch: pa.Table, want_zero: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % 3 == 0) if want_zero else (ids % 3 != 0)
+        return batch.filter(pa.array(mask))
+
+    prior = planted.map_batches(lambda b: _mod3(b, True),
+                                batch_format="pyarrow")
+    new = planted.map_batches(lambda b: _mod3(b, False),
+                              batch_format="pyarrow")
+    return incremental_dedup(new, prior)
+
+
+def incremental_dedup_planted_sql() -> str:
+    return (
+        "WITH p AS (SELECT doc_id, CASE "
+        "WHEN doc_id % 7 = 0 THEN 'XSNAP ' || CAST(doc_id % 13 AS VARCHAR) "
+        "WHEN doc_id % 7 = 1 AND doc_id % 3 <> 0 THEN "
+        "'NEWDUP ' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE text END AS text FROM documents), "
+        "h AS (SELECT doc_id, md5(text) AS text_hash FROM p), "
+        "prior AS (SELECT DISTINCT text_hash FROM h WHERE doc_id % 3 = 0), "
+        "nw AS (SELECT * FROM h WHERE doc_id % 3 <> 0) "
+        "SELECT min(doc_id) AS doc_id, text_hash, "
+        "CAST(count(*) AS BIGINT) AS dup_count FROM nw "
+        "WHERE text_hash NOT IN (SELECT text_hash FROM prior) "
+        "GROUP BY text_hash")

@@ -93,6 +93,54 @@ def q_lang_counts(sf_dir: str):
             .groupby("lang").aggregate(Count(alias_name="n_docs")))
 
 
+def q_inverted_index(sf_dir: str):
+    """token → exact df + first-32 postings (ops/textstats.inverted_index);
+    thin DISTINCT (token, doc_id) pairs per batch feed the one all-to-all."""
+    from corenlp_ray.ops.textstats import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]),
+                          min_df=2, max_postings=32)
+
+
+# target mixture for the documents corpus: en-heavy with the long tail
+# downweighted — the binding domain keeps rate 1 and every threshold is
+# exact integer arithmetic (ops/sampling.mixture_thresholds)
+_MIXTURE_WEIGHTS = {"en": 4, "fr": 2, "es": 2, "de": 1, "zh": 1}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Rebalance the corpus to a target language mixture
+    (ops/sampling.mixture_sample — the Pile/MassiveText data-mixing
+    step): one tiny groupby-count pre-pass, then a stateless
+    hash-filter; the oracle re-derives counts, the binding domain and
+    the integer thresholds in HUGEINT SQL."""
+    from corenlp_ray.ops.sampling import mixture_sample
+
+    return mixture_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                          _MIXTURE_WEIGHTS, domain_col="lang")
+
+
+def _mixture_sample_sql() -> str:
+    from corenlp_ray.ops.sampling import mix32_sql
+
+    wsql = ", ".join(f"('{d}', {w})" for d, w in
+                     sorted(_MIXTURE_WEIGHTS.items()))
+    return (
+        f"WITH w(lang, w) AS (VALUES {wsql}), "
+        "cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang), "
+        "j AS (SELECT cnt.lang, CAST(c AS HUGEINT) AS c, "
+        "CAST(w AS HUGEINT) AS w FROM cnt JOIN w USING(lang) "
+        "WHERE w > 0 AND c > 0), "
+        "b AS (SELECT c AS cb, w AS wb FROM j "
+        "ORDER BY (c * 1048576) // w, lang LIMIT 1), "
+        "thr AS (SELECT j.lang, LEAST(CAST(4294967296 AS HUGEINT), "
+        "(CAST(4294967296 AS HUGEINT) * j.w * b.cb) // (b.wb * j.c)) "
+        "AS t FROM j, b) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "JOIN thr ON d.lang = thr.lang "
+        f"WHERE {mix32_sql('d.doc_id')} < thr.t")
+
+
 def q_event_windows(sf_dir: str):
     import ray.data as rd
 
@@ -187,6 +235,13 @@ ORACLE_SQL = {
         "GROUP BY t ORDER BY cnt DESC, token ASC LIMIT 100"),
     "lang_counts": (
         "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"),
+    "inverted_index": (
+        "WITH pairs AS (SELECT DISTINCT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')) "
+        "AS token FROM documents) "
+        "SELECT token, count(*) AS df, array_to_string("
+        "(list(doc_id ORDER BY doc_id))[1:32], ',') AS postings "
+        "FROM pairs GROUP BY token HAVING count(*) >= 2"),
     "event_windows": (
         "SELECT user_id, date_trunc('hour', ts) AS window_start, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
@@ -1242,6 +1297,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_c4_planted, c4_planted_sql,
     q_gopher_planted, gopher_planted_sql,
     q_paragraph_dedup_planted, paragraph_dedup_planted_sql,
+    q_incremental_dedup_planted, incremental_dedup_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1290,6 +1346,8 @@ ORACLE_SQL["perplexity_buckets_planted"] = perplexity_buckets_planted_sql()
 ORACLE_SQL["c4_planted"] = c4_planted_sql()
 ORACLE_SQL["gopher_planted"] = gopher_planted_sql()
 ORACLE_SQL["paragraph_dedup_planted"] = paragraph_dedup_planted_sql()
+ORACLE_SQL["incremental_dedup_planted"] = incremental_dedup_planted_sql()
+ORACLE_SQL["mixture_sample"] = _mixture_sample_sql()
 
 # Promoted from tests/test_webfilters.py DuckDB parity checks (late r4):
 # the same SQL the sf0.001 suites proved, now on the driver surface.
@@ -1401,6 +1459,9 @@ QUERIES = {
     "c4_planted": q_c4_planted,
     "gopher_planted": q_gopher_planted,
     "paragraph_dedup_planted": q_paragraph_dedup_planted,
+    "incremental_dedup_planted": q_incremental_dedup_planted,
+    "mixture_sample": q_mixture_sample,
+    "inverted_index": q_inverted_index,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1459,6 +1520,12 @@ _WINDOW_DEPRIORITIZED = [
     "lang_counts", "token_count", "doc_quality", "stopword_ratio",
     "dedup_exact", "top_tokens", "event_windows", "hopping_windows",
     "session_windows", "top_docs_per_lang",
+    # driver-verified green in r3 — these yield their slots to the three
+    # post-r3 session-2 oracles (incremental_dedup_planted,
+    # mixture_sample, inverted_index) so the never-driver-verified
+    # late-r4 promotions (decontamination, gopher_rules, c4_clean) keep
+    # theirs
+    "dedup_corpus", "ann_topk", "cosine_pairs",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

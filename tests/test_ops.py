@@ -391,3 +391,50 @@ def test_minhash_broadcast_and_joinback_regimes_agree(ray_session,
     monkeypatch.setattr(dd, "_SIG_BROADCAST_MAX", -1)
     joinback = edges()                        # forced join-back path
     assert broadcast == joinback and broadcast
+
+
+def test_incremental_dedup_handcrafted(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.dedup import incremental_dedup
+
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["alpha", "beta", "beta"]}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": ["beta",        # in prior → dropped
+                 "gamma", "gamma",  # new-only dup → survives once, n=2
+                 "alpha",       # in prior → dropped
+                 "delta"]}))    # unique new → survives, n=1
+    out = (incremental_dedup(new, prior).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert out["doc_id"].tolist() == [11, 14]
+    assert out["dup_count"].tolist() == [2, 1]
+    # hash routing is repartition-invariant
+    out2 = (incremental_dedup(new.repartition(5), prior.repartition(3))
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+def test_inverted_index_handcrafted(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.textstats import inverted_index
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": ["the cat the CAT",   # 'the'/'cat' distinct per doc
+                 "the dog",
+                 "a cat"]}))
+    out = (inverted_index(docs, min_df=2, max_postings=2).to_pandas()
+           .sort_values("token", ignore_index=True))
+    # 'the' df=2 (docs 1,3), 'cat' df=2 (docs 2,3); 'dog'/'a' df=1 pruned
+    assert out["token"].tolist() == ["cat", "the"]
+    assert out["df"].tolist() == [2, 2]
+    assert out["postings"].tolist() == ["2,3", "1,3"]
+    # the postings CAP truncates deterministically while df stays exact
+    out2 = (inverted_index(docs, min_df=2, max_postings=1).to_pandas()
+            .sort_values("token", ignore_index=True))
+    assert out2["df"].tolist() == [2, 2]
+    assert out2["postings"].tolist() == ["2", "1"]

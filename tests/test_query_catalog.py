@@ -51,3 +51,24 @@ def test_query_matches_oracle(name, ray_session, duck):
 
 def test_every_oracle_has_a_query():
     assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_window_holds_all_unverified_oracles():
+    """Union-maximizing window rotation: every oracle that has never
+    been driver-verified (green in no committed CORRECTNESS_r*.json)
+    must sit inside the driver's 50-slot correctness window."""
+    import glob
+    import json
+    import os
+
+    from corenlp_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    verified = set()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for k, v in json.load(open(p)).items():
+            if v.get("hash_match"):
+                verified.add(k)
+    window = set(list(QUERIES)[:50])
+    never = {k for k in ORACLE_SQL if k not in verified}
+    assert never <= window, sorted(never - window)

@@ -205,3 +205,46 @@ def test_hash_split_validates_fractions(ray_session):
         split_thresholds({"a": 0.5, "b": 0.2})
     ths = split_thresholds({"a": 0.5, "b": 0.5})
     assert ths[-1] == ("b", 1 << 32)
+
+
+# ------------------------------------------------------ mixture sample ----
+
+def test_mixture_thresholds_exact_integers():
+    from corenlp_ray.ops.sampling import mixture_thresholds
+
+    counts = {"en": 400, "de": 100, "zh": 50}
+    # target mixture 2:1:1 → binding domain = zh (50/1 < 100/1 < 400/2)
+    thr = mixture_thresholds(counts, {"en": 2, "de": 1, "zh": 1})
+    space = 1 << 32
+    assert thr["zh"] == space                      # binding: rate 1
+    assert thr["de"] == space * 1 * 50 // (1 * 100)  # rate 1/2
+    assert thr["en"] == space * 2 * 50 // (1 * 400)  # rate 1/4
+    # a domain absent from weights (or weight 0) is dropped entirely
+    thr2 = mixture_thresholds(counts, {"en": 1, "de": 1})
+    assert "zh" not in thr2
+    with pytest.raises(ValueError):
+        mixture_thresholds({"en": 5}, {"de": 1})
+
+
+def test_mixture_sample_matches_threshold_decisions(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.sampling import (mix32, mixture_sample,
+                                          mixture_thresholds)
+
+    n = 600
+    doms = np.array(["en", "de", "zh"])[np.arange(n) % 3]
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "lang": pa.array(doms, pa.string())})
+    W = {"en": 2, "de": 1, "zh": 1}
+    got = mixture_sample(rd.from_arrow(tbl), W, domain_col="lang") \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    thr = mixture_thresholds({"en": 200, "de": 200, "zh": 200}, W)
+    keys = np.arange(n, dtype=np.int64)
+    keep = mix32(keys) < np.array([thr[d] for d in doms], dtype=np.uint64)
+    assert got["doc_id"].tolist() == keys[keep].tolist()
+    # cluster-size invariance: decisions are pure functions of the row
+    got2 = mixture_sample(rd.from_arrow(tbl).repartition(11), W,
+                          domain_col="lang").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert got2["doc_id"].tolist() == got["doc_id"].tolist()
