@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "gopher_rules",           # the 7 Gopher quality gates
     "perplexity_buckets_planted",  # CCNet head/middle/tail split
     "paragraph_dedup_planted",  # corpus-wide paragraph dedup
+    "incremental_dedup_planted",  # cross-snapshot anti-join dedup
+    "inverted_index",         # token → df + postings (thin-pair shuffle)
+    "triangle_planted",       # degree-ordered triangle counting
+    "hll_registers",          # HyperLogLog registers (combiner shape)
 ]
 
 

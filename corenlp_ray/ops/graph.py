@@ -117,3 +117,115 @@ def pagerank(edges_ds, iterations: int = 3, damping: float = 0.85,
                                   batch_format="pyarrow").materialize()
 
     return rank
+
+
+def triangle_count(edges_ds, src_col: str = "subj", dst_col: str = "obj"):
+    """Per-node triangle participation counts over the UNDIRECTED simple
+    graph induced by ``edges_ds`` (direction ignored, self-loops and
+    parallel edges dropped). Returns (node: string, n_tri: int64) for
+    every node that closes at least one triangle; ``sum(n_tri) / 3`` is
+    the global triangle count.
+
+    Distributed shape — the degree-ordered orientation algorithm
+    (Schank-Wagner / Cohen's MapReduce formulation): orient every
+    undirected edge from its lower-(degree, node) endpoint to its
+    higher one, which bounds every out-neighborhood by O(√m) and makes
+    wedge generation O(m^1.5) TOTAL, independent of hot-vertex skew (a
+    celebrity node with 10^6 in-edges generates NO wedges from those
+    edges — exactly why plain u-groupby wedge counting dies at 100 TB
+    and this one doesn't). Three steps, each a bounded all-to-all:
+      1. degree aggregate over the distinct edge list (native groupby);
+      2. wedge generation — oriented adjacency co-partitioned by
+         center u, one vectorized pandas self-merge per partition;
+      3. wedge ⋈ oriented-edges on (v, w) (bucketed hash join), then a
+         3-way unpivot + one final count aggregate per corner node."""
+    from ray.data.aggregate import Count, Sum
+
+    from corenlp_ray.ops.dedup import partitioned_group_apply
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    # ---- distinct undirected edges as (lo, hi), self-loops dropped ----
+    def undirect(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s, d = b.column(src_col), b.column(dst_col)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        t = pa.table({"lo": lo, "hi": hi})
+        return t.filter(pc.not_equal(t.column("lo"), t.column("hi")))
+
+    # materialized: the distinct edge list IS the graph (≪ corpus) and
+    # feeds BOTH the degree aggregate and the orientation join — a lazy
+    # Dataset re-executes its upstream once per consumer
+    edges = (edges_ds.select_columns([src_col, dst_col])
+             .map_batches(undirect, batch_format="pyarrow")
+             .groupby(["lo", "hi"]).aggregate(Count())
+             .select_columns(["lo", "hi"])).materialize()
+
+    # ---- degrees (over the deduped undirected edge list) ----
+    def both_ends(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([b.column("lo").combine_chunks().cast(pa.string()),
+                                  b.column("hi").combine_chunks().cast(pa.string())])
+        return pa.table({"node": nodes})
+
+    # materialized: one row per vertex, consumed by both endpoint joins
+    deg = (edges.map_batches(both_ends, batch_format="pyarrow")
+           .groupby("node")
+           .aggregate(Count(alias_name="deg"))).materialize()
+
+    # ---- orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v) ----
+    e_lo = bucketed_hash_join(
+        edges, deg.map_batches(
+            lambda b: b.rename_columns(["lo", "deg_lo"]),
+            batch_format="pyarrow"), on="lo")
+    e_both = bucketed_hash_join(
+        e_lo, deg.map_batches(
+            lambda b: b.rename_columns(["hi", "deg_hi"]),
+            batch_format="pyarrow"), on="hi")
+
+    def orient(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b.column("lo").to_pylist(), dtype=object)
+        hi = np.asarray(b.column("hi").to_pylist(), dtype=object)
+        dl = b.column("deg_lo").to_numpy(zero_copy_only=False)
+        dh = b.column("deg_hi").to_numpy(zero_copy_only=False)
+        fwd = (dl < dh) | ((dl == dh) & (lo < hi))
+        return pa.table({"u": pa.array(np.where(fwd, lo, hi), pa.string()),
+                         "v": pa.array(np.where(fwd, hi, lo), pa.string()),
+                         "dv_key": pa.array(np.where(fwd, dh, dl),
+                                            pa.int64()),
+                         "dv_node": pa.array(np.where(fwd, hi, lo),
+                                             pa.string())})
+
+    # materialized: consumed twice (wedge centers + closing-edge side)
+    oriented = e_both.map_batches(orient,
+                                  batch_format="pyarrow").materialize()
+
+    # ---- wedges: per-center self-merge over (deg, node)-sorted out-nbrs
+    import pandas as pd
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[["u", "v", "dv_key", "dv_node"]]
+        m = left.merge(left, on="u", suffixes=("_a", "_b"))
+        m = m[(m["dv_key_a"] < m["dv_key_b"])
+              | ((m["dv_key_a"] == m["dv_key_b"])
+                 & (m["dv_node_a"] < m["dv_node_b"]))]
+        return pd.DataFrame({"u": m["u"].values, "v": m["v_a"].values,
+                             "w": m["v_b"].values})
+
+    wedge_ds = partitioned_group_apply(oriented, ["u"], wedges,
+                                       inner_is_partition=True)
+
+    closing = oriented.map_batches(
+        lambda b: b.select(["u", "v"]).rename_columns(["v", "w"]),
+        batch_format="pyarrow")
+    tri = bucketed_hash_join(wedge_ds, closing, on=["v", "w"])
+
+    # ---- unpivot corners, count per node ----
+    def corners(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            b.column(c).combine_chunks().cast(pa.string())
+            for c in ("u", "v", "w")])
+        return pa.table({"node": nodes})
+
+    return (tri.map_batches(corners, batch_format="pyarrow")
+            .groupby("node").aggregate(Count(alias_name="n_tri")))

@@ -2040,3 +2040,49 @@ def incremental_dedup_planted_sql() -> str:
         "CAST(count(*) AS BIGINT) AS dup_count FROM nw "
         "WHERE text_hash NOT IN (SELECT text_hash FROM prior) "
         "GROUP BY text_hash")
+
+
+# --------------------------------------------------- triangle counting ----
+
+def q_triangle_planted(sf_dir: str):
+    """Per-node triangle counts (ops/graph.triangle_count) over a
+    deterministic 37-node graph synthesized from documents: each doc
+    contributes the edge (doc_id % 37) → (doc_id % 37 + 1 + doc_id % 2)
+    mod 37, i.e. the ring plus distance-2 chords — every residue class
+    is populated at sf ≥ 0.001, so the undirected simple graph is
+    exactly C37 + chords and every node closes 3 triangles. Parallel
+    edges, both orientations and the odd/even families exercise the
+    dedup / orientation / wedge-join path; the oracle re-derives the
+    construction and counts corners with a three-way self-join."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.graph import triangle_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        r = ids % 37
+        s = [f"n{v}" for v in r]
+        o = [f"n{v}" for v in (r + 1 + ids % 2) % 37]
+        return pa.table({"subj": pa.array(s, pa.string()),
+                         "obj": pa.array(o, pa.string())})
+
+    return triangle_count(docs.map_batches(synth, batch_format="pyarrow"))
+
+
+def triangle_planted_sql() -> str:
+    return (
+        "WITH raw AS (SELECT 'n' || CAST(doc_id % 37 AS VARCHAR) AS s, "
+        "'n' || CAST((doc_id % 37 + 1 + doc_id % 2) % 37 AS VARCHAR) "
+        "AS o FROM documents), "
+        "e AS (SELECT DISTINCT least(s, o) AS lo, greatest(s, o) AS hi "
+        "FROM raw WHERE s <> o), "
+        "tri AS (SELECT a.lo AS x, a.hi AS y, b.hi AS z FROM e a "
+        "JOIN e b ON a.lo = b.lo AND a.hi < b.hi "
+        "JOIN e c ON c.lo = a.hi AND c.hi = b.hi), "
+        "corners AS (SELECT x AS node FROM tri UNION ALL "
+        "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+        "SELECT node, CAST(count(*) AS BIGINT) AS n_tri "
+        "FROM corners GROUP BY node")

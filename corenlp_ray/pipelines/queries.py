@@ -141,6 +141,40 @@ def _mixture_sample_sql() -> str:
         f"WHERE {mix32_sql('d.doc_id')} < thr.t")
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog cardinality registers of documents.text
+    (ops/sketches.hll_registers, p=8): per-batch combiner partials,
+    one ≤ 256-row groupby-max; the oracle re-derives every bucket and
+    rho from the shared md5-u64 in HUGEINT SQL."""
+    from corenlp_ray.ops.sketches import hll_registers
+
+    return hll_registers(_docs(sf_dir, ["doc_id", "text"]),
+                         col="text", p=8)
+
+
+_BLOOM_M, _BLOOM_K = 1 << 10, 3
+
+
+def q_bloom_probe(sf_dir: str):
+    """Bloom-filter membership (ops/sketches.bloom_build/probe): build
+    over the even-doc_id half's texts (m=1024 bits, k=3 — sized so the
+    false-positive path is actually exercised), probe every document.
+    Bit-exact oracle: every even doc hits; an odd doc hits iff its k
+    positions all collide with set bits — the SQL re-derives the same
+    double-hashed positions, so even the false positives match."""
+    from corenlp_ray.ops.sketches import bloom_build, bloom_probe
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def even(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 2 == 0))
+
+    pos = bloom_build(docs.map_batches(even, batch_format="pyarrow"),
+                      col="text", m=_BLOOM_M, k=_BLOOM_K)
+    return bloom_probe(docs, pos, col="text", m=_BLOOM_M, k=_BLOOM_K)
+
+
 def q_event_windows(sf_dir: str):
     import ray.data as rd
 
@@ -1298,6 +1332,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_gopher_planted, gopher_planted_sql,
     q_paragraph_dedup_planted, paragraph_dedup_planted_sql,
     q_incremental_dedup_planted, incremental_dedup_planted_sql,
+    q_triangle_planted, triangle_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1348,6 +1383,20 @@ ORACLE_SQL["gopher_planted"] = gopher_planted_sql()
 ORACLE_SQL["paragraph_dedup_planted"] = paragraph_dedup_planted_sql()
 ORACLE_SQL["incremental_dedup_planted"] = incremental_dedup_planted_sql()
 ORACLE_SQL["mixture_sample"] = _mixture_sample_sql()
+ORACLE_SQL["triangle_planted"] = triangle_planted_sql()
+
+
+def _sketch_oracles() -> dict:
+    from corenlp_ray.ops.sketches import bloom_probe_sql, hll_registers_sql
+
+    return {
+        "hll_registers": hll_registers_sql("documents", "text", p=8),
+        "bloom_probe": bloom_probe_sql("doc_id % 2 = 0",
+                                       m=_BLOOM_M, k=_BLOOM_K),
+    }
+
+
+ORACLE_SQL.update(_sketch_oracles())
 
 # Promoted from tests/test_webfilters.py DuckDB parity checks (late r4):
 # the same SQL the sf0.001 suites proved, now on the driver surface.
@@ -1462,6 +1511,9 @@ QUERIES = {
     "incremental_dedup_planted": q_incremental_dedup_planted,
     "mixture_sample": q_mixture_sample,
     "inverted_index": q_inverted_index,
+    "triangle_planted": q_triangle_planted,
+    "hll_registers": q_hll_registers,
+    "bloom_probe": q_bloom_probe,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1526,6 +1578,9 @@ _WINDOW_DEPRIORITIZED = [
     # late-r4 promotions (decontamination, gopher_rules, c4_clean) keep
     # theirs
     "dedup_corpus", "ann_topk", "cosine_pairs",
+    # driver-verified green in r3 — yield slots to the session-3 sketch
+    # and graph oracles (triangle_planted, hll_registers, bloom_probe)
+    "extract_planted", "tokenize_planted", "multimodal_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -72,3 +72,32 @@ def test_pagerank_block_layout_invariant(ray_session):
     assert set(ma) == set(mb)
     for v in ma:
         assert abs(ma[v] - mb[v]) < 1e-12
+
+
+def test_triangle_count_k4_with_noise(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.graph import triangle_count
+
+    # K4 on a,b,c,d (every node in 3 triangles) + a pendant edge d-e,
+    # plus duplicate / reversed / self edges that must all collapse
+    edges = pa.table({
+        "subj": ["a", "a", "a", "b", "b", "c", "d", "c", "a", "e"],
+        "obj":  ["b", "c", "d", "c", "d", "d", "e", "b", "a", "e"]})
+    out = (triangle_count(rd.from_arrow(edges)).to_pandas()
+           .sort_values("node", ignore_index=True))
+    assert out["node"].tolist() == ["a", "b", "c", "d"]
+    assert out["n_tri"].tolist() == [3, 3, 3, 3]
+
+
+def test_triangle_count_triangle_free(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.graph import triangle_count
+
+    # C4 is triangle-free
+    edges = pa.table({"subj": ["a", "b", "c", "d"],
+                      "obj": ["b", "c", "d", "a"]})
+    assert triangle_count(rd.from_arrow(edges)).count() == 0
