@@ -185,3 +185,72 @@ def bloom_probe_sql(corpus_where: str, m: int = 1 << 16,
         f"FROM ph, range({k}) t(i)) "
         "SELECT doc_id, CAST(bool_and(p IN (SELECT p FROM pos)) "
         "AS BIGINT) AS bloom_hit FROM probes GROUP BY doc_id")
+
+
+# -------------------------------------------------- count-min sketch ----
+
+def cms_partial_batch(batch: pa.Table, col: str = "text",
+                      d: int = 4, w: int = 256) -> pa.Table:
+    """One batch → its non-zero count-min cells (row, cell, n): d
+    independent rows of w counters, row i incremented at
+    ``(h_lo + (i+1) * h_hi) mod w`` per value occurrence (the same
+    double-hashed family as the Bloom filter, offset by one so the two
+    sketches' position streams differ)."""
+    h = md5_u64(batch.column(col).to_pylist())
+    lo = (h & _U64(0xFFFFFFFF)).astype(np.int64)
+    hi = (h >> _U64(32)).astype(np.int64)
+    counts = np.zeros((d, w), dtype=np.int64)
+    for i in range(d):
+        np.add.at(counts[i], (lo + (i + 1) * hi) % w, 1)
+    rows, cells = np.nonzero(counts)
+    return pa.table({"row": pa.array(rows.astype(np.int64), pa.int64()),
+                     "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                     "n": pa.array(counts[rows, cells], pa.int64())})
+
+
+def count_min(ds, col: str = "text", d: int = 4, w: int = 256):
+    """Distributed count-min sketch of a string column: per-batch
+    partial grids (the combiner — at most d·w rows per batch leave the
+    map side regardless of batch size), one d·w-row groupby-sum.
+    Output (row, cell, n) for every non-zero cell; sketches of shards
+    merge by cell-wise ADD, so snapshots accumulate for free.
+
+    Point estimate for a value v: ``min_i grid[i][pos_i(v)]`` — an
+    overestimate by at most εN with ε = e/w at the standard depth
+    (Cormode-Muthukrishnan 2005). The DuckDB oracle re-derives every
+    cell exactly (no approximation in the COMPARISON — the sketch's
+    estimation error is a property of reads, not of the grid)."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: cms_partial_batch(b, col=col, d=d, w=w),
+        batch_format="pyarrow")
+    return (partial.groupby(["row", "cell"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def count_min_sql(table: str, col: str, d: int = 4, w: int = 256) -> str:
+    """DuckDB mirror of :func:`count_min` — identical md5-u64 and
+    double-hashed cell positions, one row per non-zero cell."""
+    h = md5_u64_sql(col)
+    return (
+        f"WITH h AS (SELECT {h} AS h64 FROM {table}), "
+        "pos AS (SELECT i AS row, CAST((h64 % 4294967296 + "
+        f"(i + 1) * (h64 // 4294967296)) % {w} AS BIGINT) AS cell "
+        f"FROM h, range({d}) t(i)) "
+        "SELECT CAST(row AS BIGINT) AS row, cell, "
+        "CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY row, cell")
+
+
+def cms_estimate(grid, values: List[str], d: int = 4, w: int = 256):
+    """Driver-side point estimates from a (row, cell, n) frame."""
+    g = np.zeros((d, w), dtype=np.int64)
+    g[np.asarray(grid["row"]), np.asarray(grid["cell"])] = \
+        np.asarray(grid["n"])
+    h = md5_u64(values)
+    lo = (h & _U64(0xFFFFFFFF)).astype(np.int64)
+    hi = (h >> _U64(32)).astype(np.int64)
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        est = np.minimum(est, g[i, (lo + (i + 1) * hi) % w])
+    return est

@@ -152,6 +152,17 @@ def q_hll_registers(sf_dir: str):
                          col="text", p=8)
 
 
+def q_count_min(sf_dir: str):
+    """Count-min sketch of documents.lang (ops/sketches.count_min,
+    d=4 × w=256): per-batch partial grids are the combiner, one
+    ≤ d·w-row groupby-sum; the oracle recomputes every non-zero cell
+    from the shared md5-u64 in HUGEINT SQL."""
+    from corenlp_ray.ops.sketches import count_min
+
+    return count_min(_docs(sf_dir, ["doc_id", "lang"]),
+                     col="lang", d=4, w=256)
+
+
 _BLOOM_M, _BLOOM_K = 1 << 10, 3
 
 
@@ -1387,12 +1398,14 @@ ORACLE_SQL["triangle_planted"] = triangle_planted_sql()
 
 
 def _sketch_oracles() -> dict:
-    from corenlp_ray.ops.sketches import bloom_probe_sql, hll_registers_sql
+    from corenlp_ray.ops.sketches import (bloom_probe_sql, count_min_sql,
+                                          hll_registers_sql)
 
     return {
         "hll_registers": hll_registers_sql("documents", "text", p=8),
         "bloom_probe": bloom_probe_sql("doc_id % 2 = 0",
                                        m=_BLOOM_M, k=_BLOOM_K),
+        "count_min": count_min_sql("documents", "lang", d=4, w=256),
     }
 
 
@@ -1514,6 +1527,7 @@ QUERIES = {
     "triangle_planted": q_triangle_planted,
     "hll_registers": q_hll_registers,
     "bloom_probe": q_bloom_probe,
+    "count_min": q_count_min,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1579,8 +1593,10 @@ _WINDOW_DEPRIORITIZED = [
     # theirs
     "dedup_corpus", "ann_topk", "cosine_pairs",
     # driver-verified green in r3 — yield slots to the session-3 sketch
-    # and graph oracles (triangle_planted, hll_registers, bloom_probe)
+    # and graph oracles (triangle_planted, hll_registers, bloom_probe,
+    # count_min)
     "extract_planted", "tokenize_planted", "multimodal_planted",
+    "ivf_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -87,3 +87,29 @@ def test_bloom_exact_membership_and_fp_parity(ray_session):
     assert out["bloom_hit"][200:].to_numpy().astype(bool).tolist() \
         == expect.tolist()
     assert expect.any()  # the FP path is genuinely exercised
+
+
+def test_count_min_matches_exact_and_estimates(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.sketches import (cms_estimate, count_min,
+                                          count_min_sql)
+
+    # heavy hitter 'en' ×300, tail values ×1 each
+    vals = ["en"] * 300 + [f"tail {i}" for i in range(100)]
+    tbl = pa.table({"text": pa.array(vals, pa.string())})
+    grid = count_min(rd.from_arrow(tbl).repartition(9),
+                     d=4, w=128).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(count_min_sql("t", "text", d=4, w=128)).fetchdf()
+    key = ["row", "cell"]
+    pd.testing.assert_frame_equal(
+        grid.sort_values(key, ignore_index=True),
+        want.sort_values(key, ignore_index=True), check_dtype=False)
+    # point estimates: never under the true count, heavy hitter ≈ exact
+    est = cms_estimate(grid, ["en", "tail 0", "absent"], d=4, w=128)
+    assert est[0] >= 300 and est[0] <= 300 + 100  # overcount ≤ εN
+    assert est[1] >= 1
+    # grid total mass = d × corpus size (conservation under the shuffle)
+    assert int(grid["n"].sum()) == 4 * len(vals)
