@@ -2086,3 +2086,65 @@ def triangle_planted_sql() -> str:
         "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
         "SELECT node, CAST(count(*) AS BIGINT) AS n_tri "
         "FROM corners GROUP BY node")
+
+
+# ----------------------------------------------------------- range join ----
+
+_RJ_BASE_US = 1_704_067_200_000_000          # TIMESTAMP '2024-01-01' in µs
+_RJ_DAY_US = 86_400_000_000
+_RJ_SPAN_US = 36 * 3_600_000_000
+
+
+def q_range_join_planted(sf_dir: str):
+    """Interval (range) join (ops/joins.range_join): per distinct
+    events user, three 36-hour maintenance windows starting
+    2024-01-01 + (user_id % 28) days + k·5 days; every event pairs
+    with each of its user's windows containing its timestamp
+    (lo ≤ ts < hi). Windows straddle day buckets and users overlap, so
+    the bucket-replication path, the key equi-merge and the range
+    filter are all exercised; the oracle is the plain BETWEEN join."""
+    import numpy as np
+    import ray.data as rd
+
+    from corenlp_ray.ops.joins import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        uids = np.unique(b.column("user_id").to_numpy(
+            zero_copy_only=False))
+        iid, uu, lo = [], [], []
+        for u in uids:
+            for k in range(3):
+                iid.append(int(u) * 3 + k)
+                uu.append(int(u))
+                lo.append(_RJ_BASE_US + int(u % 28) * _RJ_DAY_US
+                          + k * 5 * _RJ_DAY_US)
+        return pa.table({
+            "interval_id": pa.array(iid, pa.int64()),
+            "user_id": pa.array(uu, pa.int64()),
+            "lo": pa.array(lo, pa.int64()).cast(pa.timestamp("us")),
+            "hi": pa.array([x + _RJ_SPAN_US for x in lo],
+                           pa.int64()).cast(pa.timestamp("us"))})
+
+    users = (ev.select_columns(["user_id"]).groupby("user_id").count()
+             .select_columns(["user_id"]))
+    iv = users.map_batches(synth, batch_format="pyarrow")
+    out = range_join(ev, iv, ts="ts", lo="lo", hi="hi",
+                     keys=["user_id"])
+    return out.select_columns(["event_id", "interval_id", "user_id",
+                               "value"])
+
+
+def range_join_planted_sql() -> str:
+    return (
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        "iv AS (SELECT user_id * 3 + k AS interval_id, user_id, "
+        "TIMESTAMP '2024-01-01' + (user_id % 28) * INTERVAL 1 DAY "
+        "+ k * INTERVAL 5 DAY AS lo FROM u, range(3) t(k)), "
+        "iv2 AS (SELECT interval_id, user_id, lo, "
+        "lo + INTERVAL 36 HOUR AS hi FROM iv) "
+        "SELECT e.event_id, iv2.interval_id, e.user_id, e.value "
+        "FROM events e JOIN iv2 ON e.user_id = iv2.user_id "
+        "AND e.ts >= iv2.lo AND e.ts < iv2.hi")

@@ -1344,6 +1344,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_paragraph_dedup_planted, paragraph_dedup_planted_sql,
     q_incremental_dedup_planted, incremental_dedup_planted_sql,
     q_triangle_planted, triangle_planted_sql,
+    q_range_join_planted, range_join_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1395,6 +1396,7 @@ ORACLE_SQL["paragraph_dedup_planted"] = paragraph_dedup_planted_sql()
 ORACLE_SQL["incremental_dedup_planted"] = incremental_dedup_planted_sql()
 ORACLE_SQL["mixture_sample"] = _mixture_sample_sql()
 ORACLE_SQL["triangle_planted"] = triangle_planted_sql()
+ORACLE_SQL["range_join_planted"] = range_join_planted_sql()
 
 
 def _sketch_oracles() -> dict:
@@ -1528,6 +1530,7 @@ QUERIES = {
     "hll_registers": q_hll_registers,
     "bloom_probe": q_bloom_probe,
     "count_min": q_count_min,
+    "range_join_planted": q_range_join_planted,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1596,7 +1599,7 @@ _WINDOW_DEPRIORITIZED = [
     # and graph oracles (triangle_planted, hll_registers, bloom_probe,
     # count_min)
     "extract_planted", "tokenize_planted", "multimodal_planted",
-    "ivf_planted",
+    "ivf_planted", "simhash_pairs_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

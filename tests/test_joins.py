@@ -97,3 +97,37 @@ def test_asof_join_unmatched_left_kept(ray_session):
     assert len(got) == 2                       # left-join: k=2 kept
     assert got.loc[0, "v"] == 7.0
     assert pd.isna(got.loc[1, "v"])
+
+
+def test_range_join_handcrafted(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.joins import range_join
+
+    # ts in plain int64 "µs" (tiny bucket width forces replication)
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": ["a", "a", "b", "a"],
+        "ts": pa.array([5, 25, 15, 99], pa.int64())}))
+    iv = rd.from_arrow(pa.table({
+        "iv_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "k": ["a", "a", "b", "a"],
+        "lo": pa.array([0, 20, 10, 50], pa.int64()),
+        "hi": pa.array([30, 26, 16, 50], pa.int64())}))  # 13 is empty
+    out = (range_join(left, iv, ts="ts", lo="lo", hi="hi", keys=["k"],
+                      bucket_us=10)
+           .to_pandas().sort_values(["event_id", "iv_id"],
+                                    ignore_index=True))
+    # event 1 (a,5) ∈ iv10[0,30); event 2 (a,25) ∈ iv10 AND iv11[20,26);
+    # event 3 (b,15) ∈ iv12[10,16); event 4 (a,99) matches nothing;
+    # iv13 is empty (hi <= lo) and must produce nothing
+    assert list(zip(out["event_id"], out["iv_id"])) == [
+        (1, 10), (2, 10), (2, 11), (3, 12)]
+    # bucket-width invariance: the same result at any quantization
+    out2 = (range_join(left, iv, ts="ts", lo="lo", hi="hi", keys=["k"],
+                       bucket_us=1000)
+            .to_pandas().sort_values(["event_id", "iv_id"],
+                                     ignore_index=True))
+    pd.testing.assert_frame_equal(out, out2, check_dtype=False)
