@@ -173,21 +173,22 @@ def triangle_count(edges_ds, src_col: str = "subj", dst_col: str = "obj"):
            .groupby("node")
            .aggregate(Count(alias_name="deg"))).materialize()
 
-    # ---- orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v) ----
-    e_lo = bucketed_hash_join(
-        edges, deg.map_batches(
-            lambda b: b.rename_columns(["lo", "deg_lo"]),
-            batch_format="pyarrow"), on="lo")
-    e_both = bucketed_hash_join(
-        e_lo, deg.map_batches(
-            lambda b: b.rename_columns(["hi", "deg_hi"]),
-            batch_format="pyarrow"), on="hi")
+    # partition count scales with the GRAPH, not the cluster: edges is
+    # materialized so count() is metadata-free; ~5k edge rows per
+    # partition keeps small graphs at a handful of tasks per all-to-all
+    # (a CPU-scaled count costs all-to-alls × hundreds of near-empty
+    # partitions of pure scheduling overhead) while a 10^12-edge KG
+    # still fans out wide
+    from corenlp_ray.ops._partition import fixed_pool
 
-    def orient(b: pa.Table) -> pa.Table:
+    n_edges = edges.count()
+    npart = max(4, min(fixed_pool(divisor=1), n_edges // 5000 + 1))
+
+    # ---- orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v) ----
+    def orient_arrays(b: pa.Table, dl: np.ndarray,
+                      dh: np.ndarray) -> pa.Table:
         lo = np.asarray(b.column("lo").to_pylist(), dtype=object)
         hi = np.asarray(b.column("hi").to_pylist(), dtype=object)
-        dl = b.column("deg_lo").to_numpy(zero_copy_only=False)
-        dh = b.column("deg_hi").to_numpy(zero_copy_only=False)
         fwd = (dl < dh) | ((dl == dh) & (lo < hi))
         return pa.table({"u": pa.array(np.where(fwd, lo, hi), pa.string()),
                          "v": pa.array(np.where(fwd, hi, lo), pa.string()),
@@ -196,9 +197,52 @@ def triangle_count(edges_ds, src_col: str = "subj", dst_col: str = "obj"):
                          "dv_node": pa.array(np.where(fwd, hi, lo),
                                              pa.string())})
 
-    # materialized: consumed twice (wedge centers + closing-edge side)
-    oriented = e_both.map_batches(orient,
-                                  batch_format="pyarrow").materialize()
+    if deg.count() <= 2_000_000:
+        # small-vertex-set fast path: broadcast the degree table once
+        # per worker (the alias-map doctrine, stages/canonicalize.py:127
+        # — same 2M threshold) and orient in ONE map pass; the shuffle
+        # join below stays the >2M-vertex scale path
+        import pyarrow.compute as pc
+        import ray
+
+        deg_df = deg.to_pandas()  # ≤ 2M (node, deg) rows by the gate
+        deg_ref = ray.put((pa.array(deg_df["node"], pa.string()),
+                           deg_df["deg"].to_numpy()))
+
+        def orient_bcast(b: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(deg_ref)
+            dl = degs[pc.index_in(b.column("lo"),
+                                  value_set=nodes).to_numpy(
+                zero_copy_only=False)]
+            dh = degs[pc.index_in(b.column("hi"),
+                                  value_set=nodes).to_numpy(
+                zero_copy_only=False)]
+            return orient_arrays(b, dl, dh)
+
+        oriented = edges.map_batches(orient_bcast,
+                                     batch_format="pyarrow").materialize()
+    else:
+        # materialize between the two joins: bucketed_hash_join reads
+        # .schema() from its (lazy) inputs, which would re-execute the
+        # first join's whole upstream a second time
+        e_lo = bucketed_hash_join(
+            edges, deg.map_batches(
+                lambda b: b.rename_columns(["lo", "deg_lo"]),
+                batch_format="pyarrow"), on="lo",
+            npart=npart).materialize()
+        e_both = bucketed_hash_join(
+            e_lo, deg.map_batches(
+                lambda b: b.rename_columns(["hi", "deg_hi"]),
+                batch_format="pyarrow"), on="hi", npart=npart)
+
+        def orient(b: pa.Table) -> pa.Table:
+            return orient_arrays(
+                b, b.column("deg_lo").to_numpy(zero_copy_only=False),
+                b.column("deg_hi").to_numpy(zero_copy_only=False))
+
+        # materialized: consumed twice (wedge centers + closing side)
+        oriented = e_both.map_batches(orient,
+                                      batch_format="pyarrow").materialize()
 
     # ---- wedges: per-center self-merge over (deg, node)-sorted out-nbrs
     import pandas as pd
@@ -212,13 +256,17 @@ def triangle_count(edges_ds, src_col: str = "subj", dst_col: str = "obj"):
         return pd.DataFrame({"u": m["u"].values, "v": m["v_a"].values,
                              "w": m["v_b"].values})
 
+    # materialized: the closing join reads .schema() from its inputs —
+    # a lazy wedge_ds would re-execute the wedge stage for that alone
     wedge_ds = partitioned_group_apply(oriented, ["u"], wedges,
-                                       inner_is_partition=True)
+                                       npart=npart,
+                                       inner_is_partition=True).materialize()
 
     closing = oriented.map_batches(
         lambda b: b.select(["u", "v"]).rename_columns(["v", "w"]),
         batch_format="pyarrow")
-    tri = bucketed_hash_join(wedge_ds, closing, on=["v", "w"])
+    tri = bucketed_hash_join(wedge_ds, closing, on=["v", "w"],
+                             npart=npart)
 
     # ---- unpivot corners, count per node ----
     def corners(b: pa.Table) -> pa.Table:
