@@ -254,3 +254,60 @@ def cms_estimate(grid, values: List[str], d: int = 4, w: int = 256):
     for i in range(d):
         est = np.minimum(est, g[i, (lo + (i + 1) * hi) % w])
     return est
+
+
+# ------------------------------------------------------ grouped HLL ----
+
+def hll_registers_by(ds, key: str, col: str = "text", p: int = 8):
+    """Per-key HLL registers — "distinct COL per KEY" at sketch cost
+    (distinct urls per domain, distinct tokens per language, distinct
+    users per day): output (key, bucket, max_rho), one register set per
+    key, mergeable across shards by (key, bucket) max exactly like the
+    global sketch.
+
+    Scale shape: the per-batch pandas groupby collapses each batch to
+    ≤ (keys-in-batch × 2^p) partial rows before the single
+    groupby(key, bucket)-max all-to-all — the combiner discipline
+    survives the group dimension. Estimate per key via
+    :func:`hll_estimate` over that key's rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    width = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = md5_u64(batch.column(col).to_pylist())
+        bucket = (h >> _U64(width)).astype(np.int64)
+        low = h & _U64((1 << width) - 1)
+        nbits = np.array([int(v).bit_length() for v in low],
+                         dtype=np.int64)
+        rho = np.where(low != 0, width - nbits + 1,
+                       width + 1).astype(np.int64)
+        df = pd.DataFrame({key: batch.column(key).to_pylist(),
+                           "bucket": bucket, "max_rho": rho})
+        out = (df.groupby([key, "bucket"], sort=False)["max_rho"]
+               .max().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "bucket"])
+            .aggregate(Max("max_rho", alias_name="max_rho")))
+
+
+def hll_registers_by_sql(table: str, key: str, col: str,
+                         p: int = 8) -> str:
+    """DuckDB mirror of :func:`hll_registers_by`."""
+    width = 64 - p
+    h = md5_u64_sql(col)
+    return (
+        f"WITH h AS (SELECT {key}, {h} AS h64 FROM {table}), "
+        f"br AS (SELECT {key}, CAST(h64 // CAST({1 << width} AS HUGEINT) "
+        "AS BIGINT) AS bucket, "
+        f"CAST(h64 % CAST({1 << width} AS HUGEINT) AS BIGINT) AS low "
+        "FROM h), "
+        f"r AS (SELECT {key}, bucket, CASE WHEN low = 0 THEN "
+        f"{width + 1} ELSE strpos(lpad(bin(low), {width}, '0'), '1') "
+        "END AS rho FROM br) "
+        f"SELECT {key}, bucket, CAST(max(rho) AS BIGINT) AS max_rho "
+        f"FROM r GROUP BY {key}, bucket")

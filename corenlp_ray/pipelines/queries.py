@@ -163,6 +163,17 @@ def q_count_min(sf_dir: str):
                      col="lang", d=4, w=256)
 
 
+def q_hll_by_lang(sf_dir: str):
+    """Per-language distinct-text HLL registers
+    (ops/sketches.hll_registers_by, p=8) — "distinct docs per language"
+    at sketch cost; partials collapse per (lang, bucket) inside each
+    batch before the one small all-to-all."""
+    from corenlp_ray.ops.sketches import hll_registers_by
+
+    return hll_registers_by(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                            key="lang", col="text", p=8)
+
+
 _BLOOM_M, _BLOOM_K = 1 << 10, 3
 
 
@@ -1401,10 +1412,13 @@ ORACLE_SQL["range_join_planted"] = range_join_planted_sql()
 
 def _sketch_oracles() -> dict:
     from corenlp_ray.ops.sketches import (bloom_probe_sql, count_min_sql,
+                                          hll_registers_by_sql,
                                           hll_registers_sql)
 
     return {
         "hll_registers": hll_registers_sql("documents", "text", p=8),
+        "hll_by_lang": hll_registers_by_sql("documents", "lang", "text",
+                                            p=8),
         "bloom_probe": bloom_probe_sql("doc_id % 2 = 0",
                                        m=_BLOOM_M, k=_BLOOM_K),
         "count_min": count_min_sql("documents", "lang", d=4, w=256),
@@ -1531,6 +1545,7 @@ QUERIES = {
     "bloom_probe": q_bloom_probe,
     "count_min": q_count_min,
     "range_join_planted": q_range_join_planted,
+    "hll_by_lang": q_hll_by_lang,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1599,7 +1614,7 @@ _WINDOW_DEPRIORITIZED = [
     # and graph oracles (triangle_planted, hll_registers, bloom_probe,
     # count_min)
     "extract_planted", "tokenize_planted", "multimodal_planted",
-    "ivf_planted", "simhash_pairs_planted",
+    "ivf_planted", "simhash_pairs_planted", "ngram_jaccard_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -113,3 +113,29 @@ def test_count_min_matches_exact_and_estimates(ray_session):
     assert est[1] >= 1
     # grid total mass = d × corpus size (conservation under the shuffle)
     assert int(grid["n"].sum()) == 4 * len(vals)
+
+
+def test_hll_by_key_matches_sql_and_merges(ray_session):
+    import ray.data as rd
+
+    from corenlp_ray.ops.sketches import (hll_estimate, hll_registers_by,
+                                          hll_registers_by_sql)
+
+    vals = [("a", f"x{i}") for i in range(400)] \
+        + [("b", f"x{i}") for i in range(50)]   # b's values ⊂ a's
+    tbl = pa.table({"k": [k for k, _ in vals],
+                    "text": [v for _, v in vals]})
+    regs = hll_registers_by(rd.from_arrow(tbl).repartition(7),
+                            key="k", p=8).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        hll_registers_by_sql("t", "k", "text", p=8)).fetchdf()
+    key = ["k", "bucket"]
+    pd.testing.assert_frame_equal(
+        regs.sort_values(key, ignore_index=True),
+        want.sort_values(key, ignore_index=True), check_dtype=False)
+    # per-key estimates land in the p=8 error band
+    for k, true in (("a", 400), ("b", 50)):
+        est = hll_estimate(regs[regs["k"] == k], p=8)
+        assert abs(est - true) / true < 0.2
