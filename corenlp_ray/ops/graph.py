@@ -187,15 +187,19 @@ def triangle_count(edges_ds, src_col: str = "subj", dst_col: str = "obj"):
     # ---- orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v) ----
     def orient_arrays(b: pa.Table, dl: np.ndarray,
                       dh: np.ndarray) -> pa.Table:
-        lo = np.asarray(b.column("lo").to_pylist(), dtype=object)
-        hi = np.asarray(b.column("hi").to_pylist(), dtype=object)
-        fwd = (dl < dh) | ((dl == dh) & (lo < hi))
-        return pa.table({"u": pa.array(np.where(fwd, lo, hi), pa.string()),
-                         "v": pa.array(np.where(fwd, hi, lo), pa.string()),
+        import pyarrow.compute as pc
+
+        lo = b.column("lo").combine_chunks().cast(pa.string())
+        hi = b.column("hi").combine_chunks().cast(pa.string())
+        # lo < hi by construction, so (deg,node) order reduces to degree
+        # order with the lexicographic tie already resolved forward
+        fwd = dl <= dh
+        fwd_pa = pa.array(fwd)
+        return pa.table({"u": pc.if_else(fwd_pa, lo, hi),
+                         "v": pc.if_else(fwd_pa, hi, lo),
                          "dv_key": pa.array(np.where(fwd, dh, dl),
                                             pa.int64()),
-                         "dv_node": pa.array(np.where(fwd, hi, lo),
-                                             pa.string())})
+                         "dv_node": pc.if_else(fwd_pa, hi, lo)})
 
     if deg.count() <= 2_000_000:
         # small-vertex-set fast path: broadcast the degree table once

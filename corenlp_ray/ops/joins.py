@@ -306,3 +306,54 @@ def range_join(left_ds, intervals_ds, ts: str = "ts", lo: str = "lo",
         return m.reindex(columns=out_cols)
 
     return both.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+def _filter_join(left_ds, right_ds, on, keep_matched: bool,
+                 npart: int | None = None):
+    keys = [on] if isinstance(on, str) else list(on)
+    npart = npart or _npart()
+    left_schema = left_ds.schema()
+    left_cols = left_schema.names
+    restore_l = _dtype_restorer(left_schema)
+    lt = left_ds.map_batches(
+        lambda b: _tag_and_bucket(b, 0, keys, npart),
+        batch_format="pyarrow")
+    # right side thins to DISTINCT keys per batch before the shuffle
+    def thin(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = pl.from_arrow(b.select(keys)).unique().to_arrow()
+        return _tag_and_bucket(t, 1, keys, npart)
+
+    both = lt.union(right_ds.map_batches(thin, batch_format="pyarrow"))
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        lhs = restore_l(part[part["_side"] == 0].reindex(
+            columns=list(left_cols)))
+        if lhs.empty:
+            return lhs
+        rk = part.loc[part["_side"] == 1, keys]
+        if len(keys) == 1:
+            mask = lhs[keys[0]].isin(set(rk[keys[0]]))
+        else:
+            seen = set(map(tuple, rk.itertuples(index=False)))
+            mask = pd.Series(
+                [t in seen for t in lhs[keys].itertuples(index=False)],
+                index=lhs.index)
+        return lhs[mask if keep_matched else ~mask]
+
+    return both.groupby("_part").map_groups(pick, batch_format="pandas")
+
+
+def semi_join(left_ds, right_ds, on, npart: int | None = None):
+    """Distributed semi join: left rows whose key appears in right
+    (left columns only, no duplication from right multiplicity). The
+    right side ships one DISTINCT key row per batch — the thin-side
+    discipline every membership join here follows."""
+    return _filter_join(left_ds, right_ds, on, True, npart)
+
+
+def anti_join(left_ds, right_ds, on, npart: int | None = None):
+    """Distributed anti join: left rows whose key does NOT appear in
+    right (the TPC-H Q22 / incremental-dedup shape, generalized)."""
+    return _filter_join(left_ds, right_ds, on, False, npart)

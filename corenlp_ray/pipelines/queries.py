@@ -197,6 +197,30 @@ def q_bloom_probe(sf_dir: str):
     return bloom_probe(docs, pos, col="text", m=_BLOOM_M, k=_BLOOM_K)
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Distributed anti join (ops/joins.anti_join — the TPC-H Q22
+    shape): customers with no order above $350k (every customer has
+    SOME order in this testdata, so the plain anti join is empty; the
+    price gate keeps 8 rows at sf0.001 / 68 at sf0.01 — both the match
+    and the no-match paths exercised). The orders side ships one
+    DISTINCT custkey row per batch into the single all-to-all."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from corenlp_ray.ops.joins import anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name",
+                                    "c_acctbal"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 350000.0)).map_batches(
+        lambda b: b.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    return anti_join(cust, orders, on="c_custkey")
+
+
 def q_event_windows(sf_dir: str):
     import ray.data as rd
 
@@ -291,6 +315,10 @@ ORACLE_SQL = {
         "GROUP BY t ORDER BY cnt DESC, token ASC LIMIT 100"),
     "lang_counts": (
         "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"),
+    "customers_without_orders": (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 350000)"),
     "inverted_index": (
         "WITH pairs AS (SELECT DISTINCT doc_id, unnest(list_filter("
         "regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')) "
@@ -1546,6 +1574,7 @@ QUERIES = {
     "count_min": q_count_min,
     "range_join_planted": q_range_join_planted,
     "hll_by_lang": q_hll_by_lang,
+    "customers_without_orders": q_customers_without_orders,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1615,6 +1644,7 @@ _WINDOW_DEPRIORITIZED = [
     # count_min)
     "extract_planted", "tokenize_planted", "multimodal_planted",
     "ivf_planted", "simhash_pairs_planted", "ngram_jaccard_planted",
+    "minhash_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -131,3 +131,25 @@ def test_range_join_handcrafted(ray_session):
             .to_pandas().sort_values(["event_id", "iv_id"],
                                      ignore_index=True))
     pd.testing.assert_frame_equal(out, out2, check_dtype=False)
+
+
+def test_semi_and_anti_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.joins import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 2, 4, 9], pa.int64()),   # dup keys, extra key
+        "other": ["x", "y", "z", "w"]}))
+    semi = (semi_join(left, right, on="k").to_pandas()
+            .sort_values("k", ignore_index=True))
+    # no row duplication despite k=2 appearing twice on the right
+    assert semi["k"].tolist() == [2, 4]
+    assert list(semi.columns) == ["k", "v"]
+    anti = (anti_join(left, right, on="k").to_pandas()
+            .sort_values("k", ignore_index=True))
+    assert anti["k"].tolist() == [1, 3]
