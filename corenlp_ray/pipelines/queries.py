@@ -197,6 +197,35 @@ def q_bloom_probe(sf_dir: str):
     return bloom_probe(docs, pos, col="text", m=_BLOOM_M, k=_BLOOM_K)
 
 
+_QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact discrete quantiles of orders.o_totalprice
+    (ops/stats.exact_quantiles — the CCNet percentile-cut primitive,
+    generalized): one thin-column sort, boundary rows via
+    split_at_indices; values come FROM the data so the SQL mirror has
+    no interpolation arithmetic to drift."""
+    import ray.data as rd
+
+    from corenlp_ray.ops.stats import exact_quantiles
+
+    ods = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_totalprice"])
+    return exact_quantiles(ods, "o_totalprice", _QUANTILE_QS)
+
+
+def q_doc_length_histogram(sf_dir: str):
+    """Fixed-width histogram of documents.n_chars over [0, 640) × 32
+    bins (ops/stats.histogram): per-batch bincount partials → one
+    32-row groupby-sum; integer bin arithmetic, out-of-range clips
+    into the edge bins (no silent drop)."""
+    from corenlp_ray.ops.stats import histogram
+
+    return histogram(_docs(sf_dir, ["n_chars"]), "n_chars",
+                     lo=0, hi=640, nbins=32)
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed anti join (ops/joins.anti_join — the TPC-H Q22
     shape): customers with no order above $350k (every customer has
@@ -1438,6 +1467,13 @@ ORACLE_SQL["triangle_planted"] = triangle_planted_sql()
 ORACLE_SQL["range_join_planted"] = range_join_planted_sql()
 
 
+def _stats_sql() -> tuple:
+    from corenlp_ray.ops.stats import exact_quantiles_sql, histogram_sql
+
+    return (exact_quantiles_sql("orders", "o_totalprice", _QUANTILE_QS),
+            histogram_sql("documents", "n_chars", 0, 640, 32))
+
+
 def _sketch_oracles() -> dict:
     from corenlp_ray.ops.sketches import (bloom_probe_sql, count_min_sql,
                                           hll_registers_by_sql,
@@ -1445,6 +1481,8 @@ def _sketch_oracles() -> dict:
 
     return {
         "hll_registers": hll_registers_sql("documents", "text", p=8),
+        "price_quantiles": _stats_sql()[0],
+        "doc_length_histogram": _stats_sql()[1],
         "hll_by_lang": hll_registers_by_sql("documents", "lang", "text",
                                             p=8),
         "bloom_probe": bloom_probe_sql("doc_id % 2 = 0",
@@ -1575,6 +1613,8 @@ QUERIES = {
     "range_join_planted": q_range_join_planted,
     "hll_by_lang": q_hll_by_lang,
     "customers_without_orders": q_customers_without_orders,
+    "price_quantiles": q_price_quantiles,
+    "doc_length_histogram": q_doc_length_histogram,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1644,7 +1684,7 @@ _WINDOW_DEPRIORITIZED = [
     # count_min)
     "extract_planted", "tokenize_planted", "multimodal_planted",
     "ivf_planted", "simhash_pairs_planted", "ngram_jaccard_planted",
-    "minhash_planted",
+    "minhash_planted", "simhash_planted", "parse_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES
