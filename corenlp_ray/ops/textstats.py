@@ -264,3 +264,92 @@ def inverted_index(docs_ds, min_df: int = 2, max_postings: int = 32):
 
     return partitioned_group_apply(thin, ["token"], build,
                                    inner_is_partition=True)
+
+
+def winnow_fingerprints(docs_ds, k: int = 4, w: int = 5):
+    """Robust winnowing (Schleimer-Wilkerson-Aiken 2003, the MOSS
+    local fingerprinting scheme) — upgrade of the min/max rolling
+    fingerprint to the real selection rule: hash every k-token gram,
+    slide a w-hash window, keep each window's MINIMUM hash (rightmost
+    position on ties — "robust" winnowing), emit the DISTINCT selected
+    (doc_id, pos, fp) rows. Guarantees: any shared substring of
+    ≥ w+k-1 tokens yields a shared fingerprint (no false negatives for
+    long matches), expected density 2/(w+1).
+
+    Scale shape: embarrassingly parallel per batch — numpy sliding-
+    window minimum over a composite (hash << 20 | reversed-pos) key
+    (docs are bounded at 2^20 = 1M grams; split longer upstream), no
+    shuffle at all; downstream joins on fp reuse the bucketed-join
+    family. The gram hash is the md5-derived u64's high 32 bits so the
+    DuckDB oracle re-derives every selected fingerprint exactly
+    (ops/sketches.md5_u64_sql — the documented SQL-parity hash)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from corenlp_ray.ops.sketches import md5_u64
+
+    POS_BITS = 20
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        d_out, p_out, f_out = [], [], []
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        for doc_id, t in zip(ids, batch.column("text").to_pylist()):
+            toks = [x for x in _WS_RE.split((t or "").lower()) if x]
+            ng = len(toks) - k + 1
+            if ng <= 0:
+                continue
+            grams = [" ".join(toks[i:i + k]) for i in range(ng)]
+            h32 = (md5_u64(grams) >> np.uint64(32)).astype(np.int64)
+            if ng > (1 << POS_BITS):
+                raise ValueError(
+                    f"doc {doc_id}: {ng} grams exceeds the 2^{POS_BITS}"
+                    " winnowing bound — split the document upstream")
+            pos = np.arange(ng, dtype=np.int64)
+            key = (h32 << POS_BITS) | ((1 << POS_BITS) - 1 - pos)
+            if ng <= w:
+                sel = np.array([key.min()])
+            else:
+                sel = sliding_window_view(key, w).min(axis=1)
+            sel = np.unique(sel)
+            f = sel >> POS_BITS
+            p = (1 << POS_BITS) - 1 - (sel & ((1 << POS_BITS) - 1))
+            d_out.append(np.full(len(sel), doc_id, dtype=np.int64))
+            p_out.append(p)
+            f_out.append(f)
+        if not d_out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(d_out), pa.int64()),
+            "pos": pa.array(np.concatenate(p_out), pa.int64()),
+            "fp": pa.array(np.concatenate(f_out), pa.int64())})
+
+    return docs_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def winnow_fingerprints_sql(table: str, k: int = 4, w: int = 5) -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints`: same grams, same
+    md5-u64-high-32 hash, same min-with-rightmost-tie window rule."""
+    from corenlp_ray.ops.sketches import md5_u64_sql
+
+    h = md5_u64_sql("g")
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter("
+        r"regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t "
+        f"FROM {table}), "
+        "grams AS (SELECT doc_id, i - 1 AS pos, "
+        f"array_to_string(t[i:i+{k - 1}], ' ') AS g, "
+        f"len(t) - {k} + 1 AS ng "
+        "FROM (SELECT doc_id, t, unnest(generate_series(1, "
+        f"len(t) - {k} + 1)) AS i FROM toks WHERE len(t) >= {k})), "
+        f"h AS (SELECT doc_id, pos, ng, CAST({h} // 4294967296 "
+        "AS BIGINT) AS h32 FROM grams), "
+        "wins AS (SELECT doc_id, unnest(generate_series(0, "
+        f"GREATEST(ng - {w}, 0))) AS win FROM "
+        "(SELECT DISTINCT doc_id, ng FROM h)), "
+        "sel AS (SELECT h.doc_id, h.pos, h.h32, row_number() OVER ("
+        "PARTITION BY h.doc_id, wins.win "
+        "ORDER BY h.h32 ASC, h.pos DESC) AS rn "
+        "FROM wins JOIN h ON h.doc_id = wins.doc_id "
+        f"AND h.pos BETWEEN wins.win AND wins.win + {w} - 1) "
+        "SELECT DISTINCT doc_id, pos, h32 AS fp FROM sel WHERE rn = 1")

@@ -197,6 +197,18 @@ def q_bloom_probe(sf_dir: str):
     return bloom_probe(docs, pos, col="text", m=_BLOOM_M, k=_BLOOM_K)
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Robust winnowing fingerprints (ops/textstats.winnow_fingerprints
+    — the MOSS scheme, k=4-token grams, w=5 windows, min hash with
+    rightmost tie): the DISTINCT selected (doc_id, pos, fp) rows;
+    shuffle-free, the md5-u64-high-32 gram hash keeps the SQL mirror
+    bit-exact."""
+    from corenlp_ray.ops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                               k=4, w=5)
+
+
 _QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -1467,6 +1479,12 @@ ORACLE_SQL["triangle_planted"] = triangle_planted_sql()
 ORACLE_SQL["range_join_planted"] = range_join_planted_sql()
 
 
+def _winnow_sql() -> str:
+    from corenlp_ray.ops.textstats import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("documents", k=4, w=5)
+
+
 def _stats_sql() -> tuple:
     from corenlp_ray.ops.stats import exact_quantiles_sql, histogram_sql
 
@@ -1483,6 +1501,7 @@ def _sketch_oracles() -> dict:
         "hll_registers": hll_registers_sql("documents", "text", p=8),
         "price_quantiles": _stats_sql()[0],
         "doc_length_histogram": _stats_sql()[1],
+        "winnow_fingerprints": _winnow_sql(),
         "hll_by_lang": hll_registers_by_sql("documents", "lang", "text",
                                             p=8),
         "bloom_probe": bloom_probe_sql("doc_id % 2 = 0",
@@ -1615,6 +1634,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "price_quantiles": q_price_quantiles,
     "doc_length_histogram": q_doc_length_histogram,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1685,6 +1705,7 @@ _WINDOW_DEPRIORITIZED = [
     "extract_planted", "tokenize_planted", "multimodal_planted",
     "ivf_planted", "simhash_pairs_planted", "ngram_jaccard_planted",
     "minhash_planted", "simhash_planted", "parse_planted",
+    "natlog_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -62,3 +62,52 @@ def test_histogram_clips_and_conserves(ray_session):
     pd.testing.assert_frame_equal(
         out, want.sort_values("bin", ignore_index=True),
         check_dtype=False)
+
+
+# --------------------------------------------------------- winnowing ----
+
+def test_winnow_swa_guarantee_and_density(ray_session):
+    """Schleimer-Wilkerson-Aiken: two documents sharing a substring of
+    ≥ w+k-1 tokens MUST share at least one fingerprint; expected
+    density ≈ 2/(w+1)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.textstats import winnow_fingerprints
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [f"one two three {shared} four five six",
+                 f"nine eight {shared} seven"]}))
+    out = winnow_fingerprints(docs, k=k, w=w).to_pandas()
+    fps1 = set(out[out.doc_id == 1]["fp"])
+    fps2 = set(out[out.doc_id == 2]["fp"])
+    assert fps1 & fps2, "shared >= w+k-1-token substring must collide"
+    # density: a long random-ish doc selects ~2/(w+1) of its grams
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    words = [f"w{v}" for v in rng.randint(0, 10_000, size=3000)]
+    big = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": [" ".join(words)]}))
+    sel = winnow_fingerprints(big, k=k, w=w).to_pandas()
+    n_grams = 3000 - k + 1
+    density = len(sel) / n_grams
+    assert 0.5 * 2 / (w + 1) < density < 1.5 * 2 / (w + 1)
+
+
+def test_winnow_short_and_empty_docs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.textstats import winnow_fingerprints
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["", "a b", "a b c d"]}))  # <k, <k, exactly k tokens
+    out = winnow_fingerprints(docs, k=4, w=5).to_pandas()
+    assert out["doc_id"].tolist() == [3]   # one gram → one fingerprint
+    assert out["pos"].tolist() == [0]
