@@ -216,3 +216,55 @@ def mixture_sample(ds, weights: Dict[str, int],
         return batch.filter(pa.array(mix32(keys, seed=seed) < q_thr[idx]))
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def exemplar_sample(ds, key_col: str = "lang", n: int = 3,
+                    id_col: str = "doc_id", seed: int = 0):
+    """Deterministic per-key exemplars: for every ``key_col`` value keep
+    the ``n`` rows with the SMALLEST ``mix32(id)`` (ties by id) — a
+    coordination-free stratified sample. This is the corpus-inspection
+    primitive (pull k representative pages per language / per domain for
+    human QA or prompt-mix audits) with the same re-run / resume /
+    cluster-size-independence guarantees as :func:`hash_sample`: the
+    exemplar set is a pure function of the row keys.
+
+    Output: (key, id, h, rn) with rn = 1..n in hash order.
+
+    Scale shape: a per-batch LOCAL ascending top-n per key (the shuffle
+    carries at most n rows per (key, batch), never the corpus) followed
+    by one groupby merge — the ``grouped_top_k`` layout from
+    ops.textstats. The SQL oracle re-derives h with :func:`mix32_sql`
+    and row_number() over the same ordering."""
+    import pandas as pd
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_pylist(),
+            id_col: ids,
+            "h": mix32(ids, seed=seed).astype(np.int64)})
+        df = df.sort_values(["h", id_col]).groupby(
+            key_col, sort=False).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", id_col]).head(n).copy()
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.select_columns([key_col, id_col])
+            .map_batches(local, batch_format="pyarrow")
+            .groupby(key_col).map_groups(merge, batch_format="pandas"))
+
+
+def exemplar_sample_sql(table: str = "documents", key_col: str = "lang",
+                        n: int = 3, id_col: str = "doc_id",
+                        seed: int = 0) -> str:
+    """DuckDB oracle for :func:`exemplar_sample`."""
+    return (
+        f"WITH h AS (SELECT {key_col}, {id_col}, "
+        f"{mix32_sql(id_col, seed=seed)} AS h FROM {table}), "
+        "r AS (SELECT *, CAST(row_number() OVER ("
+        f"PARTITION BY {key_col} ORDER BY h, {id_col}) AS BIGINT) AS rn "
+        "FROM h) "
+        f"SELECT {key_col}, {id_col}, h, rn FROM r WHERE rn <= {n}")

@@ -365,3 +365,42 @@ def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
                                                type=pa.int64()))
     return res.append_column("gopher_keep",
                              pa.array(keep.to_list(), type=pa.bool_()))
+
+
+def unicode_clean_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """CCNet-style unicode normalization (Wenzek et al. 2020 §2: text is
+    NFC-normalized before hashing/LM scoring so that visually-identical
+    pages dedup together): NFC composition + whitespace collapse + trim.
+
+    Adds ``text_clean`` (string) and ``changed`` (bool — any byte moved).
+
+    Scale shape: embarrassingly parallel per batch, no shuffle. The
+    whitespace collapse and trim run inside Arrow's RE2/utf8 kernels;
+    NFC composition uses CPython's C-implemented
+    ``unicodedata.normalize`` per row (pyarrow 16's ``utf8_normalize``
+    is a silent no-op for composition, verified at build time —
+    ``is_normalized`` short-circuits the pure-ASCII fast path so the
+    per-row cost on web text is a single scan). DuckDB's
+    ``nfc_normalize`` implements the same Unicode algorithm, making the
+    oracle byte-exact."""
+    import pyarrow.compute as pc
+    from unicodedata import is_normalized, normalize
+
+    texts = batch.column(text_col)
+    nfc = pa.array(
+        [t if t is None or is_normalized("NFC", t) else normalize("NFC", t)
+         for t in texts.to_pylist()], type=pa.string())
+    clean = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(nfc, r"\s+", " "))
+    return (batch.append_column("text_clean", clean)
+            .append_column("changed", pc.not_equal(clean, texts)))
+
+
+def unicode_clean_sql(table: str = "documents",
+                      text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`unicode_clean_batch` (same RE2 regex
+    engine, same Unicode NFC tables)."""
+    clean = (f"trim(regexp_replace(nfc_normalize({text_col}), "
+             "'\\s+', ' ', 'g'))")
+    return (f"SELECT doc_id, {clean} AS text_clean, "
+            f"{clean} != {text_col} AS changed FROM {table}")

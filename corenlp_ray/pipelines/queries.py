@@ -209,6 +209,27 @@ def q_winnow_fingerprints(sf_dir: str):
                                k=4, w=5)
 
 
+def q_unicode_clean(sf_dir: str):
+    """CCNet NFC normalization + whitespace collapse
+    (ops/webfilters.unicode_clean_batch): shuffle-free per-batch Arrow
+    kernels; oracle is DuckDB's nfc_normalize over the same RE2 regex."""
+    from corenlp_ray.ops.webfilters import unicode_clean_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(unicode_clean_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "text_clean", "changed"]))
+
+
+def q_exemplar_sample(sf_dir: str):
+    """Deterministic per-language exemplars (ops/sampling.exemplar_sample
+    — 3 smallest mix32(doc_id) per lang): per-batch local top-n, one thin
+    groupby merge; the coordination-free stratified-inspection sample."""
+    from corenlp_ray.ops.sampling import exemplar_sample
+
+    return exemplar_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                           key_col="lang", n=3)
+
+
 _QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -1512,6 +1533,19 @@ def _sketch_oracles() -> dict:
 
 ORACLE_SQL.update(_sketch_oracles())
 
+
+def _hygiene_oracles() -> dict:
+    from corenlp_ray.ops.sampling import exemplar_sample_sql
+    from corenlp_ray.ops.webfilters import unicode_clean_sql
+
+    return {
+        "unicode_clean": unicode_clean_sql("documents"),
+        "exemplar_sample": exemplar_sample_sql("documents", "lang", n=3),
+    }
+
+
+ORACLE_SQL.update(_hygiene_oracles())
+
 # Promoted from tests/test_webfilters.py DuckDB parity checks (late r4):
 # the same SQL the sf0.001 suites proved, now on the driver surface.
 # Hash equality in the decontamination op ⟺ shingle-string equality
@@ -1635,6 +1669,8 @@ QUERIES = {
     "price_quantiles": q_price_quantiles,
     "doc_length_histogram": q_doc_length_histogram,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "unicode_clean": q_unicode_clean,
+    "exemplar_sample": q_exemplar_sample,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1706,6 +1742,11 @@ _WINDOW_DEPRIORITIZED = [
     "ivf_planted", "simhash_pairs_planted", "ngram_jaccard_planted",
     "minhash_planted", "simhash_planted", "parse_planted",
     "natlog_planted",
+    # driver-verified green in r3 — yield slots to the session-4 hygiene
+    # oracles (unicode_clean, exemplar_sample) and keep c4_clean /
+    # gopher_rules inside the window
+    "entity_mentions_planted", "kbp_planted", "openie_planted",
+    "quotes_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

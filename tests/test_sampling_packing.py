@@ -248,3 +248,48 @@ def test_mixture_sample_matches_threshold_decisions(ray_session):
                           domain_col="lang").to_pandas() \
         .sort_values("doc_id", ignore_index=True)
     assert got2["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_exemplar_sample_matches_sql(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.sampling import exemplar_sample, \
+        exemplar_sample_sql
+
+    rng = np.random.RandomState(7)
+    n = 400
+    t = pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": [["en", "de", "fr", "zh"][i] for i in
+                 rng.randint(0, 4, n)]})
+    ds = ray.data.from_arrow(t).repartition(7)
+    mine = (exemplar_sample(ds, key_col="lang", n=3).to_pandas()
+            .sort_values(["lang", "rn"], ignore_index=True))
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = (con.execute(exemplar_sample_sql("docs", "lang", n=3))
+            .fetchdf().sort_values(["lang", "rn"], ignore_index=True))
+    assert mine[["lang", "doc_id", "h", "rn"]].values.tolist() == \
+        want[["lang", "doc_id", "h", "rn"]].values.tolist()
+
+
+def test_exemplar_sample_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.sampling import exemplar_sample
+
+    t = pa.table({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "lang": [["en", "de"][i % 2] for i in range(200)]})
+
+    def run(parts):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = exemplar_sample(ds, key_col="lang", n=5).to_pandas()
+        return df.sort_values(["lang", "rn"]).values.tolist()
+
+    assert run(2) == run(13)

@@ -293,3 +293,37 @@ def test_weblines_edge_docs():
     # ('be'), 'solo' held positions 5k-4 so it drops; period (1%4!=0)
     assert _weblines_text(1, "solo") == "be."
     assert _weblines_text(1, "a b c d e f") == "be b c d e.\nto."
+
+
+def test_unicode_clean_semantics():
+    import pyarrow as pa
+
+    from corenlp_ray.ops.webfilters import unicode_clean_batch
+
+    batch = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["café  x", "plain ascii", "  Ångstrom\t\n q ",
+                 "café x"]})
+    out = unicode_clean_batch(batch)
+    assert out.column("text_clean").to_pylist() == [
+        "café x", "plain ascii", "Ångstrom q", "café x"]
+    # row 1 composes, row 3 trims+collapses, rows 2 and 4 untouched
+    assert out.column("changed").to_pylist() == [True, False, True, False]
+
+
+def test_unicode_clean_duckdb_parity():
+    import duckdb
+    import pyarrow as pa
+
+    from corenlp_ray.ops.webfilters import unicode_clean_batch, \
+        unicode_clean_sql
+
+    texts = ["café", "ä + ö", "  tab\tsep  ",
+             "nfcé already", "", "mixed éé Å"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mine = unicode_clean_batch(t).select(
+        ["doc_id", "text_clean", "changed"]).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(unicode_clean_sql("documents")).fetchdf()
+    assert mine.values.tolist() == want.values.tolist()
