@@ -479,3 +479,91 @@ def perplexity_buckets(scored_ds, n_buckets: int = 3,
                                    pa.array(lab[idx], pa.string()))
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def pmi_collocations(docs_ds, text_col: str = "text",
+                     min_count: int = 5):
+    """Pointwise-mutual-information collocation scoring (Church & Hanks
+    1990) — the classic association-mining / KG-edge-weighting
+    primitive: for every adjacent token bigram with corpus count ≥
+    ``min_count``, PMI = ln(P(w1w2) / (P(w1)·P(w2))) with bigram
+    probability over the total bigram count Nb and unigram
+    probabilities over the total token count N.
+
+    Output: (w1, w2, c12, c1, c2, pmi) — counts exact, pmi rounded to
+    6 dp with the identical left-associated double expression the SQL
+    oracle evaluates, ``ln((c12·N·N) / (Nb·c1·c2))``.
+
+    Scale shape: reuses :func:`train_bigram_counts` (per-batch polars
+    partial gram counts → one native two-phase aggregate), so the only
+    corpus-wide shuffle carries (w1, w2, c) rows, never text. The
+    counts Dataset is materialized ONCE (it is vocab²-bounded and
+    min_count-pruned ≪ corpus) and feeds two bucketed hash joins that
+    attach unigram counts to each bigram side — no broadcast of the
+    vocabulary, no driver materialization; N and Nb are two scalar
+    aggregates."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    counts = train_bigram_counts(docs_ds, text_col=text_col).materialize()
+    n_tokens, _ = lm_stats(counts)
+    bi_all = counts.filter(expr="w2 != ''")
+    nb = int(bi_all.aggregate(Sum("c", alias_name="nb"))["nb"] or 0)
+    mc = int(min_count)
+    bi = bi_all.map_batches(
+        lambda b: (b.filter(pc.greater_equal(b.column("c"), mc))
+                   .rename_columns(["w1", "w2", "c12"])),
+        batch_format="pyarrow")
+
+    def uni_as(key: str, cname: str):
+        return counts.filter(expr="w2 == ''").map_batches(
+            lambda b: b.select(["w1", "c"]).rename_columns([key, cname]),
+            batch_format="pyarrow")
+
+    j = bucketed_hash_join(bi, uni_as("w1", "c1"), on="w1")
+    j = bucketed_hash_join(j, uni_as("w2", "c2"), on="w2")
+    n_f, nb_f = float(n_tokens), float(nb)
+
+    def score(b: pa.Table) -> pa.Table:
+        c12 = b.column("c12").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c1 = b.column("c1").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c2 = b.column("c2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # left-associated exactly as the SQL text evaluates it
+        pmi = np.round(np.log((c12 * n_f * n_f) / (nb_f * c1 * c2)), 6)
+        return b.select(["w1", "w2", "c12", "c1", "c2"]).append_column(
+            "pmi", pa.array(pmi, type=pa.float64()))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations_sql(table: str = "documents",
+                         text_col: str = "text",
+                         min_count: int = 5) -> str:
+    """DuckDB oracle for :func:`pmi_collocations` — same \\S+ token
+    convention as the LM oracles, same left-associated double PMI
+    expression."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"regexp_split_to_array(trim({text_col}), '\\s+') AS toks "
+        f"FROM {table} WHERE trim({text_col}) <> ''), "
+        "e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) "
+        "AS pos, toks FROM t), "
+        "w AS (SELECT doc_id, pos, toks[pos] AS tok, "
+        "CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev FROM e), "
+        "uc AS (SELECT tok AS w, COUNT(*) AS c FROM w GROUP BY tok), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w), "
+        "bc AS (SELECT prev AS w1, tok AS w2, COUNT(*) AS c FROM w "
+        "WHERE prev IS NOT NULL GROUP BY prev, tok), "
+        "nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS nb FROM bc) "
+        "SELECT b.w1, b.w2, b.c AS c12, u1.c AS c1, u2.c AS c2, "
+        "round(ln((CAST(b.c AS DOUBLE) * nn.n * nn.n) / "
+        "(nb.nb * u1.c * u2.c)), 6) AS pmi "
+        "FROM bc b CROSS JOIN nn CROSS JOIN nb "
+        "JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2 "
+        f"WHERE b.c >= {int(min_count)}")

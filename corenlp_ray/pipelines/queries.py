@@ -220,6 +220,17 @@ def q_unicode_clean(sf_dir: str):
             .select_columns(["doc_id", "text_clean", "changed"]))
 
 
+def q_pmi_collocations(sf_dir: str):
+    """PMI collocation scoring (ops/lm.pmi_collocations — Church-Hanks
+    association over adjacent bigrams, count ≥ 5): two-phase gram
+    counts, two bucketed unigram joins, scalar N/Nb aggregates; the
+    KG-edge-weighting primitive."""
+    from corenlp_ray.ops.lm import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir, ["doc_id", "text"]),
+                            min_count=5)
+
+
 def q_exemplar_sample(sf_dir: str):
     """Deterministic per-language exemplars (ops/sampling.exemplar_sample
     — 3 smallest mix32(doc_id) per lang): per-batch local top-n, one thin
@@ -1535,12 +1546,15 @@ ORACLE_SQL.update(_sketch_oracles())
 
 
 def _hygiene_oracles() -> dict:
+    from corenlp_ray.ops.lm import pmi_collocations_sql
     from corenlp_ray.ops.sampling import exemplar_sample_sql
     from corenlp_ray.ops.webfilters import unicode_clean_sql
 
     return {
         "unicode_clean": unicode_clean_sql("documents"),
         "exemplar_sample": exemplar_sample_sql("documents", "lang", n=3),
+        "pmi_collocations": pmi_collocations_sql("documents",
+                                                 min_count=5),
     }
 
 
@@ -1671,6 +1685,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "unicode_clean": q_unicode_clean,
     "exemplar_sample": q_exemplar_sample,
+    "pmi_collocations": q_pmi_collocations,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1746,7 +1761,7 @@ _WINDOW_DEPRIORITIZED = [
     # oracles (unicode_clean, exemplar_sample) and keep c4_clean /
     # gopher_rules inside the window
     "entity_mentions_planted", "kbp_planted", "openie_planted",
-    "quotes_planted",
+    "quotes_planted", "sentiment_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

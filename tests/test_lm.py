@@ -127,3 +127,43 @@ def test_dsir_target_docs_score_higher(ray_session):
     en = [r["dsir_bits"] for r in out if langs[r["doc_id"]] == "en"]
     rest = [r["dsir_bits"] for r in out if langs[r["doc_id"]] != "en"]
     assert np.mean(en) > np.mean(rest)
+
+
+def test_pmi_collocations_hand_computed(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.lm import pmi_collocations
+
+    # corpus: "a b" x3, "a c" x1 → N=8 tokens, Nb=4 bigrams
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b", "a b", "a b", "a c"]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = pmi_collocations(ds, min_count=1).to_pandas()
+    out = out.set_index(["w1", "w2"]).sort_index()
+    ab = out.loc[("a", "b")]
+    assert int(ab.c12) == 3 and int(ab.c1) == 4 and int(ab.c2) == 3
+    want = round(math.log((3.0 * 8.0 * 8.0) / (4.0 * 4.0 * 3.0)), 6)
+    assert abs(ab.pmi - want) < 1e-9
+    ac = out.loc[("a", "c")]
+    assert int(ac.c12) == 1 and int(ac.c2) == 1
+
+
+def test_pmi_collocations_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.lm import pmi_collocations
+
+    texts = [f"w{i % 7} w{(i + 1) % 7} w{i % 3}" for i in range(60)]
+    t = pa.table({"doc_id": list(range(60)), "text": texts})
+
+    def run(parts):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        return (pmi_collocations(ds, min_count=2).to_pandas()
+                .sort_values(["w1", "w2"], ignore_index=True)
+                .values.tolist())
+
+    assert run(2) == run(9)
