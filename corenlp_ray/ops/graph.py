@@ -281,3 +281,73 @@ def triangle_count(edges_ds, src_col: str = "subj", dst_col: str = "obj"):
 
     return (tri.map_batches(corners, batch_format="pyarrow")
             .groupby("node").aggregate(Count(alias_name="n_tri")))
+
+
+def khop_reachability(edges_ds, k: int = 3, src_col: str = "subj",
+                      dst_col: str = "obj"):
+    """Bounded transitive closure: all directed (src, dst) pairs
+    connected by a path of ≤ ``k`` edges, labeled with ``hops`` = the
+    SHORTEST such path length. The KG query behind subsidiary chains
+    ("X controls Y controls Z"), is-a hierarchy rollups, and influence
+    neighborhoods.
+
+    Distributed shape — level-synchronous BFS on pair sets, every
+    round over THIN (src, dst, hops) rows, never payloads:
+
+    - round h: frontier(h-1) ⋈ edges on the middle vertex (one
+      bucketed co-partitioned join), then a distinct-pair groupby
+      (collapses path multiplicity BEFORE it can amplify — the
+      round's candidate set is bounded by |V|², not by path count),
+      then an anti join against everything already reached (so a pair
+      is emitted at its FIRST discovery = min hops, and saturated
+      regions stop expanding — cycles terminate without a visited
+      flag per path);
+    - reached pairs materialize per round (the iteration barrier, same
+      as PageRank ranks and the CC label table).
+
+    The oracle is DuckDB's recursive CTE with ``hops < k`` + a final
+    MIN(hops) rollup — path-enumerating, so it pins that the BFS
+    first-discovery label equals the true shortest length."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops.joins import anti_join, bucketed_hash_join
+
+    def as_pairs(b: pa.Table) -> pa.Table:
+        return (b.select([src_col, dst_col])
+                .rename_columns(["src", "dst"]))
+
+    def distinct(ds):
+        return (ds.groupby(["src", "dst"]).count()
+                .map_batches(lambda b: b.select(["src", "dst"]),
+                             batch_format="pyarrow"))
+
+    edges = distinct(edges_ds.map_batches(
+        as_pairs, batch_format="pyarrow")).materialize()
+
+    def with_hops(ds, h: int):
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "hops", pa.array(np.full(b.num_rows, h), type=pa.int64())),
+            batch_format="pyarrow")
+
+    reached = with_hops(edges, 1).materialize()
+    frontier = edges
+    for h in range(2, int(k) + 1):
+        mid_l = frontier.map_batches(
+            lambda b: b.rename_columns(["src", "mid"]),
+            batch_format="pyarrow")
+        mid_r = edges.map_batches(
+            lambda b: b.rename_columns(["mid", "dst"]),
+            batch_format="pyarrow")
+        cand = distinct(bucketed_hash_join(mid_l, mid_r, on="mid")
+                        .map_batches(lambda b: b.select(["src", "dst"]),
+                                     batch_format="pyarrow")).materialize()
+        # an empty candidate set has no schema — saturated, stop here
+        if cand.count() == 0:
+            break
+        fresh = anti_join(cand, reached, on=["src", "dst"]).materialize()
+        if fresh.count() == 0:
+            break
+        reached = reached.union(with_hops(fresh, h)).materialize()
+        frontier = fresh
+    return reached

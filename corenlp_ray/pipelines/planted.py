@@ -1466,6 +1466,33 @@ def pagerank_planted_sql() -> str:
         "SELECT node, round(r, 6) AS rank FROM r3")
 
 
+def q_khop_planted(sf_dir: str):
+    """Bounded transitive closure over the planted flagship KG
+    (ops/graph.khop_reachability, k=3): level-synchronous BFS —
+    per round one bucketed mid-vertex join, a distinct-pair collapse,
+    and an anti join against the reached set, so each pair carries its
+    true shortest hop count. The oracle's path-enumerating recursive
+    CTE + MIN(hops) rollup pins that first-discovery == shortest."""
+    from corenlp_ray.ops.graph import khop_reachability
+    from corenlp_ray.stages.canonicalize import build_alias_map, build_kg
+
+    triples = _planted_triples(sf_dir, _openie_text).materialize()
+    kg = build_kg(triples, alias_map=build_alias_map(triples))
+    return khop_reachability(kg, k=3, src_col="subj", dst_col="obj")
+
+
+def khop_planted_sql() -> str:
+    inner = kg_planted_sql()
+    return (
+        f"WITH RECURSIVE kg AS ({inner}), "
+        "e AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg), "
+        "r AS (SELECT src, dst, 1 AS hops FROM e "
+        "UNION ALL SELECT r.src, e.dst, r.hops + 1 FROM r "
+        "JOIN e ON e.src = r.dst WHERE r.hops < 3) "
+        "SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops "
+        "FROM r GROUP BY src, dst")
+
+
 def q_repeated_spans_planted(sf_dir: str):
     """Substring-level dedup (ops/dedup.repeated_ngram_spans): maximal
     token spans covered by 8-shingles occurring ≥2 times corpus-wide

@@ -101,3 +101,35 @@ def test_triangle_count_triangle_free(ray_session):
     edges = pa.table({"subj": ["a", "b", "c", "d"],
                       "obj": ["b", "c", "d", "a"]})
     assert triangle_count(rd.from_arrow(edges)).count() == 0
+
+
+def test_khop_shortest_hops_and_cycles(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.graph import khop_reachability
+
+    # a->b->c->a cycle plus shortcut a->c and tail c->d
+    t = pa.table({"subj": ["a", "b", "c", "a", "c"],
+                  "obj":  ["b", "c", "a", "c", "d"]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = khop_reachability(ds, k=3).to_pandas()
+    got = {(r.src, r.dst): r.hops for r in out.itertuples()}
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 1
+    assert got[("a", "d")] == 2          # via the shortcut, not the cycle
+    assert got[("b", "a")] == 2 and got[("b", "d")] == 2
+    assert got[("a", "a")] == 2          # a->c->a beats the 3-cycle
+    assert got[("c", "c")] == 2
+    assert ("d", "a") not in got         # d is a sink
+
+
+def test_khop_early_exit_on_saturation(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.graph import khop_reachability
+
+    t = pa.table({"subj": ["a"], "obj": ["b"]})
+    ds = ray.data.from_arrow(t)
+    out = khop_reachability(ds, k=64).to_pandas()
+    assert out.values.tolist() == [["a", "b", 1]]
