@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "inverted_index",         # token → df + postings (thin-pair shuffle)
     "triangle_planted",       # degree-ordered triangle counting
     "hll_registers",          # HyperLogLog registers (combiner shape)
+    "winnow_fingerprints",    # MOSS winnowing (shuffle-free numpy)
+    "unicode_clean",          # CCNet NFC + whitespace collapse
+    "pmi_collocations",       # Church-Hanks PMI (gram counts + joins)
+    "exemplar_sample",        # per-key deterministic exemplars
 ]
 
 
