@@ -351,3 +351,50 @@ def khop_reachability(edges_ds, k: int = 3, src_col: str = "subj",
         reached = reached.union(with_hops(fresh, h)).materialize()
         frontier = fresh
     return reached
+
+
+def cooccurrence_edges(mentions_ds, doc_col: str = "doc_id",
+                       ent_col: str = "surface"):
+    """Entity co-occurrence edge generation — the relation-candidate /
+    KG-edge-prior builder: for every unordered entity pair mentioned in
+    the same document, the number of distinct documents where they
+    co-occur. (Downstream, :func:`~corenlp_ray.ops.lm.pmi_collocations`
+    -style association scoring turns these counts into edge weights.)
+
+    Distributed shape: the input is reduced to THIN DISTINCT
+    (doc, entity) rows first (one two-phase groupby — so mention
+    multiplicity within a document never inflates counts and the join
+    input is minimal), then a single bucketed self-join co-partitioned
+    on the document key emits each document's pairs inside vectorized
+    per-partition merges (no per-document Python), ordered
+    ``ent_a < ent_b`` so each pair counts once, and one final native
+    two-phase count aggregates per pair. The m²-per-document pair
+    fan-out is inherent to co-occurrence; documents with pathological
+    mention counts should be capped upstream (the mention extractors
+    bound mentions per sentence already)."""
+    import pyarrow.compute as pc
+
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    def thin(b: pa.Table) -> pa.Table:
+        return (b.select([doc_col, ent_col])
+                .rename_columns(["doc", "ent"]))
+
+    ents = (mentions_ds.map_batches(thin, batch_format="pyarrow")
+            .groupby(["doc", "ent"]).count()
+            .map_batches(lambda b: b.select(["doc", "ent"]),
+                         batch_format="pyarrow"))
+    left = ents.map_batches(
+        lambda b: b.rename_columns(["doc", "ent_a"]),
+        batch_format="pyarrow")
+    right = ents.map_batches(
+        lambda b: b.rename_columns(["doc", "ent_b"]),
+        batch_format="pyarrow")
+    pairs = bucketed_hash_join(left, right, on="doc").map_batches(
+        lambda b: b.filter(pc.less(b.column("ent_a"),
+                                   b.column("ent_b")))
+                   .select(["ent_a", "ent_b"]),
+        batch_format="pyarrow")
+    return (pairs.groupby(["ent_a", "ent_b"]).count()
+            .map_batches(lambda b: b.rename_columns(
+                ["ent_a", "ent_b", "n_docs"]), batch_format="pyarrow"))

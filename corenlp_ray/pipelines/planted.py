@@ -1493,6 +1493,32 @@ def khop_planted_sql() -> str:
         "FROM r GROUP BY src, dst")
 
 
+def q_cooccurrence_planted(sf_dir: str):
+    """Entity co-occurrence edges (ops/graph.cooccurrence_edges) over
+    the REAL tokenize→pos→ner mention chain on the planted sentences:
+    distinct (doc, entity) thin rows → one bucketed self-join
+    co-partitioned on doc → ordered-pair count. The oracle re-derives
+    the mention set analytically and self-joins in SQL, so the counts
+    pin both the NER chain and the pair semantics (the CRT-style
+    overlap of the %12 person / %10 city / %28 day cycles makes the
+    per-pair counts non-uniform — a constant-count bug cannot pass)."""
+    from corenlp_ray.ops.graph import cooccurrence_edges
+
+    return cooccurrence_edges(q_entity_mentions_planted(sf_dir),
+                              doc_col="doc_id", ent_col="surface")
+
+
+def cooccurrence_planted_sql() -> str:
+    inner = entity_mentions_planted_sql()
+    return (
+        f"WITH m AS ({inner}), "
+        "e AS (SELECT DISTINCT doc_id, surface FROM m) "
+        "SELECT a.surface AS ent_a, b.surface AS ent_b, "
+        "count(*) AS n_docs FROM e a "
+        "JOIN e b ON a.doc_id = b.doc_id AND a.surface < b.surface "
+        "GROUP BY 1, 2")
+
+
 def q_repeated_spans_planted(sf_dir: str):
     """Substring-level dedup (ops/dedup.repeated_ngram_spans): maximal
     token spans covered by 8-shingles occurring ≥2 times corpus-wide

@@ -1442,6 +1442,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_domain_quota_planted, domain_quota_planted_sql,
     q_pagerank_planted, pagerank_planted_sql,
     q_khop_planted, khop_planted_sql,
+    q_cooccurrence_planted, cooccurrence_planted_sql,
     q_repeated_spans_planted, repeated_spans_planted_sql,
     q_lm_perplexity_planted, lm_perplexity_planted_sql,
     q_kmeans_planted, kmeans_planted_sql,
@@ -1494,6 +1495,7 @@ ORACLE_SQL["hash_sample_planted"] = hash_sample_planted_sql()
 ORACLE_SQL["domain_quota_planted"] = domain_quota_planted_sql()
 ORACLE_SQL["pagerank_planted"] = pagerank_planted_sql()
 ORACLE_SQL["khop_planted"] = khop_planted_sql()
+ORACLE_SQL["cooccurrence_planted"] = cooccurrence_planted_sql()
 ORACLE_SQL["repeated_spans_planted"] = repeated_spans_planted_sql()
 ORACLE_SQL["lm_perplexity_planted"] = lm_perplexity_planted_sql()
 ORACLE_SQL["kmeans_planted"] = kmeans_planted_sql()
@@ -1660,6 +1662,7 @@ QUERIES = {
     "domain_quota_planted": q_domain_quota_planted,
     "pagerank_planted": q_pagerank_planted,
     "khop_planted": q_khop_planted,
+    "cooccurrence_planted": q_cooccurrence_planted,
     "repeated_spans_planted": q_repeated_spans_planted,
     "lm_perplexity_planted": q_lm_perplexity_planted,
     "kmeans_planted": q_kmeans_planted,
@@ -1765,6 +1768,7 @@ _WINDOW_DEPRIORITIZED = [
     # gopher_rules inside the window
     "entity_mentions_planted", "kbp_planted", "openie_planted",
     "quotes_planted", "sentiment_planted", "linking_planted",
+    "multilingual_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

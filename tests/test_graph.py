@@ -133,3 +133,20 @@ def test_khop_early_exit_on_saturation(ray_session):
     ds = ray.data.from_arrow(t)
     out = khop_reachability(ds, k=64).to_pandas()
     assert out.values.tolist() == [["a", "b", 1]]
+
+
+def test_cooccurrence_edges_counts_distinct_docs(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.graph import cooccurrence_edges
+
+    # doc 1: {x, y, z}; doc 2: {x, y, x-dup}; doc 3: {y}
+    t = pa.table({
+        "doc_id": [1, 1, 1, 2, 2, 2, 3],
+        "surface": ["x", "y", "z", "x", "y", "x", "y"]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = cooccurrence_edges(ds).to_pandas()
+    got = {(r.ent_a, r.ent_b): r.n_docs for r in out.itertuples()}
+    # the duplicate x mention in doc 2 must not inflate the count
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
