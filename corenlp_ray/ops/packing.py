@@ -196,3 +196,72 @@ def pack_sequences_shuffled(docs_ds, seq_len: int, seed: int = 0):
         return _spans_for(ids[nz], offs[nz], cnt[nz], seq_len)
 
     return counted.groupby("grp").map_groups(_emit, batch_format="pyarrow")
+
+
+def chunk_documents(docs_ds, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text"):
+    """Context-window chunking — packing's complement: split every
+    document into chunks of ≤ ``max_tokens`` whitespace tokens with
+    ``overlap`` tokens of left context repeated between consecutive
+    chunks (the long-document recipe for embedding / inference
+    pipelines where a hard model window forces cutting, and stride
+    overlap keeps boundary-crossing spans visible in some chunk).
+
+    Output: (doc_id, chunk_idx, chunk, n_tokens); chunk starts sit at
+    ``chunk_idx * (max_tokens - overlap)``; the last chunk may be
+    short; empty documents emit nothing. The whole op is one
+    shuffle-free map_batches of vectorized polars list kernels
+    (split → int_ranges explode → list.slice → join); cluster-size
+    and block-layout invariant because the plan depends only on each
+    row's own token count."""
+    if not 0 <= int(overlap) < int(max_tokens):
+        raise ValueError(f"need 0 <= overlap < max_tokens, got "
+                         f"{overlap} / {max_tokens}")
+    mt, st = int(max_tokens), int(max_tokens) - int(overlap)
+
+    def per_batch(batch: pa.Table):
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", text_col]))
+        df = (df.with_columns(pl.col(text_col).str.extract_all(r"\S+")
+                              .alias("toks"))
+              .with_columns(pl.col("toks").list.len().cast(pl.Int64)
+                            .alias("n"))
+              .filter(pl.col("n") > 0))
+        df = df.with_columns(
+            pl.when(pl.col("n") <= mt).then(pl.lit(1))
+            .otherwise((pl.col("n") - mt + st - 1) // st + 1)
+            .cast(pl.Int64).alias("nc"))
+        df = (df.with_columns(pl.int_ranges(0, pl.col("nc"))
+                              .alias("chunk_idx"))
+              .explode("chunk_idx")
+              .with_columns((pl.col("chunk_idx") * st).alias("s")))
+        df = df.with_columns(
+            pl.col("toks").list.slice(pl.col("s"), mt).list.join(" ")
+            .alias("chunk"),
+            pl.min_horizontal(pl.lit(mt), pl.col("n") - pl.col("s"))
+            .cast(pl.Int64).alias("n_tokens"))
+        return df.select(["doc_id", "chunk_idx", "chunk",
+                          "n_tokens"]).to_arrow()
+
+    return docs_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def chunk_documents_sql(table: str = "documents", max_tokens: int = 40,
+                        overlap: int = 8, text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`chunk_documents` (same \\S+ token
+    convention, same integer chunk-count arithmetic)."""
+    mt, st = int(max_tokens), int(max_tokens) - int(overlap)
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"regexp_split_to_array(trim({text_col}), '\\s+') AS toks "
+        f"FROM {table} WHERE trim({text_col}) <> ''), "
+        "p AS (SELECT doc_id, toks, len(toks) AS n, "
+        f"CASE WHEN len(toks) <= {mt} THEN 1 "
+        f"ELSE ((len(toks) - {mt}) + {st} - 1) // {st} + 1 END AS nc "
+        "FROM t), "
+        "c AS (SELECT doc_id, toks, n, "
+        "unnest(generate_series(0, nc - 1)) AS ci FROM p) "
+        "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+        f"array_to_string(toks[ci*{st}+1 : ci*{st}+{mt}], ' ') AS chunk, "
+        f"CAST(least({mt}, n - ci*{st}) AS BIGINT) AS n_tokens FROM c")

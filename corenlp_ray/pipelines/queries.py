@@ -231,6 +231,16 @@ def q_pmi_collocations(sf_dir: str):
                             min_count=5)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking (ops/packing.chunk_documents — 40-token
+    windows, 8-token stride overlap): shuffle-free vectorized polars
+    list kernels; the long-document complement of sequence packing."""
+    from corenlp_ray.ops.packing import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           max_tokens=40, overlap=8)
+
+
 def q_exemplar_sample(sf_dir: str):
     """Deterministic per-language exemplars (ops/sampling.exemplar_sample
     — 3 smallest mix32(doc_id) per lang): per-batch local top-n, one thin
@@ -684,7 +694,15 @@ def q_cosine_pairs(sf_dir: str):
 def q_promo_revenue_by_type(sf_dir: str):
     """TPC-H-Q14-shaped: lineitem ⋈ part (broadcast the part dimension
     — small side ``ray.put`` once, never shuffled) → revenue per
-    p_type. Covers the ``part`` table; columns pruned at the read."""
+    p_type. Covers the ``part`` table; columns pruned at the read.
+
+    Revenue is summed in EXACT integer ten-thousandths (price has 2
+    decimals, discount 2, so the per-row product has exactly 4): a
+    float sum's value depends on partial-sum order, which differs
+    between a distributed combiner tree and DuckDB's scan order —
+    1-ulp drift that a value-hash compare rejects. The int64 sum is
+    order-independent; one float division at the end is bit-identical
+    on both sides."""
     import pyarrow.parquet as pq
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -701,7 +719,9 @@ def q_promo_revenue_by_type(sf_dir: str):
         r = pc.multiply(b.column("l_extendedprice"),
                         pc.subtract(pa.scalar(1.0),
                                     b.column("l_discount")))
-        return b.append_column("revenue", r)
+        cents = pc.cast(pc.round(pc.multiply(r, pa.scalar(10000.0))),
+                        pa.int64())
+        return b.append_column("rev_e4", cents)
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_type"]) \
@@ -710,15 +730,25 @@ def q_promo_revenue_by_type(sf_dir: str):
                             part, on="l_partkey")
     out = joined.groupby("p_type").aggregate(
         Count(alias_name="n_items"),
-        Sum("revenue", alias_name="revenue"))
-    return out.map_batches(lambda b: _round_col(b, "revenue", 4),
-                           batch_format="pyarrow")
+        Sum("rev_e4", alias_name="rev_e4"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return (b.append_column(
+            "revenue", pc.divide(pc.cast(b.column("rev_e4"),
+                                         pa.float64()),
+                                 pa.scalar(10000.0)))
+                .drop_columns(["rev_e4"]))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 ORACLE_SQL_JOINS = {
     "promo_revenue_by_type": (
         "SELECT p_type, count(*) AS n_items, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) "
+        "* 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "GROUP BY p_type"),
     "customer_orders": (
@@ -1551,6 +1581,7 @@ ORACLE_SQL.update(_sketch_oracles())
 
 def _hygiene_oracles() -> dict:
     from corenlp_ray.ops.lm import pmi_collocations_sql
+    from corenlp_ray.ops.packing import chunk_documents_sql
     from corenlp_ray.ops.sampling import exemplar_sample_sql
     from corenlp_ray.ops.webfilters import unicode_clean_sql
 
@@ -1559,6 +1590,8 @@ def _hygiene_oracles() -> dict:
         "exemplar_sample": exemplar_sample_sql("documents", "lang", n=3),
         "pmi_collocations": pmi_collocations_sql("documents",
                                                  min_count=5),
+        "chunk_documents": chunk_documents_sql("documents",
+                                               max_tokens=40, overlap=8),
     }
 
 
@@ -1692,6 +1725,7 @@ QUERIES = {
     "unicode_clean": q_unicode_clean,
     "exemplar_sample": q_exemplar_sample,
     "pmi_collocations": q_pmi_collocations,
+    "chunk_documents": q_chunk_documents,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1768,7 +1802,7 @@ _WINDOW_DEPRIORITIZED = [
     # gopher_rules inside the window
     "entity_mentions_planted", "kbp_planted", "openie_planted",
     "quotes_planted", "sentiment_planted", "linking_planted",
-    "multilingual_planted",
+    "multilingual_planted", "kg_planted",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -293,3 +293,34 @@ def test_exemplar_sample_partition_invariant(ray_session):
         return df.sort_values(["lang", "rn"]).values.tolist()
 
     assert run(2) == run(13)
+
+
+def test_chunk_documents_semantics(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from corenlp_ray.ops.packing import chunk_documents
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a b c d e f g h i j",   # 10 toks
+                           "x y",                    # fits in one
+                           "   "]})                  # empty: dropped
+    out = (chunk_documents(ray.data.from_arrow(t), max_tokens=4,
+                           overlap=1).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"], ignore_index=True))
+    got = out[["doc_id", "chunk_idx", "chunk", "n_tokens"]].values.tolist()
+    # step = 3: starts 0,3,6 — the third window ends exactly at token
+    # 10, so ceil((n-mt)/st)+1 = 3 chunks cover everything
+    assert got == [
+        [1, 0, "a b c d", 4], [1, 1, "d e f g", 4],
+        [1, 2, "g h i j", 4],
+        [2, 0, "x y", 2]]
+
+
+def test_chunk_documents_rejects_bad_overlap():
+    import pytest
+
+    from corenlp_ray.ops.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, max_tokens=4, overlap=4)
