@@ -231,6 +231,33 @@ def q_pmi_collocations(sf_dir: str):
                             min_count=5)
 
 
+def q_priority_with_returns(sf_dir: str):
+    """Distributed semi join (ops/joins.semi_join — the TPC-H Q4
+    EXISTS shape): orders with at least one returned lineitem
+    (l_returnflag = 'R'), counted per o_orderpriority. The lineitem
+    side ships one DISTINCT orderkey row per batch into the single
+    all-to-all — semi-join multiplicity can never duplicate orders."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from corenlp_ray.ops.joins import semi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    returned = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_returnflag"])
+                .map_batches(
+                    lambda b: b.filter(pc.equal(b.column("l_returnflag"),
+                                                "R"))
+                               .select(["l_orderkey"])
+                               .rename_columns(["o_orderkey"]),
+                    batch_format="pyarrow"))
+    return (semi_join(orders, returned, on="o_orderkey")
+            .groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_orders")))
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking (ops/packing.chunk_documents — 40-token
     windows, 8-token stride overlap): shuffle-free vectorized polars
@@ -1592,6 +1619,10 @@ def _hygiene_oracles() -> dict:
                                                  min_count=5),
         "chunk_documents": chunk_documents_sql("documents",
                                                max_tokens=40, overlap=8),
+        "priority_with_returns": (
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+            "WHERE l_returnflag = 'R') GROUP BY o_orderpriority"),
     }
 
 
@@ -1726,6 +1757,7 @@ QUERIES = {
     "exemplar_sample": q_exemplar_sample,
     "pmi_collocations": q_pmi_collocations,
     "chunk_documents": q_chunk_documents,
+    "priority_with_returns": q_priority_with_returns,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
     "decontamination": q_decontamination,
@@ -1802,7 +1834,7 @@ _WINDOW_DEPRIORITIZED = [
     # gopher_rules inside the window
     "entity_mentions_planted", "kbp_planted", "openie_planted",
     "quotes_planted", "sentiment_planted", "linking_planted",
-    "multilingual_planted", "kg_planted",
+    "multilingual_planted", "kg_planted", "embedding_neardup",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES
