@@ -481,6 +481,12 @@ def perplexity_buckets(scored_ds, n_buckets: int = 3,
     return scored.map_batches(assign, batch_format="pyarrow")
 
 
+# unigram vocabularies at or below this size attach to bigrams via one
+# ray.put broadcast + per-batch Arrow hash join; above it, two bucketed
+# hash joins (the 100-TB path). ~2M rows x ~30 B is a <100 MB object.
+_PMI_BROADCAST_VOCAB_MAX = 2_000_000
+
+
 def pmi_collocations(docs_ds, text_col: str = "text",
                      min_count: int = 5):
     """Pointwise-mutual-information collocation scoring (Church & Hanks
@@ -498,10 +504,13 @@ def pmi_collocations(docs_ds, text_col: str = "text",
     partial gram counts → one native two-phase aggregate), so the only
     corpus-wide shuffle carries (w1, w2, c) rows, never text. The
     counts Dataset is materialized ONCE (it is vocab²-bounded and
-    min_count-pruned ≪ corpus) and feeds two bucketed hash joins that
-    attach unigram counts to each bigram side — no broadcast of the
-    vocabulary, no driver materialization; N and Nb are two scalar
-    aggregates."""
+    min_count-pruned ≪ corpus). Unigram counts attach to each bigram
+    side by the two-regime rule every small-side lookup here follows
+    (stages/canonicalize.py sets the pattern): vocabularies up to
+    ``_PMI_BROADCAST_VOCAB_MAX`` are collected once, ``ray.put``, and
+    joined per batch inside Arrow's hash join (zero all-to-alls);
+    larger vocabularies switch to two bucketed hash joins (no driver
+    materialization). N and Nb are two scalar aggregates."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
@@ -509,7 +518,7 @@ def pmi_collocations(docs_ds, text_col: str = "text",
     from corenlp_ray.ops.joins import bucketed_hash_join
 
     counts = train_bigram_counts(docs_ds, text_col=text_col).materialize()
-    n_tokens, _ = lm_stats(counts)
+    n_tokens, vocab = lm_stats(counts)
     bi_all = counts.filter(expr="w2 != ''")
     nb = int(bi_all.aggregate(Sum("c", alias_name="nb"))["nb"] or 0)
     mc = int(min_count)
@@ -523,8 +532,24 @@ def pmi_collocations(docs_ds, text_col: str = "text",
             lambda b: b.select(["w1", "c"]).rename_columns([key, cname]),
             batch_format="pyarrow")
 
-    j = bucketed_hash_join(bi, uni_as("w1", "c1"), on="w1")
-    j = bucketed_hash_join(j, uni_as("w2", "c2"), on="w2")
+    if vocab <= _PMI_BROADCAST_VOCAB_MAX:
+        import ray
+
+        uni = _collect(counts.filter(expr="w2 == ''"),
+                       pa.schema([("w1", pa.string()),
+                                  ("w2", pa.string()),
+                                  ("c", pa.int64())])).select(["w1", "c"])
+        ref = ray.put(uni)
+
+        def attach(b: pa.Table) -> pa.Table:
+            u = ray.get(ref)  # zero-copy plasma read per task
+            b = b.join(u.rename_columns(["w1", "c1"]), keys="w1")
+            return b.join(u.rename_columns(["w2", "c2"]), keys="w2")
+
+        j = bi.map_batches(attach, batch_format="pyarrow")
+    else:
+        j = bucketed_hash_join(bi, uni_as("w1", "c1"), on="w1")
+        j = bucketed_hash_join(j, uni_as("w2", "c2"), on="w2")
     n_f, nb_f = float(n_tokens), float(nb)
 
     def score(b: pa.Table) -> pa.Table:

@@ -167,3 +167,26 @@ def test_pmi_collocations_partition_invariant(ray_session):
                 .values.tolist())
 
     assert run(2) == run(9)
+
+
+def test_pmi_broadcast_and_bucketed_regimes_identical(ray_session,
+                                                      monkeypatch):
+    import pyarrow as pa
+    import ray
+
+    import corenlp_ray.ops.lm as lm
+
+    texts = [f"w{i % 5} w{(i + 1) % 5} w{i % 3} w{(i + 2) % 7}"
+             for i in range(80)]
+    t = pa.table({"doc_id": list(range(80)), "text": texts})
+
+    def run():
+        ds = ray.data.from_arrow(t).repartition(5)
+        return (lm.pmi_collocations(ds, min_count=2).to_pandas()
+                .sort_values(["w1", "w2"], ignore_index=True)
+                .values.tolist())
+
+    broadcast = run()
+    monkeypatch.setattr(lm, "_PMI_BROADCAST_VOCAB_MAX", 0)
+    bucketed = run()
+    assert broadcast == bucketed and len(broadcast) > 0
