@@ -404,3 +404,57 @@ def unicode_clean_sql(table: str = "documents",
              "'\\s+', ' ', 'g'))")
     return (f"SELECT doc_id, {clean} AS text_clean, "
             f"{clean} != {text_col} AS changed FROM {table}")
+
+
+# Demo blocklist for the C4 §2.2 word-filter gate: the op is
+# LIST-DRIVEN — production runs plug in their full blocklist (e.g. the
+# "List of Dirty, Naughty, Obscene..." file C4 used) as data; the repo
+# ships a tiny neutral placeholder so tests and oracles stay tasteful.
+DEMO_BLOCKLIST = ("damn", "hell", "crap", "sucks", "stupid", "idiot")
+
+
+def blocklist_gate_batch(batch: pa.Table, lexicon=DEMO_BLOCKLIST,
+                         text_col: str = "text") -> pa.Table:
+    """C4-recipe blocklist gate (Raffel et al. 2020 §2.2: "removed any
+    page that contained any word on the ... list"): adds
+    ``n_blocked`` (count of blocklisted tokens, case-insensitive,
+    token-exact — never substring, so "hello" ≠ "hell") and
+    ``blocklist_keep`` (True iff zero hits).
+
+    Scale shape: shuffle-free per-batch polars kernel — lowercase
+    split on non-letters, explode-free ``list.eval`` membership sum;
+    the lexicon ships inside the task closure (it is a config file of
+    at most a few thousand words, not data). Oracle: unnest the same
+    [^a-z]+ split in DuckDB and count list membership."""
+    import polars as pl
+
+    lex = [w.lower() for w in lexicon]
+    df = pl.DataFrame({"t": [t or "" for t in
+                             batch.column(text_col).to_pylist()]})
+    n = df.select(pl.col("t").str.to_lowercase()
+                  .str.extract_all(r"[a-z]+")
+                  .list.eval(pl.element().is_in(lex))
+                  .list.sum().cast(pl.Int64).alias("n"))["n"]
+    n_arr = pa.array(n.to_list(), type=pa.int64())
+    import pyarrow.compute as pc
+
+    return (batch.append_column("n_blocked", n_arr)
+            .append_column("blocklist_keep",
+                           pc.equal(n_arr, pa.scalar(0))))
+
+
+def blocklist_gate_sql(table: str = "documents",
+                       lexicon=DEMO_BLOCKLIST,
+                       text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`blocklist_gate_batch` (same [a-z]+
+    token convention, same case-insensitive exact-token membership)."""
+    lex = ", ".join("'" + w.lower().replace("'", "''") + "'"
+                    for w in lexicon)
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        f"lower({text_col}), '[a-z]+')) AS tok FROM {table}), "
+        "hits AS (SELECT doc_id, count(*) FILTER (tok IN "
+        f"({lex})) AS n FROM toks GROUP BY doc_id) "
+        f"SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS "
+        "n_blocked, COALESCE(h.n, 0) = 0 AS blocklist_keep "
+        f"FROM {table} d LEFT JOIN hits h ON h.doc_id = d.doc_id")

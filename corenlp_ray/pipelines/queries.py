@@ -258,6 +258,18 @@ def q_priority_with_returns(sf_dir: str):
             .aggregate(Count(alias_name="n_orders")))
 
 
+def q_blocklist_gate(sf_dir: str):
+    """C4 blocklist word-filter gate (ops/webfilters.blocklist_gate_batch
+    — token-exact case-insensitive membership against the configured
+    lexicon; shuffle-free polars list kernel). Demo lexicon ships in
+    the repo; production blocklists plug in as data."""
+    from corenlp_ray.ops.webfilters import blocklist_gate_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(blocklist_gate_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_blocked", "blocklist_keep"]))
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking (ops/packing.chunk_documents — 40-token
     windows, 8-token stride overlap): shuffle-free vectorized polars
@@ -1610,10 +1622,12 @@ def _hygiene_oracles() -> dict:
     from corenlp_ray.ops.lm import pmi_collocations_sql
     from corenlp_ray.ops.packing import chunk_documents_sql
     from corenlp_ray.ops.sampling import exemplar_sample_sql
-    from corenlp_ray.ops.webfilters import unicode_clean_sql
+    from corenlp_ray.ops.webfilters import blocklist_gate_sql, \
+        unicode_clean_sql
 
     return {
         "unicode_clean": unicode_clean_sql("documents"),
+        "blocklist_gate": blocklist_gate_sql("documents"),
         "exemplar_sample": exemplar_sample_sql("documents", "lang", n=3),
         "pmi_collocations": pmi_collocations_sql("documents",
                                                  min_count=5),
@@ -1757,6 +1771,7 @@ QUERIES = {
     "exemplar_sample": q_exemplar_sample,
     "pmi_collocations": q_pmi_collocations,
     "chunk_documents": q_chunk_documents,
+    "blocklist_gate": q_blocklist_gate,
     "priority_with_returns": q_priority_with_returns,
     # promoted from test-only DuckDB parity to driver oracles (late r4)
     "repetition_stats": q_repetition_stats,
@@ -1835,6 +1850,7 @@ _WINDOW_DEPRIORITIZED = [
     "entity_mentions_planted", "kbp_planted", "openie_planted",
     "quotes_planted", "sentiment_planted", "linking_planted",
     "multilingual_planted", "kg_planted", "embedding_neardup",
+    "wikidict_linking",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -327,3 +327,28 @@ def test_unicode_clean_duckdb_parity():
     con.register("documents", t)
     want = con.execute(unicode_clean_sql("documents")).fetchdf()
     assert mine.values.tolist() == want.values.tolist()
+
+
+def test_blocklist_gate_token_exact():
+    import pyarrow as pa
+
+    from corenlp_ray.ops.webfilters import blocklist_gate_batch
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["What the hell is this", "hello shell okay",
+                           "", "Damn it and DAMN again crap"]})
+    out = blocklist_gate_batch(t)
+    # token-exact: "hello"/"shell" must NOT match "hell"
+    assert out.column("n_blocked").to_pylist() == [1, 0, 0, 3]
+    assert out.column("blocklist_keep").to_pylist() == [
+        False, True, True, False]
+
+
+def test_blocklist_gate_custom_lexicon():
+    import pyarrow as pa
+
+    from corenlp_ray.ops.webfilters import blocklist_gate_batch
+
+    t = pa.table({"doc_id": [1], "text": ["alpha beta GAMMA"]})
+    out = blocklist_gate_batch(t, lexicon=("gamma",))
+    assert out.column("n_blocked").to_pylist() == [1]
