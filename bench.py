@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "unicode_clean",          # CCNet NFC + whitespace collapse
     "pmi_collocations",       # Church-Hanks PMI (gram counts + joins)
     "exemplar_sample",        # per-key deterministic exemplars
+    "chunk_documents",        # context-window chunking (stride overlap)
+    "blocklist_gate",         # C4 word-filter gate (polars list kernel)
 ]
 
 

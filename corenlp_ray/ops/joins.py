@@ -314,7 +314,7 @@ def _filter_join(left_ds, right_ds, on, keep_matched: bool,
     npart = npart or _npart()
     left_schema = left_ds.schema()
     left_cols = left_schema.names
-    restore_l = _dtype_restorer(left_schema)
+    base = getattr(left_schema, "base_schema", None)
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, keys, npart),
         batch_format="pyarrow")
@@ -327,22 +327,25 @@ def _filter_join(left_ds, right_ds, on, keep_matched: bool,
 
     both = lt.union(right_ds.map_batches(thin, batch_format="pyarrow"))
 
-    def pick(part: pd.DataFrame) -> pd.DataFrame:
-        lhs = restore_l(part[part["_side"] == 0].reindex(
-            columns=list(left_cols)))
-        if lhs.empty:
-            return lhs
-        rk = part.loc[part["_side"] == 1, keys]
-        if len(keys) == 1:
-            mask = lhs[keys[0]].isin(set(rk[keys[0]]))
-        else:
-            seen = set(map(tuple, rk.itertuples(index=False)))
-            mask = pd.Series(
-                [t in seen for t in lhs[keys].itertuples(index=False)],
-                index=lhs.index)
-        return lhs[mask if keep_matched else ~mask]
+    # the whole per-partition membership test stays in Arrow/polars —
+    # pandas blocks here cost ~50x in block-format overhead (object
+    # dtypes + per-column size estimation), measured on TPC-H Q4
+    def pick(part: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return both.groupby("_part").map_groups(pick, batch_format="pandas")
+        df = pl.from_arrow(part)
+        lhs = df.filter(pl.col("_side") == 0).select(left_cols)
+        if lhs.height:
+            rk = (df.filter(pl.col("_side") == 1)
+                  .select(keys).unique())
+            lhs = lhs.join(rk, on=keys,
+                           how="semi" if keep_matched else "anti")
+        out = lhs.to_arrow()
+        if base is not None:
+            out = out.cast(base)
+        return out
+
+    return both.groupby("_part").map_groups(pick, batch_format="pyarrow")
 
 
 def semi_join(left_ds, right_ds, on, npart: int | None = None):

@@ -253,9 +253,25 @@ def q_priority_with_returns(sf_dir: str):
                                .select(["l_orderkey"])
                                .rename_columns(["o_orderkey"]),
                     batch_format="pyarrow"))
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(b) -> pa.Table:
+        # combiner-first: collapse each (pandas) semi-join block to at
+        # most one row per priority BEFORE the aggregate's all-to-all —
+        # the native hash aggregate over many small pandas blocks pays
+        # ~1 s/task in block-format overhead otherwise (measured)
+        df = pl.from_pandas(b[["o_orderpriority"]])
+        return (df.group_by("o_orderpriority").len()
+                .select("o_orderpriority",
+                        pl.col("len").cast(pl.Int64).alias("n"))
+                .to_arrow())
+
     return (semi_join(orders, returned, on="o_orderkey")
+            .map_batches(partial, batch_format="pandas")
             .groupby("o_orderpriority")
-            .aggregate(Count(alias_name="n_orders")))
+            .aggregate(Sum("n", alias_name="n_orders")))
 
 
 def q_blocklist_gate(sf_dir: str):
