@@ -157,7 +157,40 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
         lambda b: _tag_and_bucket(b, 1, on, npart), batch_format="pyarrow")
     both = lt.union(rt)
 
-    def merge(part: pd.DataFrame) -> pd.DataFrame:
+    if how in ("inner", "left"):
+        # Arrow + polars per-partition merge — pandas blocks here pay
+        # ~50x in block-format overhead (object dtypes + per-column
+        # size estimation), same finding as _filter_join
+        lbase = getattr(left_schema, "base_schema", None)
+        rbase = getattr(right_schema, "base_schema", None)
+
+        def _side_frame(df, side: int, cols, base):
+            import polars as pl
+
+            f = df.filter(pl.col("_side") == side)
+            missing = [c for c in cols if c not in f.columns]
+            if missing and base is not None:
+                # a partition fed by only one side lacks the other
+                # side's columns entirely; type the null fills from the
+                # side's Arrow schema so the join keys stay joinable
+                empties = pl.from_arrow(base.empty_table())
+                f = f.with_columns([
+                    pl.lit(None, dtype=empties[c].dtype).alias(c)
+                    for c in missing])
+            return f.select(list(cols))
+
+        def merge(part: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(part)
+            lhs = _side_frame(df, 0, left_cols, lbase)
+            rhs = _side_frame(df, 1, right_cols, rbase)
+            return lhs.join(rhs, on=on, how=how).to_arrow()
+
+        return both.groupby("_part").map_groups(merge,
+                                                batch_format="pyarrow")
+
+    def merge_pd(part: pd.DataFrame) -> pd.DataFrame:
         # explicit schemas: a partition fed by only one side may lack the
         # other side's columns entirely
         lhs = restore_l(
@@ -168,7 +201,7 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
             rhs = rhs.dropna(subset=on)  # keep join-key dtypes sane
         return lhs.merge(rhs, on=on, how=how)
 
-    return both.groupby("_part").map_groups(merge, batch_format="pandas")
+    return both.groupby("_part").map_groups(merge_pd, batch_format="pandas")
 
 
 def asof_join(left_ds, right_ds, key: str, ts: str,
