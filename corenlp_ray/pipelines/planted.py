@@ -1135,7 +1135,7 @@ def q_kg_degree_planted(sf_dir: str):
 def kg_degree_planted_sql() -> str:
     inner = kg_planted_sql()
     return ("SELECT subj, COUNT(*) AS out_degree, "
-            "SUM(support_count) AS total_support FROM (" + inner
+            "CAST(SUM(support_count) AS BIGINT) AS total_support FROM (" + inner
             + ") GROUP BY subj")
 
 
@@ -1322,7 +1322,7 @@ def domain_stats_planted_sql() -> str:
             f"SELECT regexp_replace(regexp_extract(url, '{pat}', 1), "
             "'^www\\.', '') AS domain, n_chars FROM synth) "
             "SELECT domain, COUNT(*) AS n_pages, "
-            "SUM(n_chars) AS total_chars FROM d GROUP BY 1")
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM d GROUP BY 1")
 
 
 # --------------------------------------------- sampling / packing ops ----
