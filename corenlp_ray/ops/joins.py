@@ -94,6 +94,25 @@ def _pandas_dtypes(ds_schema) -> dict:
     return out
 
 
+def _arrow_schema(ds_schema) -> pa.Schema | None:
+    """Ray ``Dataset.schema()`` → a concrete ``pa.Schema``, whether the
+    underlying blocks are Arrow or pandas (pandas-block schemas have no
+    ``empty_table()``, so per-partition null fills need this eager
+    conversion). ``None`` only when a column type can't be mapped."""
+    base = getattr(ds_schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    try:
+        fields = []
+        for name, typ in zip(ds_schema.names, ds_schema.types):
+            if not isinstance(typ, pa.DataType):
+                typ = pa.from_numpy_dtype(pd.api.types.pandas_dtype(typ))
+            fields.append(pa.field(name, typ))
+        return pa.schema(fields)
+    except (TypeError, ValueError, pa.ArrowNotImplementedError):
+        return None
+
+
 def _dtype_restorer(schema):
     """Build a closure that undoes the union null-fill dtype upcast.
 
@@ -161,22 +180,30 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
         # Arrow + polars per-partition merge — pandas blocks here pay
         # ~50x in block-format overhead (object dtypes + per-column
         # size estimation), same finding as _filter_join
-        lbase = getattr(left_schema, "base_schema", None)
-        rbase = getattr(right_schema, "base_schema", None)
+        lbase = _arrow_schema(left_schema)
+        rbase = _arrow_schema(right_schema)
+        # overlapping non-key columns take the pandas merge suffixes
+        # (_x/_y) so the output schema is join-type-independent
+        overlap = [c for c in left_cols
+                   if c in right_cols and c not in on]
 
         def _side_frame(df, side: int, cols, base):
             import polars as pl
 
             f = df.filter(pl.col("_side") == side)
             missing = [c for c in cols if c not in f.columns]
-            if missing and base is not None:
+            if missing:
                 # a partition fed by only one side lacks the other
                 # side's columns entirely; type the null fills from the
                 # side's Arrow schema so the join keys stay joinable
-                empties = pl.from_arrow(base.empty_table())
-                f = f.with_columns([
-                    pl.lit(None, dtype=empties[c].dtype).alias(c)
-                    for c in missing])
+                if base is not None:
+                    empties = pl.from_arrow(base.empty_table())
+                    f = f.with_columns([
+                        pl.lit(None, dtype=empties[c].dtype).alias(c)
+                        for c in missing])
+                else:
+                    f = f.with_columns([
+                        pl.lit(None).alias(c) for c in missing])
             return f.select(list(cols))
 
         def merge(part: pa.Table) -> pa.Table:
@@ -185,6 +212,9 @@ def bucketed_hash_join(left_ds, right_ds, on: Sequence[str] | str,
             df = pl.from_arrow(part)
             lhs = _side_frame(df, 0, left_cols, lbase)
             rhs = _side_frame(df, 1, right_cols, rbase)
+            if overlap:
+                lhs = lhs.rename({c: c + "_x" for c in overlap})
+                rhs = rhs.rename({c: c + "_y" for c in overlap})
             return lhs.join(rhs, on=on, how=how).to_arrow()
 
         return both.groupby("_part").map_groups(merge,
@@ -347,7 +377,7 @@ def _filter_join(left_ds, right_ds, on, keep_matched: bool,
     npart = npart or _npart()
     left_schema = left_ds.schema()
     left_cols = left_schema.names
-    base = getattr(left_schema, "base_schema", None)
+    base = _arrow_schema(left_schema)
     lt = left_ds.map_batches(
         lambda b: _tag_and_bucket(b, 0, keys, npart),
         batch_format="pyarrow")
@@ -367,7 +397,22 @@ def _filter_join(left_ds, right_ds, on, keep_matched: bool,
         import polars as pl
 
         df = pl.from_arrow(part)
-        lhs = df.filter(pl.col("_side") == 0).select(left_cols)
+        lhs = df.filter(pl.col("_side") == 0)
+        missing = [c for c in left_cols if c not in lhs.columns]
+        if missing:
+            # a partition fed only by the thin right side lacks the
+            # left side's non-key columns entirely; null-fill typed
+            # from the left schema (lhs is empty here, so the fills
+            # only shape the schema)
+            if base is not None:
+                empties = pl.from_arrow(base.empty_table())
+                lhs = lhs.with_columns([
+                    pl.lit(None, dtype=empties[c].dtype).alias(c)
+                    for c in missing])
+            else:
+                lhs = lhs.with_columns([
+                    pl.lit(None).alias(c) for c in missing])
+        lhs = lhs.select(left_cols)
         if lhs.height:
             rk = (df.filter(pl.col("_side") == 1)
                   .select(keys).unique())

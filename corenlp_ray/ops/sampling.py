@@ -38,8 +38,12 @@ _SHIFT = np.uint64(16)
 def mix32(keys: np.ndarray, seed: int = 0) -> np.ndarray:
     """Vectorized 32-bit mix of int64 keys; uniform on [0, 2^32).
 
-    Exactly reproducible in SQL (see :func:`mix32_sql`)."""
-    x = keys.astype(np.uint64)
+    Exactly reproducible in SQL (see :func:`mix32_sql`). Keys are
+    masked to the non-negative int64 domain first: numpy would wrap a
+    negative key mod 2^64 while DuckDB HUGEINT keeps the sign (and %
+    returns a negative remainder), so the two sides would diverge."""
+    x = (np.asarray(keys, dtype=np.int64)
+         & np.int64(0x7FFFFFFFFFFFFFFF)).astype(np.uint64)
     with np.errstate(over="ignore"):
         h = ((x + np.uint64(seed)) * _KNUTH) % _SPACE
         h = ((h >> _SHIFT) ^ h) * _MIX % _SPACE
@@ -50,8 +54,8 @@ def mix32_sql(col: str, seed: int = 0) -> str:
     """The identical hash in DuckDB SQL (HUGEINT avoids BIGINT overflow
     for keys up to 2^63; congruent with numpy's mod-2^64 wraparound
     because 2^32 divides 2^64)."""
-    h1 = (f"((CAST({col} AS HUGEINT) + {seed}) * 2654435761) "
-          "% 4294967296")
+    h1 = (f"((CAST({col} AS HUGEINT) & 9223372036854775807) + {seed})"
+          " * 2654435761 % 4294967296")
     h2 = f"(xor(({h1}) >> 16, {h1}) * 273837989) % 4294967296"
     return f"CAST(xor(({h2}) >> 16, {h2}) AS BIGINT)"
 

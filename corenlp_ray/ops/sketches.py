@@ -43,9 +43,12 @@ def md5_u64(values: List[str]) -> np.ndarray:
 
 def md5_u64_sql(col: str) -> str:
     """The identical uint64 in DuckDB HUGEINT arithmetic: a 16-term
-    nibble sum over the md5 hex prefix."""
+    nibble sum over the md5 hex prefix. COALESCE mirrors the Python
+    side's ``(v or "")`` — ``md5(NULL)`` would be NULL and the row
+    would silently fall out of the sketch."""
+    expr = f"md5(COALESCE({col}, ''))"
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
         f" * CAST({16 ** (15 - i)} AS HUGEINT)" for i in range(16))
     return f"({terms})"
 
@@ -286,8 +289,10 @@ def hll_registers_by(ds, key: str, col: str = "text", p: int = 8):
                        width + 1).astype(np.int64)
         df = pd.DataFrame({key: batch.column(key).to_pylist(),
                            "bucket": bucket, "max_rho": rho})
-        out = (df.groupby([key, "bucket"], sort=False)["max_rho"]
-               .max().reset_index())
+        # dropna=False: a null key must stay its own group, matching
+        # the SQL mirror's GROUP BY (which keeps the NULL group)
+        out = (df.groupby([key, "bucket"], sort=False, dropna=False)
+               ["max_rho"].max().reset_index())
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (ds.map_batches(partial, batch_format="pyarrow")

@@ -1449,10 +1449,16 @@ def q_pagerank_planted(sf_dir: str):
 
 def pagerank_planted_sql() -> str:
     inner = kg_planted_sql()
-    it = ("SELECT v.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE("
-          "(SELECT SUM({prev}.r / d.outdeg) FROM e "
-          "JOIN d ON d.src = e.src JOIN {prev} ON {prev}.node = e.src "
-          "WHERE e.dst = v.node), 0) AS r FROM v")
+    # one grouped join per iteration — the correlated-scalar-subquery
+    # form re-ran the whole e⋈d⋈prev join per node (244 s at sf0.01,
+    # a driver-timeout hazard); this computes the same per-dst sums
+    # once (4 s at sf0.01, value-identical to 6 decimals)
+    it = ("SELECT v.node, 0.15/(SELECT n FROM nn) + "
+          "0.85*COALESCE(c.contrib, 0) AS r FROM v LEFT JOIN ("
+          "SELECT e.dst AS node, SUM({prev}.r / d.outdeg) AS contrib "
+          "FROM e JOIN d ON d.src = e.src "
+          "JOIN {prev} ON {prev}.node = e.src "
+          "GROUP BY e.dst) c ON c.node = v.node")
     return (
         f"WITH kg AS ({inner}), "
         "e AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg), "

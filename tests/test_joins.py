@@ -153,3 +153,48 @@ def test_semi_and_anti_join(ray_session):
     anti = (anti_join(left, right, on="k").to_pandas()
             .sort_values("k", ignore_index=True))
     assert anti["k"].tolist() == [1, 3]
+
+
+def test_filter_join_right_only_partitions(ray_session):
+    """A shuffle partition fed only by the thin right side lacks the
+    left side's non-key columns — the pick kernel must null-fill from
+    the left schema instead of crashing (advisor r4, high)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.joins import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([7], pa.int64()),
+                                   "v": ["x"]}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(4000)), pa.int64()),
+        "w": pa.array(list(range(4000)), pa.int64())}))
+    semi = semi_join(left, right, on="k", npart=64).take_all()
+    assert semi == [{"k": 7, "v": "x"}]
+    anti = anti_join(left, right, on="k", npart=64).take_all()
+    assert anti == []
+
+
+def test_bucketed_join_right_only_partitions_and_suffixes(ray_session):
+    """Right-heavy partitions must not crash the polars merge path, and
+    overlapping non-key columns get the same _x/_y suffixes as the
+    pandas path regardless of join type (advisor r4, low)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.joins import bucketed_hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "v": ["a", "b"]}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(2000)), pa.int64()),
+        "v": [str(i) for i in range(2000)]}))
+    inner = sorted(bucketed_hash_join(left, right, "k", how="inner",
+                                      npart=64).take_all(),
+                   key=lambda r: r["k"])
+    assert inner == [{"k": 1, "v_x": "a", "v_y": "1"},
+                     {"k": 2, "v_x": "b", "v_y": "2"}]
+    lj = sorted(bucketed_hash_join(left, right, "k", how="left",
+                                   npart=64).take_all(),
+                key=lambda r: r["k"])
+    assert lj == inner

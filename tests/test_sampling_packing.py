@@ -324,3 +324,22 @@ def test_chunk_documents_rejects_bad_overlap():
 
     with pytest.raises(ValueError):
         chunk_documents(None, max_tokens=4, overlap=4)
+
+
+def test_mix32_sql_parity_on_negative_keys():
+    """numpy wraps negative keys mod 2^64 while DuckDB HUGEINT keeps the
+    sign — both sides now mask to the non-negative int64 domain first
+    (advisor r4)."""
+    import numpy as np
+
+    from corenlp_ray.ops.sampling import mix32, mix32_sql
+
+    keys = np.array([-2**63, -12345, -1, 0, 1, 7, 2**62, 2**63 - 1],
+                    dtype=np.int64)
+    py = mix32(keys, seed=5)
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT {mix32_sql('k', 5)} FROM "
+        "(SELECT unnest(?::BIGINT[]) AS k)", [keys.tolist()]).fetchall()
+    assert py.tolist() == [r[0] for r in rows]

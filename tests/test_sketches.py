@@ -139,3 +139,38 @@ def test_hll_by_key_matches_sql_and_merges(ray_session):
     for k, true in (("a", 400), ("b", 50)):
         est = hll_estimate(regs[regs["k"] == k], p=8)
         assert abs(est - true) / true < 0.2
+
+
+def test_md5_u64_sql_null_parity():
+    """md5_u64 hashes None as '' — the SQL mirror COALESCEs so a null
+    row lands in the same bucket instead of dropping (advisor r4)."""
+    import numpy as np
+
+    from corenlp_ray.ops.sketches import md5_u64, md5_u64_sql
+
+    vals = ["a", None, "", "xyz"]
+    py = md5_u64(vals)
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT {md5_u64_sql('v')} FROM "
+        "(SELECT unnest(?::VARCHAR[]) AS v)", [vals]).fetchall()
+    assert py.tolist() == [int(r[0]) for r in rows]
+
+
+def test_hll_registers_by_null_keys(ray_session):
+    """A null group key must stay its own register set, matching the
+    SQL mirror's GROUP BY NULL-keeping semantics (advisor r4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from corenlp_ray.ops.sketches import hll_registers_by
+
+    ds = rd.from_arrow(pa.table({
+        "lang": ["en", None, "en", None],
+        "text": ["a", "b", "c", "d"]}))
+    out = hll_registers_by(ds, key="lang", col="text", p=4).to_pandas()
+    langs = set(out["lang"].where(out["lang"].notna(), None))
+    assert None in langs and "en" in langs
+    # null-key group carries its own (distinct) registers
+    assert (out["lang"].isna().sum()) == 2
