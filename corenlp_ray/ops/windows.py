@@ -14,24 +14,40 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _us_window(b: pa.Table) -> pa.Table:
+    """Ray's sort-aggregate downcasts aligned timestamps to [s];
+    conform window_start back to the input's microsecond unit."""
+    i = b.column_names.index("window_start")
+    return b.set_column(i, "window_start",
+                        b.column("window_start").cast(pa.timestamp("us")))
+
+
 def tumbling_window(events_ds, window: str = "hour"):
     """(user_id, window_start=date_trunc(window, ts)) → n_events,
     sum_value. Oracle-SQL expressible (GROUP BY user_id,
     date_trunc(...))."""
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts", "value"]).to_pandas()
-        df["window_start"] = df["ts"].dt.floor(
-            {"hour": "h", "day": "D", "minute": "min"}[window])
-        g = (df.groupby(["user_id", "window_start"], as_index=False)
-             .agg(n_events=("value", "size"), sum_value=("value", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # polars group_by over truncated ts — the pandas block path here
+        # cost ~50x in block-format overhead (r4 advisor / the
+        # ops/joins._filter_join finding)
+        import polars as pl
+
+        every = {"hour": "1h", "day": "1d", "minute": "1m"}[window]
+        df = pl.from_arrow(batch.select(["user_id", "ts", "value"]))
+        g = (df.with_columns(
+                pl.col("ts").dt.truncate(every).alias("window_start"))
+             .group_by(["user_id", "window_start"])
+             .agg(n_events=pl.len().cast(pl.Int64),
+                  sum_value=pl.col("value").sum()))
+        return g.to_arrow()
 
     from ray.data.aggregate import Sum
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow")
     return (partials.groupby(["user_id", "window_start"])
             .aggregate(Sum("n_events", alias_name="n_events"),
-                       Sum("sum_value", alias_name="sum_value")))
+                       Sum("sum_value", alias_name="sum_value"))
+            .map_batches(_us_window, batch_format="pyarrow"))
 
 
 def session_windows(events_ds, gap_minutes: int = 30):
@@ -90,26 +106,28 @@ def hopping_window(events_ds, size_minutes: int = 60,
     k = size_minutes // hop_minutes
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts", "value"]).to_pandas()
-        base = df["ts"].dt.floor(f"{hop_minutes}min")
-        frames = []
-        for i in range(k):
-            f = pd.DataFrame({
-                "user_id": df["user_id"],
-                "window_start": base - pd.Timedelta(
-                    minutes=hop_minutes * i),
-                "value": df["value"],
-            })
-            frames.append(f)
-        exploded = pd.concat(frames, ignore_index=True)
-        g = (exploded.groupby(["user_id", "window_start"],
-                              as_index=False)
-             .agg(n_events=("value", "size"), sum_value=("value", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # polars: truncate once, replicate the frame k times with a
+        # shifted window_start, one group_by (pandas blocks cost ~50x)
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["user_id", "ts", "value"]))
+        base = df.with_columns(
+            pl.col("ts").dt.truncate(f"{hop_minutes}m")
+            .alias("window_start")).drop("ts")
+        exploded = pl.concat([
+            base.with_columns(
+                pl.col("window_start")
+                - pl.duration(minutes=hop_minutes * i))
+            for i in range(k)])
+        g = (exploded.group_by(["user_id", "window_start"])
+             .agg(n_events=pl.len().cast(pl.Int64),
+                  sum_value=pl.col("value").sum()))
+        return g.to_arrow()
 
     from ray.data.aggregate import Sum
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow")
     return (partials.groupby(["user_id", "window_start"])
             .aggregate(Sum("n_events", alias_name="n_events"),
-                       Sum("sum_value", alias_name="sum_value")))
+                       Sum("sum_value", alias_name="sum_value"))
+            .map_batches(_us_window, batch_format="pyarrow"))

@@ -26,6 +26,26 @@ def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
         pc.round(tbl.column(col), ndigits=digits))
 
 
+def _value_to_cents(b: pa.Table) -> pa.Table:
+    """events.value has 2 decimals; summing it as float is 1-ulp
+    unstable across partial-sum order (r4 memory note), so the window
+    queries sum exact integer cents and divide once at the end."""
+    import pyarrow.compute as pc
+
+    i = b.schema.get_field_index("value")
+    cents = pc.round(pc.multiply(b.column("value"), 100.0)).cast(pa.int64())
+    return b.set_column(i, "value", cents)
+
+
+def _cents_to_value(b: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    i = b.schema.get_field_index("sum_value")
+    return b.set_column(i, "sum_value",
+                        pc.divide(b.column("sum_value").cast(pa.float64()),
+                                  100.0))
+
+
 def _bool_to_int64(col: str):
     """Per-batch bool→int64 cast: the driver's value-hash compare is
     pinned on integer columns (booleans stay bool in the library ops;
@@ -366,9 +386,9 @@ def q_event_windows(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
-    out = tumbling_window(ev, "hour")
-    return out.map_batches(lambda b: _round_col(b, "sum_value"),
-                           batch_format="pyarrow")
+    out = tumbling_window(ev.map_batches(_value_to_cents,
+                                         batch_format="pyarrow"), "hour")
+    return out.map_batches(_cents_to_value, batch_format="pyarrow")
 
 
 def q_session_windows(sf_dir: str):
@@ -466,12 +486,13 @@ ORACLE_SQL = {
         "FROM pairs GROUP BY token HAVING count(*) >= 2"),
     "event_windows": (
         "SELECT user_id, date_trunc('hour', ts) AS window_start, "
-        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
-        "FROM events GROUP BY 1, 2"),
+        "count(*) AS n_events, CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) "
+        "AS DOUBLE)/100 AS sum_value FROM events GROUP BY 1, 2"),
     "hopping_windows": (
         "SELECT user_id, time_bucket(INTERVAL 30 MINUTE, ts) "
         "- i * INTERVAL 30 MINUTE AS window_start, "
-        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "count(*) AS n_events, CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) "
+        "AS DOUBLE)/100 AS sum_value "
         "FROM events, range(2) t(i) GROUP BY 1, 2"),
     "top_docs_per_lang": (
         "SELECT doc_id, lang, n_tokens FROM ("
@@ -1226,9 +1247,10 @@ def q_hopping_windows(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
-    out = hopping_window(ev, size_minutes=60, hop_minutes=30)
-    return out.map_batches(lambda b: _round_col(b, "sum_value"),
-                           batch_format="pyarrow")
+    out = hopping_window(ev.map_batches(_value_to_cents,
+                                        batch_format="pyarrow"),
+                         size_minutes=60, hop_minutes=30)
+    return out.map_batches(_cents_to_value, batch_format="pyarrow")
 
 
 def q_top_docs_per_lang(sf_dir: str):

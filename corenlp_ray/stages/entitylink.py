@@ -38,12 +38,14 @@ WIKIDICT: Dict[str, str] = {
 }
 
 
-def link_of(surface: str, ner: str, normalized: str) -> Optional[str]:
+def link_of(surface: str, ner: str, normalized: str,
+            wikidict: Optional[Dict[str, str]] = None) -> Optional[str]:
     """Pure kernel: one mention → link value (WikidictAnnotator.link
     semantics: numeric/date mentions link to their normalized value;
     entities to a dictionary title; else a deterministic title form)."""
     if ner in ("DATE", "NUMBER", "MONEY", "PERCENT", "ORDINAL", "DURATION"):
         return normalized or None
+    d = WIKIDICT if wikidict is None else wikidict
     # dictionary lookup keeps internal punctuation ("u.s."); the
     # canonicalization key strips it — try both
     toks = surface.lower().split()
@@ -53,7 +55,7 @@ def link_of(surface: str, ner: str, normalized: str) -> Optional[str]:
     key = normalize_surface(surface)
     if not key and not raw_key:
         return None
-    hit = WIKIDICT.get(raw_key) or WIKIDICT.get(key)
+    hit = d.get(raw_key) or d.get(key)
     if hit:
         return hit
     if ner in ("PERSON", "ORGANIZATION", "LOCATION", "MISC"):
@@ -88,7 +90,8 @@ class EntityLinker:
             links = []
             for b, e, t, nv in zip(mb_col[r], me_col[r], mn_col[r],
                                    mv_col[r]):
-                links.append(link_of(" ".join(words[b:e]), t, nv) or "")
+                links.append(link_of(" ".join(words[b:e]), t, nv,
+                                     wikidict=self.wikidict) or "")
             out.append(links)
         return batch.append_column(
             "men_link", pa.array(out, type=pa.list_(pa.string())))
@@ -97,6 +100,71 @@ class EntityLinker:
 def entitylink_batch(batch: pa.Table) -> pa.Table:
     """Stateless-task variant."""
     return EntityLinker()(batch)
+
+
+# ---------------------------------------------- real wikidict TSV format ----
+
+def load_wikidict_tsv(path: str, threshold: float = 0.0,
+                      caseless: bool = False) -> Dict[str, str]:
+    """Load the reference's real wikidict TSV (``text\\tlink\\tscore``,
+    WikidictAnnotator.java:57-114) into a plain dict for the broadcast
+    path: lines starting with a tab are skipped, the score filter only
+    applies when threshold > 0.0 (the reference never parses the score
+    otherwise), caseless lowercases the surface, and duplicate surfaces
+    are last-wins (HashMap.put). Use for dictionaries that fit one
+    worker's heap; broadcast via ``ray.put`` and pass the ref to
+    ``EntityLinker(dict_ref=...)``."""
+    out: Dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if not line or line[0] == "\t":
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 3:
+                continue
+            if threshold > 0.0 and float(fields[2]) < threshold:
+                continue
+            surface = fields[0].lower() if caseless else fields[0]
+            out[surface] = fields[1]
+    return out
+
+
+def wikidict_tsv_dataset(path: str, threshold: float = 0.0,
+                         caseless: bool = False):
+    """The same TSV as a (surface, link) Dataset — the 21M-entry scale
+    path that feeds :func:`wikidict_link_join` (the dictionary never
+    lands on one node). ``read_csv`` with quoting disabled mirrors the
+    reference's raw splitOnChar('\\t') parse."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    ds = rd.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(
+            column_names=["surface", "link", "score"]),
+        parse_options=pacsv.ParseOptions(delimiter="\t",
+                                         quote_char=False),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"surface": pa.string(), "link": pa.string(),
+                          "score": pa.float64()}))
+
+    def conform(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        surface = batch.column("surface")
+        keep = pc.and_(surface.is_valid(),
+                       pc.not_equal(pc.coalesce(surface, ""), ""))
+        if threshold > 0.0:
+            keep = pc.and_(keep, pc.greater_equal(
+                batch.column("score"), threshold))
+        batch = batch.filter(keep)
+        surface = batch.column("surface")
+        if caseless:
+            surface = pc.utf8_lower(surface)
+        return pa.table({"surface": surface,
+                         "link": batch.column("link")})
+
+    return ds.map_batches(conform, batch_format="pyarrow")
 
 
 # ------------------------------------------------- 21M-entry scale path ----
