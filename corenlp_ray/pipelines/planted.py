@@ -377,6 +377,103 @@ def extract_planted_sql() -> str:
         "CAST(doc_id % 10 AS INT) + 1) || '.' AS text FROM documents")
 
 
+# --------------------------------------- cleanxml doc attributes ----
+
+_CLEANXML_PHRASES = ("yesterday", "today", "tomorrow")
+
+
+def _cleanxml_html(i: int) -> str:
+    """LDC-style SGML document: docid/doctype/date tag content +
+    doc[id]/doc[type] attributes + a turn/speaker pair + one relative
+    date whose resolution depends on the XML-embedded docdate
+    (CleanXmlAnnotator.java:64-100 tag defaults)."""
+    import datetime as _dt
+
+    iso = (_dt.date(2003, 4, 14)
+           + _dt.timedelta(days=i % 60)).isoformat()
+    return ("<doc id=\"ATTR{i}\" type=\"forum\">\n"
+            "<docid>D{i}</docid>\n<doctype>news</doctype>\n"
+            "<date>{iso}</date>\n"
+            "<turn><speaker>{p}</speaker>\n"
+            "<p>The meeting happened {phrase}.</p></turn>\n"
+            "</doc>").format(i=i, iso=iso, p=PERSONS[i % 12],
+                             phrase=_CLEANXML_PHRASES[i % 3])
+
+
+def q_cleanxml_docdate_planted(sf_dir: str):
+    """cleanxml attribute extraction end-to-end: XML-embedded
+    docid/date/speaker tags → xml_* columns → the XML docdate (NOT the
+    decoy warc_ts, planted at 1999-01-01 to prove precedence) resolves
+    the relative date through the real tokenize→pos→ner SUTime chain."""
+    import datetime as _dt
+
+    from corenlp_ray.pipelines.kg import apply
+    from corenlp_ray.stages.extract import (extract_doc_attrs_batch,
+                                            extract_text_batch)
+
+    decoy = _dt.datetime(1999, 1, 1)
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": ids,
+             "html": [_cleanxml_html(int(i)).encode() for i in ids],
+             "warc_ts": [decoy] * len(ids)},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("html", pa.binary()),
+                              ("warc_ts", pa.timestamp("us"))]))
+
+    ds = (_docs_ids(sf_dir).map_batches(synth, batch_format="pyarrow")
+          .map_batches(extract_text_batch, batch_format="pyarrow")
+          .map_batches(extract_doc_attrs_batch, batch_format="pyarrow")
+          .map_batches(lambda b: b.drop_columns(["html"])
+                       .rename_columns([
+                           "text" if c == "text_extracted" else c
+                           for c in b.drop_columns(["html"]).column_names]),
+                       batch_format="pyarrow"))
+    ann = apply(ds, ("ner",), distributed=False)
+    rel = set(_CLEANXML_PHRASES)
+
+    def project(b: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "docid": [], "docdate": [], "speaker": [],
+                "value": []}
+        for r in range(b.num_rows):
+            words = b.column("tok_word")[r].as_py()
+            speakers = b.column("xml_speakers")[r].as_py()
+            for mb, me, ty, nv in zip(b.column("men_begin")[r].as_py(),
+                                      b.column("men_end")[r].as_py(),
+                                      b.column("men_ner")[r].as_py(),
+                                      b.column("men_norm")[r].as_py()):
+                surface = " ".join(words[mb:me]).lower()
+                if ty == "DATE" and surface in rel:
+                    rows["doc_id"].append(
+                        b.column("doc_id")[r].as_py())
+                    rows["docid"].append(b.column("xml_docid")[r].as_py())
+                    rows["docdate"].append(
+                        b.column("xml_docdate")[r].as_py())
+                    rows["speaker"].append(
+                        speakers[0] if speakers else "")
+                    rows["value"].append(nv)
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("doc_id", pa.int64()), ("docid", pa.string()),
+             ("docdate", pa.string()), ("speaker", pa.string()),
+             ("value", pa.string())]))
+
+    return ann.map_batches(project, batch_format="pyarrow")
+
+
+def cleanxml_docdate_planted_sql() -> str:
+    phrases_base = "DATE '2003-04-14' + CAST(doc_id % 60 AS INT)"
+    return (
+        "SELECT doc_id, "
+        "'D' || CAST(doc_id AS VARCHAR) AS docid, "
+        f"strftime({phrases_base}, '%Y-%m-%d') AS docdate, "
+        f"list_extract({_sql_list(PERSONS)}, "
+        "CAST(doc_id % 12 AS INT) + 1) AS speaker, "
+        f"strftime({phrases_base} + (CAST(doc_id % 3 AS INT) - 1), "
+        "'%Y-%m-%d') AS value FROM documents")
+
+
 # (text or None=slot template, n_tokens, n_sents): PTB tokenization +
 # sentence splitting — abbreviation non-boundary (Dr.), ?!-boundaries,
 # comma splitting; counts are template constants.

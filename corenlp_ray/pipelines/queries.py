@@ -1566,6 +1566,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_incremental_dedup_planted, incremental_dedup_planted_sql,
     q_triangle_planted, triangle_planted_sql,
     q_range_join_planted, range_join_planted_sql,
+    q_cleanxml_docdate_planted, cleanxml_docdate_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1588,6 +1589,7 @@ ORACLE_SQL["tokenize_planted"] = tokenize_planted_sql()
 ORACLE_SQL["protobuf_planted"] = protobuf_planted_sql()
 ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
 ORACLE_SQL["relation_planted"] = relation_planted_sql()
+ORACLE_SQL["cleanxml_docdate_planted"] = cleanxml_docdate_planted_sql()
 ORACLE_SQL["kg_degree_planted"] = kg_degree_planted_sql()
 ORACLE_SQL["pii_planted"] = pii_planted_sql()
 # NOTE: keep these three LAST among the oracles — the driver's
@@ -1768,6 +1770,7 @@ QUERIES = {
     "simhash_pairs_planted": q_simhash_pairs_planted,
     "protobuf_planted": q_protobuf_planted,
     "relation_planted": q_relation_planted,
+    "cleanxml_docdate_planted": q_cleanxml_docdate_planted,
     "kg_degree_planted": q_kg_degree_planted,
     "pii_planted": q_pii_planted,
     "url_normalize_planted": q_url_normalize_planted,

@@ -385,6 +385,11 @@ class NerTagger:
         ner_c, mb_c, me_c, ms_c, mn_c, mv_c = ([] for _ in range(6))
         has_ts = "warc_ts" in batch.column_names
         ts_col = batch.column("warc_ts").to_pylist() if has_ts else None
+        # cleanxml docdate (XML-embedded <date>/<datetime> content)
+        # outranks the crawl timestamp — CleanXmlAnnotator's
+        # DocDateAnnotation feeds SUTime before any metadata fallback
+        xd_col = (batch.column("xml_docdate").to_pylist()
+                  if "xml_docdate" in batch.column_names else None)
         words_col = col(batch, "tok_word", cols)
         tags_col = col(batch, "tok_pos", cols)
         sb_col = col(batch, "sent_begin", cols)
@@ -392,7 +397,12 @@ class NerTagger:
         for r in range(batch.num_rows):
             words, tags = words_col[r], tags_col[r]
             docdate = None
-            if ts_col is not None and ts_col[r] is not None:
+            if xd_col is not None and xd_col[r]:
+                from corenlp_ray.stages.extract import normalize_docdate
+
+                docdate = normalize_docdate(xd_col[r]) or None
+            if docdate is None and ts_col is not None \
+                    and ts_col[r] is not None:
                 docdate = str(ts_col[r])[:10]
             types: List[str] = ["O"] * len(words)
             mb, me, ms, mn, mv = [], [], [], [], []
