@@ -396,6 +396,17 @@ def quote_batch(batch: pa.Table) -> pa.Table:
     lem_col = col("tok_lemma")
     mb_col, me_col, mn_col = col("men_begin"), col("men_end"), col("men_ner")
     pos_col, sent_col = col("tok_pos"), col("tok_sent")
+    if "tok_lemma" not in names and "tok_pos" in names:
+        # a chain without the lemma stage (coref alone satisfies the
+        # quote requires) fed lemmas=None into the sieves — most paths
+        # never dereferenced it, but the PVQ/QVP pronoun checks and the
+        # loose sieve crash on batches that reach them (r5: surfaced by
+        # the weighted coref's different canonical routing)
+        from corenlp_ray.stages.lemma import lemma_of
+
+        lem_col = [[lemma_of(w, t) for w, t in zip(ws, ts)]
+                   if ws is not None else None
+                   for ws, ts in zip(words_col, pos_col)]
     mc_col = col("men_canonical")
     pi_col, pc_col = col("pron_idx"), col("pron_canonical")
     dh_col, dl_col = col("dep_head"), col("dep_label")
