@@ -1864,34 +1864,36 @@ QUERIES = {
 # mirror tests/test_query_catalog.py and the committed sf0.01
 # side-by-side run in BASELINE.md).
 _WINDOW_DEPRIORITIZED = [
-    "customer_orders", "lineitem_status_revenue", "asof_events",
-    "pricing_summary", "top_orders", "region_suppliers",
-    # driver-verified green in BOTH r2 and r3 — these yield their slots
-    # to the never-driver-verified late-r4 oracles (hash_split,
-    # quality_classifier, decontamination, repetition_stats, c4_clean)
-    "lang_counts", "token_count", "doc_quality", "stopword_ratio",
-    "dedup_exact", "top_tokens", "event_windows", "hopping_windows",
-    "session_windows", "top_docs_per_lang",
-    # driver-verified green in r3 — these yield their slots to the three
-    # post-r3 session-2 oracles (incremental_dedup_planted,
-    # mixture_sample, inverted_index) so the never-driver-verified
-    # late-r4 promotions (decontamination, gopher_rules, c4_clean) keep
-    # theirs
-    "dedup_corpus", "ann_topk", "cosine_pairs",
-    # driver-verified green in r3 — yield slots to the session-3 sketch
-    # and graph oracles (triangle_planted, hll_registers, bloom_probe,
-    # count_min)
-    "extract_planted", "tokenize_planted", "multimodal_planted",
-    "ivf_planted", "simhash_pairs_planted", "ngram_jaccard_planted",
-    "minhash_planted", "simhash_planted", "parse_planted",
-    "natlog_planted",
-    # driver-verified green in r3 — yield slots to the session-4 hygiene
-    # oracles (unicode_clean, exemplar_sample) and keep c4_clean /
-    # gopher_rules inside the window
-    "entity_mentions_planted", "kbp_planted", "openie_planted",
-    "quotes_planted", "sentiment_planted", "linking_planted",
-    "multilingual_planted", "kg_planted", "embedding_neardup",
-    "wikidict_linking",
+    # r5 rotation for FRESHNESS (r4 verdict task 2): after r4, every
+    # committed oracle except kg_degree/domain_stats (the HUGEINT dtype
+    # pair, fixed this round) had been driver-verified at least once,
+    # so the union criterion is saturated — the window now minimizes
+    # staleness instead. In: the 3 never-green oracles
+    # (kg_degree_planted, domain_stats_planted, cleanxml_docdate_planted
+    # — new in r5), the 7 last-green-in-r2 oracles (sutime_relative,
+    # wikidict_linking, doc_valence, bpe_tokens, langid, fingerprints,
+    # embedding_dedup), all 38 last-green-in-r3 oracles, and 2 cheap r4
+    # greens (unicode_clean, blocklist_gate) to fill slot 50. Out: the
+    # 46 oracles below, all hash-green in CORRECTNESS_r04 — still
+    # checked every session by the sf0.001 mirror
+    # (tests/test_query_catalog.py). Staleness table: BASELINE.md
+    # "Oracle verification staleness (r5 window)".
+    "bloom_probe", "c4_clean", "c4_planted", "chunk_documents",
+    "cooccurrence_planted", "count_min", "customers_without_orders",
+    "decontamination", "doc_length_histogram", "domain_quota_planted",
+    "dsir_planted", "exemplar_sample", "gopher_planted", "gopher_rules",
+    "hash_sample_planted", "hash_split_planted", "hll_by_lang",
+    "hll_registers", "incremental_dedup_planted", "inverted_index",
+    "khop_planted", "kmeans_planted", "lm_perplexity_planted",
+    "mixture_sample", "packing_planted", "packing_shuffled_planted",
+    "pagerank_planted", "paragraph_dedup_planted",
+    "perplexity_buckets_planted", "pii_planted", "pmi_collocations",
+    "price_quantiles", "priority_with_returns", "promo_revenue_by_type",
+    "protobuf_planted", "quality_classifier_planted",
+    "range_join_planted", "relation_planted", "repeated_spans_planted",
+    "repetition_stats", "semantic_dedup_planted", "tfidf_planted",
+    "triangle_planted", "url_dedup_planted", "url_normalize_planted",
+    "winnow_fingerprints",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES
