@@ -37,6 +37,25 @@ def _value_to_cents(b: pa.Table) -> pa.Table:
     return b.set_column(i, "value", cents)
 
 
+def _to_cents(b: pa.Table, col: str) -> pa.Table:
+    """2-decimal money column -> exact int64 cents (float sums are 1-ulp
+    unstable across partial-sum order; integer sums are not)."""
+    import pyarrow.compute as pc
+
+    i = b.schema.get_field_index(col)
+    return b.set_column(
+        i, col, pc.round(pc.multiply(b.column(col), 100.0))
+        .cast(pa.int64()))
+
+
+def _cents_col_to_float(b: pa.Table, col: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    i = b.schema.get_field_index(col)
+    return b.set_column(i, col,
+                        pc.divide(b.column(col).cast(pa.float64()), 100.0))
+
+
 def _cents_to_value(b: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
@@ -581,9 +600,14 @@ ORACLE_SQL = {
         "SELECT doc_id, text_hash, CAST(min(h) AS BIGINT) AS fp_min, "
         "CAST(max(h) AS BIGINT) AS fp_max FROM wins GROUP BY doc_id, text_hash"),
     "pricing_summary": (
-        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS "
-        "sum_qty, round(sum(l_extendedprice), 4) AS sum_base_price, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE) AS "
+        "sum_qty, "
+        "CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) "
+        "AS DOUBLE)/100 AS sum_base_price, "
+        "CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100, 0) AS BIGINT))) "
+        "AS DOUBLE)/10000 AS sum_disc_price, "
         "count(*) AS count_order FROM lineitem "
         "GROUP BY l_returnflag, l_linestatus"),
     "top_orders": (
@@ -591,7 +615,8 @@ ORACLE_SQL = {
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"),
     "region_suppliers": (
         "SELECT r_name, count(*) AS n_suppliers, "
-        "round(sum(s_acctbal), 4) AS total_acctbal FROM supplier "
+        "CAST(SUM(CAST(round(s_acctbal*100, 0) AS BIGINT)) AS DOUBLE)"
+        "/100 AS total_acctbal FROM supplier "
         "JOIN nation ON s_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
 }
@@ -642,12 +667,15 @@ def q_customer_orders(sf_dir: str):
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"])
     cust = cust.rename_columns(["o_custkey", "c_name"])
+    orders = orders.map_batches(lambda b: _to_cents(b, "o_totalprice"),
+                                batch_format="pyarrow")
     joined = broadcast_join(orders, cust, on="o_custkey")
     out = joined.groupby("c_name").aggregate(
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="total_spent"))
-    return out.map_batches(lambda b: _round_col(b, "total_spent", 4),
-                           batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: _cents_col_to_float(b, "total_spent"),
+        batch_format="pyarrow")
 
 
 def q_lineitem_status_revenue(sf_dir: str):
@@ -658,7 +686,9 @@ def q_lineitem_status_revenue(sf_dir: str):
     from corenlp_ray.ops.joins import bucketed_hash_join
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_extendedprice"])
+                         columns=["l_orderkey", "l_extendedprice"]) \
+        .map_batches(lambda b: _to_cents(b, "l_extendedprice"),
+                     batch_format="pyarrow")
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderstatus"]) \
         .map_batches(lambda b: b.rename_columns(
@@ -667,7 +697,7 @@ def q_lineitem_status_revenue(sf_dir: str):
     out = joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_items"),
         Sum("l_extendedprice", alias_name="revenue"))
-    return out.map_batches(lambda b: _round_col(b, "revenue", 4),
+    return out.map_batches(lambda b: _cents_col_to_float(b, "revenue"),
                            batch_format="pyarrow")
 
 
@@ -694,9 +724,21 @@ def q_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def with_disc(b: pa.Table) -> pa.Table:
-        disc = pc.multiply(b.column("l_extendedprice"),
-                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return b.append_column("l_disc_price", disc)
+        # exact fixed-point: quantity is integer-valued, price has 2
+        # decimals (cents), discount has 2 decimals (basis points) —
+        # integer partial sums are order-invariant where float sums
+        # drift 1 ulp per partial order (r4 memory note)
+        i64 = pa.int64()
+        qty = pc.round(b.column("l_quantity")).cast(i64)
+        cents = pc.round(pc.multiply(b.column("l_extendedprice"),
+                                     100.0)).cast(i64)
+        bp = pc.round(pc.multiply(b.column("l_discount"),
+                                  100.0)).cast(i64)
+        disc = pc.multiply(cents, pc.subtract(pa.scalar(100, i64), bp))
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "l_linestatus": b.column("l_linestatus"),
+                         "l_quantity": qty, "l_extendedprice": cents,
+                         "l_disc_price": disc})
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -709,12 +751,16 @@ def q_pricing_summary(sf_dir: str):
         Sum("l_disc_price", alias_name="sum_disc_price"),
         Count(alias_name="count_order"))
 
-    def rounded(b: pa.Table) -> pa.Table:
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            b = _round_col(b, c, 4)
+    def to_float(b: pa.Table) -> pa.Table:
+        f64 = pa.float64()
+        for c, scale in (("sum_qty", 1.0), ("sum_base_price", 100.0),
+                         ("sum_disc_price", 10000.0)):
+            i = b.schema.get_field_index(c)
+            b = b.set_column(i, c,
+                             pc.divide(b.column(c).cast(f64), scale))
         return b
 
-    return out.map_batches(rounded, batch_format="pyarrow")
+    return out.map_batches(to_float, batch_format="pyarrow")
 
 
 def q_top_orders(sf_dir: str):
@@ -745,13 +791,16 @@ def q_region_suppliers(sf_dir: str):
     reg = pq.read_table(f"{sf_dir}/region.parquet",
                         columns=["r_regionkey", "r_name"]) \
         .rename_columns(["n_regionkey", "r_name"])
+    sup = sup.map_batches(lambda b: _to_cents(b, "s_acctbal"),
+                          batch_format="pyarrow")
     joined = broadcast_join(broadcast_join(sup, nat, on="s_nationkey"),
                             reg, on="n_regionkey")
     out = joined.groupby("r_name").aggregate(
         Count(alias_name="n_suppliers"),
         Sum("s_acctbal", alias_name="total_acctbal"))
-    return out.map_batches(lambda b: _round_col(b, "total_acctbal", 4),
-                           batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: _cents_col_to_float(b, "total_acctbal"),
+        batch_format="pyarrow")
 
 
 def q_cosine_pairs(sf_dir: str):
@@ -829,11 +878,13 @@ ORACLE_SQL_JOINS = {
         "GROUP BY p_type"),
     "customer_orders": (
         "SELECT c_name, count(*) AS n_orders, "
-        "round(sum(o_totalprice), 4) AS total_spent FROM orders "
+        "CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS DOUBLE)"
+        "/100 AS total_spent FROM orders "
         "JOIN customer ON o_custkey = c_custkey GROUP BY c_name"),
     "lineitem_status_revenue": (
         "SELECT o_orderstatus, count(*) AS n_items, "
-        "round(sum(l_extendedprice), 4) AS revenue FROM lineitem "
+        "CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) "
+        "AS DOUBLE)/100 AS revenue FROM lineitem "
         "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
     "asof_events": (
         "SELECT e.user_id, e.ts, e.event_id, c.value FROM events e "
