@@ -75,6 +75,11 @@ register(Stage("entitylink", ("men_begin",), ("men_link",),
 register(Stage("gender", ("men_begin",), ("men_gender",), gender_batch))
 register(Stage("truecase", ("tok_word",), ("tok_truecase",),
                truecase_batch))
+
+from corenlp_ray.functions.enhanced_ud import enhanced_batch  # noqa: E402
+
+register(Stage("enhanced", ("dep_head", "tok_pos"),
+               ("enh_gov", "enh_dep", "enh_label"), enhanced_batch))
 register(Stage("quote", ("tok_lemma", "men_begin"),
                ("quo_begin", "quo_text", "quo_speaker"), quote_batch))
 

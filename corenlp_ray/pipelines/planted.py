@@ -377,6 +377,66 @@ def extract_planted_sql() -> str:
         "CAST(doc_id % 10 AS INT) + 1) || '.' AS text FROM documents")
 
 
+# ------------------------------------------- enhanced++ dependencies ----
+
+# each template's enhanced edge set is a constant of the cascade's
+# deterministic parse (PERSONS are uniformly 2 tokens, CITIES 1, so
+# indices never shift); verified name-invariant across all constants
+_ENHANCED_TEMPLATES = (
+    "{P} was defeated by {P2}.",      # obl:agent + nsubj:pass
+    "{P} visited {C} and {C2}.",      # conj:and + propagated obj
+    "{P} traveled from {C} to {C2}.", # obl:from / obl:to augmentation
+)
+_ENHANCED_GOLD = (
+    "aux:pass(3,2);case(6,4);compound(1,0);compound(6,5);"
+    "nsubj:pass(3,1);obl:agent(3,6);punct(3,7);root(-1,3)",
+    "cc(5,4);compound(1,0);conj:and(3,5);nsubj(2,1);obj(2,3);obj(2,5);"
+    "punct(2,6);root(-1,2)",
+    "case(4,3);case(6,5);compound(1,0);nsubj(2,1);obl:from(2,4);"
+    "obl:to(2,6);punct(2,7);root(-1,2)",
+)
+
+
+def _enhanced_text(i: int) -> str:
+    return _ENHANCED_TEMPLATES[i % 3].format(
+        P=PERSONS[i % 12], P2=PERSONS[(i + 5) % 12],
+        C=CITIES[i % 10], C2=CITIES[(i + 3) % 10])
+
+
+def q_enhanced_deps_planted(sf_dir: str):
+    """Enhanced++ UD rewrites (functions/enhanced_ud.py — obl:agent,
+    conj:<cc> + shared-argument propagation, case augmentation) through
+    the REAL tokenize→pos→depparse chain; the per-template edge set is
+    a deterministic constant the oracle reproduces by doc_id."""
+    from corenlp_ray.functions.enhanced_ud import enhanced_batch
+    from corenlp_ray.pipelines.kg import apply
+
+    ann = apply(_planted_doc_texts(sf_dir, _enhanced_text),
+                ("depparse",), distributed=False) \
+        .map_batches(enhanced_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "edges": []}
+        for r in range(b.num_rows):
+            es = sorted(
+                f"{l}({g},{d})" for g, d, l in zip(
+                    b.column("enh_gov")[r].as_py(),
+                    b.column("enh_dep")[r].as_py(),
+                    b.column("enh_label")[r].as_py()))
+            rows["doc_id"].append(b.column("doc_id")[r].as_py())
+            rows["edges"].append(";".join(es))
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("doc_id", pa.int64()), ("edges", pa.string())]))
+
+    return ann.map_batches(project, batch_format="pyarrow")
+
+
+def enhanced_deps_planted_sql() -> str:
+    golds = ", ".join("'" + g + "'" for g in _ENHANCED_GOLD)
+    return (f"SELECT doc_id, list_extract([{golds}], "
+            "CAST(doc_id % 3 AS INT) + 1) AS edges FROM documents")
+
+
 # --------------------------------------- cleanxml doc attributes ----
 
 _CLEANXML_PHRASES = ("yesterday", "today", "tomorrow")

@@ -1618,6 +1618,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_triangle_planted, triangle_planted_sql,
     q_range_join_planted, range_join_planted_sql,
     q_cleanxml_docdate_planted, cleanxml_docdate_planted_sql,
+    q_enhanced_deps_planted, enhanced_deps_planted_sql,
     quotes_planted_sql, relation_planted_sql, sentiment_planted_sql)
 
 ORACLE_SQL["entity_mentions_planted"] = entity_mentions_planted_sql()
@@ -1641,6 +1642,7 @@ ORACLE_SQL["protobuf_planted"] = protobuf_planted_sql()
 ORACLE_SQL["simhash_pairs_planted"] = simhash_pairs_planted_sql()
 ORACLE_SQL["relation_planted"] = relation_planted_sql()
 ORACLE_SQL["cleanxml_docdate_planted"] = cleanxml_docdate_planted_sql()
+ORACLE_SQL["enhanced_deps_planted"] = enhanced_deps_planted_sql()
 ORACLE_SQL["kg_degree_planted"] = kg_degree_planted_sql()
 ORACLE_SQL["pii_planted"] = pii_planted_sql()
 # NOTE: keep these three LAST among the oracles — the driver's
@@ -1822,6 +1824,7 @@ QUERIES = {
     "protobuf_planted": q_protobuf_planted,
     "relation_planted": q_relation_planted,
     "cleanxml_docdate_planted": q_cleanxml_docdate_planted,
+    "enhanced_deps_planted": q_enhanced_deps_planted,
     "kg_degree_planted": q_kg_degree_planted,
     "pii_planted": q_pii_planted,
     "url_normalize_planted": q_url_normalize_planted,
@@ -1945,6 +1948,7 @@ _WINDOW_DEPRIORITIZED = [
     "repetition_stats", "semantic_dedup_planted", "tfidf_planted",
     "triangle_planted", "url_dedup_planted", "url_normalize_planted",
     "winnow_fingerprints",
+    "blocklist_gate",
 ]
 QUERIES = {k: QUERIES[k] for k in (
     [k for k in QUERIES

@@ -1,0 +1,150 @@
+"""Enhanced++ rewrites pinned by the reference's own gold
+(UniversalEnglishGrammaticalStructureTest.java NON_COLLAPSED /
+COLLAPSED / CC_PROCESSED cases; rewrites per
+UniversalEnglishGrammaticalStructure.java)."""
+from corenlp_ray.functions.enhanced_ud import (enhance_dependencies,
+                                               enhanced_batch)
+
+
+def edges_of(words, tags, heads, labels, lemmas=None):
+    return set(enhance_dependencies(words, tags, lemmas, heads, labels))
+
+
+def test_xcomp_controlled_subject():
+    # "I like to swim ." gold :1827 — nsubj:xsubj(swim-4, I-1)
+    words = ["I", "like", "to", "swim", "."]
+    tags = ["PRP", "VBP", "TO", "VB", "."]
+    heads = [1, -1, 3, 1, 1]
+    labels = ["nsubj", "root", "mark", "xcomp", "punct"]
+    assert (3, 0, "nsubj:xsubj") in edges_of(words, tags, heads, labels)
+
+
+def test_xcomp_chain_and_embedded_clause():
+    # "He says that you like to swim ." gold :1837 —
+    # nsubj:xsubj(swim-7, you-4) (the EMBEDDED subject, not "He")
+    words = ["He", "says", "that", "you", "like", "to", "swim", "."]
+    tags = ["PRP", "VBZ", "IN", "PRP", "VBP", "TO", "VB", "."]
+    heads = [1, -1, 4, 4, 1, 6, 4, 1]
+    labels = ["nsubj", "root", "mark", "nsubj", "ccomp", "mark",
+              "xcomp", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (6, 3, "nsubj:xsubj") in e
+    assert (6, 0, "nsubj:xsubj") not in e
+
+
+def test_xcomp_object_control():
+    # object control: the matrix OBJ outranks the subject
+    words = ["I", "persuaded", "Fred", "to", "leave", "."]
+    tags = ["PRP", "VBD", "NNP", "TO", "VB", "."]
+    heads = [1, -1, 1, 4, 1, 1]
+    labels = ["nsubj", "root", "obj", "mark", "xcomp", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (4, 2, "nsubj:xsubj") in e
+    assert (4, 0, "nsubj:xsubj") not in e
+
+
+def test_relcl_ref_and_role_inheritance():
+    # "I saw the man who you love ." gold :1847 — ref(man-4, who-5),
+    # enhanced obj edge re-points to the antecedent
+    words = ["I", "saw", "the", "man", "who", "you", "love", "."]
+    tags = ["PRP", "VBD", "DT", "NN", "WP", "PRP", "VBP", "."]
+    heads = [1, -1, 3, 1, 6, 6, 3, 1]
+    labels = ["nsubj", "root", "det", "obj", "obj", "nsubj",
+              "acl:relcl", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (3, 4, "ref") in e
+    assert (6, 3, "obj") in e            # man inherits who's obj role
+    assert (6, 4, "obj") not in e        # who's own edge re-pointed
+
+
+def test_obl_agent_passive():
+    # "Dole was defeated by Clinton ." gold :1962-1967
+    words = ["Dole", "was", "defeated", "by", "Clinton", "."]
+    tags = ["NNP", "VBD", "VBN", "IN", "NNP", "."]
+    heads = [2, 2, -1, 4, 2, 2]
+    labels = ["nsubj:pass", "aux:pass", "root", "case", "obl", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (2, 4, "obl:agent") in e
+
+
+def test_case_augmentation_nmod_obl():
+    # "John flies from Austria ." → obl:from (gold :1955)
+    words = ["John", "flies", "from", "Austria", "."]
+    tags = ["NNP", "VBZ", "IN", "NNP", "."]
+    heads = [1, -1, 3, 1, 1]
+    labels = ["nsubj", "root", "case", "obl", "punct"]
+    assert (1, 3, "obl:from") in edges_of(words, tags, heads, labels)
+
+
+def test_conj_augmentation_and_shared_role():
+    # "Both the boys and the girls are here ." gold :2223-2232 —
+    # conj:and(boys, girls) + nsubj(are, girls)
+    words = ["Both", "the", "boys", "and", "the", "girls", "are",
+             "here", "."]
+    tags = ["CC", "DT", "NNS", "CC", "DT", "NNS", "VBP", "RB", "."]
+    heads = [2, 2, 6, 5, 5, 2, -1, 6, 6]
+    labels = ["cc:preconj", "det", "nsubj", "cc", "det", "conj",
+              "root", "advmod", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (2, 5, "conj:and") in e
+    assert (6, 5, "nsubj") in e
+
+
+def test_conj_nor_label():
+    # "Neither they nor McAlpine could be reached" (gold :2234-2245):
+    # conj:nor + nsubj:pass propagation to the second conjunct
+    words = ["Neither", "they", "nor", "McAlpine", "could", "be",
+             "reached", "."]
+    tags = ["CC", "PRP", "CC", "NNP", "MD", "VB", "VBN", "."]
+    heads = [1, 6, 3, 1, 6, 6, -1, 6]
+    labels = ["cc:preconj", "nsubj:pass", "cc", "conj", "aux",
+              "aux:pass", "root", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (1, 3, "conj:nor") in e
+    assert (6, 3, "nsubj:pass") in e
+
+
+def test_conjoined_governor_shares_subject():
+    # "Bill is big and honest ." gold :2215-2221 — nsubj(honest, Bill)
+    words = ["Bill", "is", "big", "and", "honest", "."]
+    tags = ["NNP", "VBZ", "JJ", "CC", "JJ", "."]
+    heads = [2, 2, -1, 4, 2, 2]
+    labels = ["nsubj", "cop", "root", "cc", "conj", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (2, 4, "conj:and") in e
+    assert (4, 0, "nsubj") in e
+
+
+def test_conjoined_governor_respects_own_subject():
+    # second conjunct with its OWN subject does not inherit
+    words = ["John", "ran", "and", "Mary", "walked", "."]
+    tags = ["NNP", "VBD", "CC", "NNP", "VBD", "."]
+    heads = [1, -1, 4, 4, 1, 1]
+    labels = ["nsubj", "root", "cc", "nsubj", "conj", "punct"]
+    e = edges_of(words, tags, heads, labels)
+    assert (4, 0, "nsubj") not in e
+    assert (4, 3, "nsubj") in e
+
+
+def test_batch_stage(ray_session):
+    import pyarrow as pa
+
+    from corenlp_ray.stages.depparse import depparse_batch
+    from corenlp_ray.stages.pos import pos_batch
+    from corenlp_ray.stages.tokenize import tokenize_ssplit_batch
+
+    b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": ["Smith visited Paris. Dole was defeated by "
+                           "Clinton."]})
+    b = depparse_batch(pos_batch(tokenize_ssplit_batch(b)))
+    out = enhanced_batch(b)
+    labs = out.column("enh_label").to_pylist()[0]
+    govs = out.column("enh_gov").to_pylist()[0]
+    deps = out.column("enh_dep").to_pylist()[0]
+    words = out.column("tok_word").to_pylist()[0]
+    # the passive-agent rewrite fires through the real cascade chain,
+    # with doc-global indices (second sentence)
+    i = labs.index("obl:agent")
+    assert words[deps[i]] == "Clinton" and words[govs[i]] == "defeated"
+    n = len(words)
+    assert all(-1 <= g < n for g in govs) and all(0 <= d < n for d in deps)
