@@ -32,6 +32,10 @@ from corenlp_ray.functions.lexicon import MONTHS
 _NOUNISH = {"NN", "NNS", "NNP", "NNPS", "PRP", "CD", "EX", "WP", "DT"}
 _NP_HEAD = {"NN", "NNS", "NNP", "NNPS", "PRP", "WP"}
 _VERB = {"VB", "VBP", "VBZ", "VBD", "VBN", "VBG"}
+_NONFINITE = {"VB", "VBN", "VBG"}
+_SUBORD = {"after", "because", "if", "when", "while", "although",
+           "though", "since", "before", "unless", "until", "once",
+           "whereas"}
 _BE = {"be", "am", "is", "are", "was", "were", "been", "being", "'s", "'re", "'m"}
 _HAVE = {"have", "has", "had", "'ve"}
 _PUNCT = {".", ",", ":", "``", "''", "-LRB-", "-RRB-", "HYPH", "SYM", "$", "#"}
@@ -175,8 +179,12 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         # collect the verb chain starting here: MD/aux/be/have + ... + main
         chain = [i]
         j = i + 1
-        while j < n and (tags[j] in _VERB or tags[j] == "MD"
-                         or (tags[j] == "RB" and j + 1 < n and (tags[j + 1] in _VERB or tags[j + 1] == "MD"))):
+        # a chain may only CONTINUE with a non-finite form (VB VBN VBG):
+        # finite verbs (VBZ/VBD/VBP/MD) are always chain-initial, so
+        # "What she said is untrue" never fuses "said is" into one group
+        while j < n and (tags[j] in _NONFINITE
+                         or (tags[j] == "RB" and j + 1 < n
+                             and tags[j + 1] in _NONFINITE)):
             if tags[j] == "RB":
                 j += 1
                 continue
@@ -184,6 +192,34 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
             j += 1
         processed.update(chain)
         main = chain[-1]
+        # reduced relative: a bare VBN right after a noun with NO noun
+        # phrase following is a participial modifier, not a predicate
+        # ("Truffles picked during the spring are tasty")
+        if len(chain) == 1 and tags[main] == "VBN" \
+                and (main - 1) in chunk_head:
+            nxtk = main + 1
+            while nxtk < n and tags[nxtk] == "RB":
+                nxtk += 1
+            if nxtk >= n or tags[nxtk] in _PUNCT \
+                    or tags[nxtk] in ("IN", "CC", "TO"):
+                attach(main, chunk_head[main - 1], "acl")
+                relcl_verbs.add(main)
+                main_verbs.append(main)
+                continue
+        # existential there: "There is a statue ..." — the be-verb IS
+        # the predicate (expl + post-verbal nsubj), never a copula
+        if len(chain) == 1 and lowers[main] in _BE \
+                and any((tags[k] == "EX" or lowers[k] == "there")
+                        and heads[k] == -2 for k in range(main)):
+            ex = next(k for k in range(main)
+                      if tags[k] == "EX" or lowers[k] == "there")
+            attach(ex, main, "expl")
+            for k in range(main + 1, n):
+                if k in chunk_head:
+                    attach(chunk_head[k], main, "nsubj")
+                    break
+            main_verbs.append(main)
+            continue
         # copula detection: lone be-verb followed by predicate NP/ADJ
         if len(chain) == 1 and lowers[main] in _BE:
             # find predicate: next chunk head or adjective before sentence end
@@ -192,13 +228,23 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 if k in chunk_head:
                     pred = chunk_head[k]
                     break
-                if tags[k] in ("JJ", "VBN") and (k + 1 >= n or tags[k + 1] in _PUNCT or tags[k + 1] == "IN"):
+                if tags[k] in ("JJ", "VBN") and (
+                        k + 1 >= n or tags[k + 1] in _PUNCT
+                        or tags[k + 1] in ("IN", "CC", "TO")):
                     pred = k
                     break
                 if tags[k] in _VERB:
                     break
             if pred >= 0:
                 attach(main, pred, "cop")
+                # coordinated predicate adjectives: "is big and honest"
+                # — UD heads the FIRST conjunct; later ones are conj
+                q = pred + 1
+                while q + 1 < n and tags[q] in ("CC", ",") \
+                        and tags[q + 1] in ("JJ", "VBN"):
+                    attach(q, q + 1, "cc" if tags[q] == "CC" else "punct")
+                    attach(q + 1, pred, "conj")
+                    q += 2
                 main_verbs.append(pred)
                 copula_pred = pred
                 continue
@@ -213,28 +259,137 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 attach(c, main, "aux")
         main_verbs.append(main)
 
-    # ---- relative clauses: NOUN (,) who/which/that + VERB ----
+    # ---- relative clauses: NOUN (,) who/which/that/whose (NP) + VERB.
+    # Subject relatives ("the man who founded X"), object relatives
+    # ("the man who you love" → nsubj(love,you) + obj(love,who)),
+    # whose-relatives (WP$ → nmod:poss of the possessed noun, which
+    # fills the gap role), with appositive insertions skipped
+    # ("Xerox, whose officer, James Gatward, has resigned") ----
+    chunk_of = {}
+    for b, e, h in chunks:
+        for k in range(b, e):
+            chunk_of[k] = (b, e, h)
     for v in main_verbs:
+        if v in relcl_verbs:
+            continue
         w = -1
-        for k in range(v - 1, max(-1, v - 3), -1):
-            if tags[k] in ("WP", "WDT"):
+        noms: List[int] = []        # nominal heads between WH and v
+        appos: List[int] = []       # comma-bracketed appositive heads
+        k = v - 1
+        steps = 0
+        while k >= 0 and steps < 10:
+            steps += 1
+            t = tags[k]
+            if t in ("WP", "WDT", "WP$"):
                 w = k
                 break
-            if tags[k] not in ("RB", "MD") and k not in (v,):
-                break
+            if heads[k] == v:               # aux / cop / advmod of v
+                k -= 1
+                continue
+            if k in chunk_of:
+                b, e, h = chunk_of[k]
+                if b - 1 >= 0 and tags[b - 1] == "," and e < n \
+                        and tags[e] == ",":
+                    appos.append(h)
+                else:
+                    noms.append(h)
+                k = b - 1
+                continue
+            if t in ("RB", "MD", ","):
+                k -= 1
+                continue
+            break
         if w < 0:
             continue
         a = w - 1
         if a >= 0 and tags[a] == ",":
             a -= 1
-        if a >= 0 and a in chunk_head:
-            ant = chunk_head[a]
-            relcl_verbs.add(v)
-            attach(w, v, "nsubj")        # who → relcl verb
-            attach(v, ant, "acl:relcl")  # relcl verb → antecedent noun
+        ant = chunk_head.get(a, -1) if a >= 0 else -1
+        if ant < 0:
+            continue
+        relcl_verbs.add(v)
+        attach(v, ant, "acl:relcl")
+        if tags[w] == "WP$":
+            gap = chunk_head.get(w + 1, -1)     # the possessed noun
+            if gap >= 0:
+                attach(w, gap, "nmod:poss")
+        else:
+            gap = w
+        for ap in appos:                        # "…, James Gatward, …"
+            host = next((x for x in noms if x != ap), gap)
+            if host >= 0 and host != ap:
+                attach(ap, host, "appos")
+        subj = next((x for x in noms if x != gap), -1)
+        if gap >= 0:
+            if subj >= 0:                       # object relative
+                attach(subj, v, "nsubj")
+                attach(gap, v, "obj")
+            else:
+                attach(gap, v, "nsubj")
 
-    if main_verbs:
-        root = next((v for v in main_verbs if v not in relcl_verbs),
+    # ---- clausal subjects: a sentence-initial complementizer ("That /
+    # Whether she lied ...") or WH free relative ("What she said ...")
+    # makes the FIRST verb's clause the csubj of the SECOND predicate
+    # (UniversalEnglishGrammaticalStructureTest gold: csubj(untrue-5,
+    # said-3) for "What she said is untrue") ----
+    # ---- subject–aux inversion (questions): "What did Babbage invent?"
+    # / "In which city do you live?" — the fronted do/modal is an aux
+    # of the bare lexical verb, which is the real predicate ----
+    if len(main_verbs) >= 2:
+        v0, v1 = main_verbs[0], main_verbs[1]
+        if (lowers[v0] in ("do", "does", "did") or tags[v0] == "MD") \
+                and tags[v1] == "VB" \
+                and any(v0 < k < v1 and k in chunk_head for k in
+                        range(v0 + 1, v1)):
+            attach(v0, v1, "aux")
+            main_verbs.remove(v0)
+            # fronted WH object: "What did Babbage invent?"
+            if tags[0] in ("WP", "WDT") and heads[0] == -2:
+                attach(0, v1, "obj")
+
+    # ---- sentence-initial subordinator: "If you know ..., you should
+    # tell ..." — the first clause is an advcl of the matrix predicate
+    # after the clause-final comma; the matrix verb is the root ----
+    advcl_first = -1
+    advcl_matrix = -1
+    if len(main_verbs) >= 2 and tags[0] == "IN" and lowers[0] in _SUBORD:
+        v0 = main_verbs[0]
+        comma = next((k for k in range(v0 + 1, n) if tags[k] == ","), -1)
+        matrix = next((v for v in main_verbs
+                       if v > (comma if comma >= 0 else v0)
+                       and v not in relcl_verbs), -1)
+        if matrix >= 0 and matrix != v0:
+            advcl_first = v0
+            advcl_matrix = matrix
+            attach(0, v0, "mark")
+            attach(v0, matrix, "advcl")
+
+    csubj_first = -1
+    if len(main_verbs) >= 2 and n > 2:
+        v0, v1 = main_verbs[0], main_verbs[1]
+        if v0 < v1 and v0 not in relcl_verbs and v1 not in relcl_verbs \
+                and (lowers[0] in ("that", "whether")
+                     or tags[0] in ("WP", "WDT")) \
+                and not any(tags[m] == "CC" for m in range(v0, v1)):
+            csubj_first = v0
+            passive1 = any(heads[k] == v1 and labels[k] == "aux:pass"
+                           for k in range(n))
+            attach(v0, v1, "csubj:pass" if passive1 else "csubj")
+            if tags[0] in ("WP", "WDT"):
+                # the WH word fills the embedded gap: obj if the clause
+                # already has a nominal subject, else nsubj
+                has_nom = any(0 < k < v0 and k in chunk_head
+                              and chunk_head[k] == k for k in range(1, v0))
+                attach(0, v0, "obj" if has_nom else "nsubj")
+            else:
+                attach(0, v0, "mark")
+
+    if advcl_matrix >= 0:
+        root = advcl_matrix
+    elif main_verbs:
+        root = next((v for v in main_verbs
+                     if v not in relcl_verbs and v != csubj_first
+                     and v != advcl_first),
                     main_verbs[0])
     elif heads_of_chunks:
         # verbless fragment: root = first chunk head that is not already
@@ -272,6 +427,21 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                     heads[p] = v
                     labels[p] = "mark"
                 attach(v, prev, "ccomp")
+                break
+
+    # ---- adverbial clauses: a subordinating IN between two predicates
+    # marks the LATER one as an advcl of the earlier ("engaged in
+    # fighting after insurgents launched (attacks)" → mark(launched,
+    # after), advcl(engaged, launched)) ----
+    for vi, v in enumerate(main_verbs[1:], start=1):
+        if v in relcl_verbs or heads[v] != -2:
+            continue
+        prev = main_verbs[vi - 1]
+        for s in range(v - 1, prev, -1):
+            if tags[s] == "IN" and lowers[s] in _SUBORD \
+                    and heads[s] == -2:
+                attach(s, v, "mark")
+                attach(v, prev, "advcl")
                 break
 
     # ---- conj between verbs: later main verbs conj of root ----
@@ -357,6 +527,20 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                     tags[m] in _VERB for m in range(k + 1, stop if stop > k else n)) \
                     or (lowers[k] == "that" and nxt < n):
                 break
+            if t == "IN" and heads[k] != -2:
+                # already a subordinator mark — the tokens beyond it
+                # belong to the embedded clause, not to v
+                break
+            if t == "IN" and k + 1 < n and lowers[k + 1] in ("whether",
+                                                             "if"):
+                # "information on whether users are at risk": both the
+                # preposition and the complementizer mark the EMBEDDED
+                # predicate; v's argument scan stops at the boundary
+                nxt_pred = next((u for u in main_verbs if u > k), -1)
+                if nxt_pred >= 0:
+                    attach(k, nxt_pred, "mark")
+                    attach(k + 1, nxt_pred, "mark")
+                break
             if t == "IN" or (t == "TO" and not (k + 1 < n and tags[k + 1] == "VB")):
                 # preposition introducing an oblique/nmod
                 ph = -1
@@ -429,12 +613,20 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
     # an unattached chunk preceded by a preposition attaches as an obl of
     # the nearest following main verb ----
     for b, e, h in chunks:
-        if heads[h] != -2 or b == 0 or tags[b - 1] != "IN":
+        if heads[h] != -2 or b == 0:
+            continue
+        p = b - 1
+        if tags[p] in ("WDT", "DT"):    # "In which city do you live?"
+            if p == 0 or tags[p - 1] != "IN":
+                continue
+            attach(p, h, "det")
+            p -= 1
+        elif tags[p] != "IN":
             continue
         tgt = next((v for v in main_verbs if v >= e
                     and v not in relcl_verbs), root)
         if tgt is not None and tgt >= 0 and tgt != h:
-            attach(b - 1, h, "case")
+            attach(p, h, "case")
             attach(h, tgt, "obl")
 
     # ---- leftovers ----
@@ -445,7 +637,13 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         if t in _PUNCT or words[k] in _PUNCT:
             attach(k, root if root >= 0 else 0, "punct")
         elif t == "RB":
-            # nearest verb to the left, else right, else root
+            # degree adverb: attaches to an immediately following
+            # adjective/number/adverb ("very beautiful", "About 200")
+            if k + 1 < n and tags[k + 1] in ("JJ", "JJR", "JJS", "CD",
+                                             "RB", "VBN"):
+                attach(k, k + 1, "advmod")
+                continue
+            # else nearest verb to the left, else right, else root
             tgt = -1
             for d in range(1, n):
                 if k - d >= 0 and tags[k - d] in _VERB:
@@ -454,6 +652,10 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 if k + d < n and tags[k + d] in _VERB:
                     tgt = k + d
                     break
+            # negation of a copular predicate attaches to the
+            # PREDICATE, not the copula ("is not a scientist")
+            if tgt >= 0 and labels[tgt] == "cop" and heads[tgt] >= 0:
+                tgt = heads[tgt]
             attach(k, tgt if tgt >= 0 else root, "advmod")
         elif t == "IN":
             # stranded preposition: case of the following chunk head or mark

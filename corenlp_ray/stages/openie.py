@@ -143,6 +143,10 @@ def clause_blocked(words, tags, heads, labels, ch, v: int) -> bool:
     if labels[v] != "ccomp":
         return False
     g = heads[v]
+    # existential governor: "There is (no) doubt that ..." parses with
+    # the be-verb as head — the implicative noun is its nsubj pivot
+    if g >= 0 and any(l == "expl" for _, l in ch.get(g, ())):
+        g = next((c for c, l in ch.get(g, ()) if l == "nsubj"), g)
     if g < 0 or words[g].lower() not in _DOUBT_NOUNS:
         return False
     has_no = any(l == "det" and words[c].lower() == "no"
@@ -373,8 +377,13 @@ def extract_sentence_triples(
                 any(l == "expl" or tags[c] == "EX" for c, l in kids):
             pivot = next((c for c, l in kids if l == "nsubj"), None)
             if pivot is not None:
-                for m, ml in ch.get(pivot, ()):
-                    if ml == "nmod":
+                # the PP may ride on the pivot (nmod) or on the be-verb
+                # itself (obl) depending on attachment — both mean
+                # (pivot, is <prep>, complement)
+                sites = list(ch.get(pivot, ())) + [
+                    (c, l) for c, l in kids if l == "obl"]
+                for m, ml in sites:
+                    if ml in ("nmod", "obl"):
                         case = next((cc for cc, ll in ch.get(m, ())
                                      if ll == "case"), None)
                         if case is not None:

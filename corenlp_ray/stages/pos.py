@@ -79,7 +79,12 @@ def _base_tag(word: str, lower: str, sent_initial: bool) -> str:
     if lower.endswith("ish") and len(lower) > 4:
         return "JJ"  # boyish, foolish — but not fish/dish/wish
     if lower.endswith("est") and len(lower) > 4:
-        return "JJS"
+        if lower in ("honest", "dishonest", "modest", "earnest"):
+            return "JJ"
+        if lower not in ("harvest", "forest", "interest", "contest",
+                         "protest", "arrest", "request", "suggest",
+                         "invest", "digest", "manifest", "tempest"):
+            return "JJS"
     if lower in IRREGULAR_VERB_LEMMA:
         return "VBD"
     if lower.endswith("s") and not lower.endswith("ss") and len(lower) > 3 \
@@ -105,10 +110,12 @@ def tag_sentence(words: List[str]) -> List[str]:
         lw, t = lowers[i], tags[i]
         prev_t = tags[i - 1] if i > 0 else "<S>"
         prev_w = lowers[i - 1] if i > 0 else ""
-        # TO/MD + verb-capable word → base verb
+        # TO/MD + verb-capable word → base verb; an UNKNOWN bare word
+        # after to/should is almost surely a verb ("to swim")
         if prev_t in ("TO", "MD") and t in ("NN", "NNS", "VBP", "VBZ", "VBD"):
             base = POS_LEXICON.get(lw)
-            if base in _VERBAL or lw in ("work", "study", "live", "visit"):
+            if base in _VERBAL or (base is None and t == "NN") \
+                    or lw in ("work", "study", "live", "visit"):
                 tags[i] = "VB"
         # plural/pronoun subject + base verb → present plural ("rabbits eat")
         elif prev_t in ("NNS", "PRP") and t == "VB":
@@ -121,6 +128,10 @@ def tag_sentence(words: List[str]) -> List[str]:
         # PRP + NN with verb reading → VBP ("they work")
         elif prev_t == "PRP" and t == "NN" and POS_LEXICON.get(lw) in _VERBAL:
             tags[i] = "VBP"
+        # PRP + apparent plural → 3sg verb ("she looks", "he counts");
+        # a plural noun directly after a subject pronoun is ungrammatical
+        elif prev_t == "PRP" and t == "NNS":
+            tags[i] = "VBZ"
         # "to" disambiguation: TO before verb/num stays TO, else IN
         if lw == "to" and i + 1 < n:
             nxt = tags[i + 1]
@@ -132,10 +143,31 @@ def tag_sentence(words: List[str]) -> List[str]:
         # 's as copula after pronoun ("he's") stays VBZ
         elif lw == "'s" and prev_t == "PRP":
             tags[i] = "VBZ"
-        # past participle after be/have → VBN ("was born", "has acquired")
-        if t == "VBD" and prev_w in ("was", "were", "is", "are", "be",
-                                     "been", "has", "have", "had", "am"):
-            tags[i] = "VBN"
+        # past participle after be/have → VBN ("was born", "has acquired",
+        # "was recently founded" — adverbs between are skipped)
+        if t == "VBD":
+            j = i - 1
+            while j > 0 and tags[j] == "RB":
+                j -= 1
+            if j >= 0 and lowers[j] in ("was", "were", "is", "are", "be",
+                                        "been", "has", "have", "had",
+                                        "am"):
+                tags[i] = "VBN"
+        # predicative adjective: be (+RB)* + UNKNOWN word at a phrase
+        # boundary → JJ ("the claim is untrue", "truffles are tasty")
+        if t == "NN" and lw not in POS_LEXICON:
+            j = i - 1
+            while j > 0 and tags[j] == "RB":
+                j -= 1
+            if j >= 0 and lowers[j] in ("am", "is", "are", "was", "were",
+                                        "be", "been", "being", "'s",
+                                        "'re", "'m", "seems", "seem",
+                                        "looks", "look") \
+                    and tags[j] != "POS" \
+                    and (i + 1 >= n or tags[i + 1] in ("IN", "CC", "TO")
+                         or words[i + 1] in (".", ",", "!", "?", ";",
+                                             ":", "''")):
+                tags[i] = "JJ"
         # relative-clause predicate: "N which (RB)* X" — a relative
         # pronoun is the clause subject, so a default-NN unknown right
         # after it is its verb ("which develop", "which also contain").
@@ -152,6 +184,29 @@ def tag_sentence(words: List[str]) -> List[str]:
                         ("tion", "sion", "ment", "ness", "ity", "ance",
                          "ence", "ship", "hood", "ism", "ure", "age")):
                 tags[j] = "VBZ" if tags[j] == "NNS" else "VBP"
+    # sentence-initial complementizer: "That she lied ..." — a clause
+    # subject right after "That" means it is IN, not a determiner
+    if n > 2 and lowers[0] == "that" and tags[0] == "DT" \
+            and tags[1] in ("PRP", "NNP", "DT", "PRP$"):
+        tags[0] = "IN"
+    # reduced relative: NOUN + Ved + IN with a LATER finite verb in the
+    # same clause (no coordinator/subordinator between) is a participle
+    # ("Truffles picked during the spring are tasty")
+    _sub = ("after", "because", "if", "when", "while", "although",
+            "though", "since", "before", "unless", "until", "once",
+            "as", "whereas")
+    for i in range(1, n - 1):
+        if tags[i] != "VBD" or tags[i - 1] not in ("NN", "NNS", "NNP",
+                                                   "NNPS"):
+            continue
+        if tags[i + 1] != "IN" or lowers[i + 1] in _sub:
+            continue
+        for j in range(i + 2, n):
+            if tags[j] == "CC" or (tags[j] == "IN" and lowers[j] in _sub):
+                break
+            if tags[j] in ("VBZ", "VBP", "VBD", "MD"):
+                tags[i] = "VBN"
+                break
     # verbless-sentence repair: a clause needs a verb; an NNS right after
     # a potential subject (NNP/PRP) whose stem is a known verb is almost
     # surely VBZ ("Acme Corp. employs 5,000 people") — gated on the
