@@ -206,6 +206,20 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 relcl_verbs.add(main)
                 main_verbs.append(main)
                 continue
+        # WH-copula question: "What is that?" / "Who is John?" — the
+        # WH word is the predicate root, the post-verbal nominal its
+        # subject (only when no other verb follows)
+        if len(chain) == 1 and lowers[main] in _BE and main == 1 \
+                and tags[0] in ("WP", "WDT") and heads[0] == -2 \
+                and not any(tags[m] in _VERB for m in range(main + 1, n)):
+            attach(main, 0, "cop")
+            for k in range(main + 1, n):
+                if k in chunk_head or tags[k] == "DT":
+                    attach(chunk_head.get(k, k), 0, "nsubj")
+                    break
+            main_verbs.append(0)
+            copula_pred = 0
+            continue
         # existential there: "There is a statue ..." — the be-verb IS
         # the predicate (expl + post-verbal nsubj), never a copula
         if len(chain) == 1 and lowers[main] in _BE \
@@ -236,6 +250,14 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 if tags[k] in _VERB:
                     break
             if pred >= 0:
+                # measure-phrase predicate: "is 65 years old" — the JJ
+                # after the noun chunk is the real predicate, the chunk
+                # its nominal modifier
+                ce = next((e for b, e, h in chunks if h == pred), -1)
+                if ce >= 0 and ce < n and tags[ce] == "JJ" and \
+                        (ce + 1 >= n or tags[ce + 1] in _PUNCT):
+                    attach(pred, ce, "obl:npmod")
+                    pred = ce
                 attach(main, pred, "cop")
                 # coordinated predicate adjectives: "is big and honest"
                 # — UD heads the FIRST conjunct; later ones are conj
@@ -389,8 +411,13 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
     elif main_verbs:
         root = next((v for v in main_verbs
                      if v not in relcl_verbs and v != csubj_first
-                     and v != advcl_first),
-                    main_verbs[0])
+                     and v != advcl_first), -1)
+        if root < 0:
+            # every verb is a relative/participial modifier — an NP
+            # fragment ("Xerox, whose officer has resigned"): root is
+            # the modified noun
+            root = next((h for h in heads_of_chunks if heads[h] == -2),
+                        main_verbs[0])
     elif heads_of_chunks:
         # verbless fragment: root = first chunk head that is not already
         # attached (e.g. a possessor NP points at its possessee)
@@ -438,16 +465,27 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
             continue
         prev = main_verbs[vi - 1]
         for s in range(v - 1, prev, -1):
-            if tags[s] == "IN" and lowers[s] in _SUBORD \
-                    and heads[s] == -2:
+            if tags[s] == "IN" and heads[s] == -2 \
+                    and (lowers[s] in _SUBORD
+                         or (lowers[s] == "as"
+                             and any(m in chunk_head
+                                     for m in range(s + 1, v))
+                             and not any(tags[m] == "CC"
+                                         for m in range(s + 1, v)))):
                 attach(s, v, "mark")
                 attach(v, prev, "advcl")
                 break
 
-    # ---- conj between verbs: later main verbs conj of root ----
+    # ---- conj between verbs: later main verbs conj of root; across a
+    # semicolon the clauses are parataxis, not coordination ----
     for v in main_verbs[1:]:
         if v not in relcl_verbs:
-            attach(v, root, "conj")
+            lab = "conj"
+            if root >= 0 and any(words[m] == ";"
+                                 for m in range(min(root, v),
+                                                max(root, v))):
+                lab = "parataxis"
+            attach(v, root, lab)
 
     # ---- conj between nouns: NP (, NP)* CC NP ----
     # Runs BEFORE verb arguments so the FIRST conjunct carries nsubj/obj
@@ -653,8 +691,11 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                     tgt = k + d
                     break
             # negation of a copular predicate attaches to the
-            # PREDICATE, not the copula ("is not a scientist")
-            if tgt >= 0 and labels[tgt] == "cop" and heads[tgt] >= 0:
+            # PREDICATE, not the copula ("is not a scientist");
+            # after an auxiliary it modifies the lexical verb
+            # ("does n't drive")
+            if tgt >= 0 and labels[tgt] in ("cop", "aux", "aux:pass") \
+                    and heads[tgt] >= 0:
                 tgt = heads[tgt]
             attach(k, tgt if tgt >= 0 else root, "advmod")
         elif t == "IN":
