@@ -77,7 +77,25 @@ def polarity_sentence(words: List[str], tags: List[str],
                     elif restr_mono == "flat":
                         pol[t] = "flat"
         if body_mono and body_mono != "up":
-            # body scope: everything right of the governed phrase
+            if restr_mono is None and h >= 0:
+                # negation adverb ("did not visit Paris"): scope = the
+                # governed predicate's yield RIGHT of the operator —
+                # robust to 'not' attaching to the verb (UD) or its aux
+                g = h
+                if labels[h] in ("aux", "aux:pass", "cop") \
+                        and heads[h] >= 0:
+                    g = heads[h]
+                scope = [t for t in subtree(g) if t > i]
+                if not scope:
+                    scope = list(range(i + 1, n))
+                for t in scope:
+                    if body_mono == "down":
+                        pol[t] = _flip(pol[t])
+                    else:
+                        pol[t] = "flat"
+                continue
+            # quantifier body scope: everything right of the governed
+            # phrase (the restrictor NP)
             right_of = max(subtree(h)) if h >= 0 else i
             for t in range(right_of + 1, n):
                 if body_mono == "down":
