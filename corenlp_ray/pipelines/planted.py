@@ -289,9 +289,10 @@ def natlog_planted_sql() -> str:
     downs = ", ".join(str(t[2]) for t in NATLOG_PLANTED_TEMPLATES)
     return (
         "SELECT doc_id, "
-        f"list_extract([{toks}], CAST(doc_id % 4 AS INT) + 1) AS n_tokens, "
-        f"list_extract([{downs}], CAST(doc_id % 4 AS INT) + 1) "
-        "AS n_downward FROM documents")
+        f"CAST(list_extract([{toks}], CAST(doc_id % 4 AS INT) + 1) "
+        "AS BIGINT) AS n_tokens, "
+        f"CAST(list_extract([{downs}], CAST(doc_id % 4 AS INT) + 1) "
+        "AS BIGINT) AS n_downward FROM documents")
 
 
 SENTIMENT_PLANTED_TEMPLATES = [
