@@ -580,10 +580,10 @@ def tokenize_planted_sql() -> str:
     toks = ", ".join(str(t[1]) for t in TOKENIZE_PLANTED_TEMPLATES)
     sents = ", ".join(str(t[2]) for t in TOKENIZE_PLANTED_TEMPLATES)
     return ("SELECT doc_id, "
-            f"list_extract([{toks}], CAST(doc_id % 3 AS INT) + 1) "
-            "AS n_tokens, "
-            f"list_extract([{sents}], CAST(doc_id % 3 AS INT) + 1) "
-            "AS n_sents FROM documents")
+            f"CAST(list_extract([{toks}], CAST(doc_id % 3 AS INT) + 1) "
+            "AS BIGINT) AS n_tokens, "
+            f"CAST(list_extract([{sents}], CAST(doc_id % 3 AS INT) + 1) "
+            "AS BIGINT) AS n_sents FROM documents")
 
 
 def q_protobuf_planted(sf_dir: str):
@@ -644,7 +644,7 @@ def q_simhash_pairs_planted(sf_dir: str):
 def simhash_pairs_planted_sql() -> str:
     g = DEDUP_GROUP_SIZE
     return ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "0 AS hamming FROM documents a JOIN documents b "
+            "CAST(0 AS BIGINT) AS hamming FROM documents a JOIN documents b "
             f"ON a.doc_id // {g} = b.doc_id // {g} "
             "AND a.doc_id < b.doc_id")
 
@@ -763,8 +763,8 @@ def multimodal_planted_sql() -> str:
         "SELECT doc_id AS media_id, "
         "list_extract(['image', 'audio', 'video'], "
         "CAST(doc_id % 3 AS INT) + 1) AS kind, "
-        "2048 AS payload_bytes, "
-        "CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 0 END AS n_frames, "
+        "CAST(2048 AS BIGINT) AS payload_bytes, "
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 0 END AS BIGINT) AS n_frames, "
         "CASE WHEN doc_id % 3 = 2 THEN 200 + 50 * doc_id "
         "ELSE -1 END AS first_offset_ms, "
         "1.0 AS feat_sum FROM documents")
@@ -871,8 +871,8 @@ def multilingual_planted_sql() -> str:
     toks = ", ".join(str(t[2]) for t in SEGMENTER_PLANTED_TEMPLATES)
     return ("SELECT doc_id, "
             f"list_extract([{langs}], CAST(doc_id % 5 AS INT) + 1) AS lang, "
-            f"list_extract([{toks}], CAST(doc_id % 5 AS INT) + 1) "
-            "AS n_tokens FROM documents")
+            f"CAST(list_extract([{toks}], CAST(doc_id % 5 AS INT) + 1) "
+            "AS BIGINT) AS n_tokens FROM documents")
 
 
 # dep→constituency projection bracketings for the two planted shapes;

@@ -195,17 +195,110 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         # reduced relative: a bare VBN right after a noun with NO noun
         # phrase following is a participial modifier, not a predicate
         # ("Truffles picked during the spring are tasty")
+        prvk = main - 1
+        while prvk > 0 and tags[prvk] == "RB":   # "a lesson once learned"
+            prvk -= 1
         if len(chain) == 1 and tags[main] == "VBN" \
-                and (main - 1) in chunk_head:
+                and prvk in chunk_head:
             nxtk = main + 1
             while nxtk < n and tags[nxtk] == "RB":
                 nxtk += 1
             if nxtk >= n or tags[nxtk] in _PUNCT \
                     or tags[nxtk] in ("IN", "CC", "TO"):
-                attach(main, chunk_head[main - 1], "acl")
+                attach(main, chunk_head[prvk], "acl")
                 relcl_verbs.add(main)
                 main_verbs.append(main)
                 continue
+        # be-inversion questions: WH (+RB) + be + SUBJ + PRED — the
+        # post-subject predicate is the root; be is its aux (VBG/VBN)
+        # or cop; the WH word fills obj/obl/advmod per the gap
+        # ("Why is Dave becoming a problem?", "What is UAL stock
+        # worth?", "What is the esophagus used for?")
+        if len(chain) == 1 and lowers[main] in _BE:
+            wh = next((k for k in range(main) if tags[k] in
+                       ("WP", "WDT", "WRB") and heads[k] == -2), -1)
+            if wh >= 0 and all(tags[m] in ("WP", "WDT", "WRB", "RB")
+                               for m in range(main)):
+                whlab = "advmod" if tags[wh] == "WRB" else "obj"
+                if main + 1 < n and lowers[main + 1] == "there":
+                    # inverted existential: "What is there in the field?"
+                    attach(main + 1, main, "expl")
+                    attach(wh, main, "nsubj")
+                    main_verbs.append(main)
+                    continue
+                sc = next(((b, e, h) for b, e, h in chunks
+                           if b == main + 1), None)
+                if sc is not None:
+                    b, e, hh = sc
+                    # "What is UAL stock worth?" — a predicative noun
+                    # fused into the subject chunk splits off
+                    if e - b >= 2 and lowers[e - 1] in ("worth", "like") \
+                            and (e >= n or tags[e] in _PUNCT):
+                        pred = e - 1
+                        subj2 = e - 2
+                        attach(main, pred, "cop")
+                        heads[subj2] = pred       # override compound arc
+                        labels[subj2] = "nsubj"
+                        attach(wh, pred, whlab)
+                        for m in range(b, e - 2):
+                            if heads[m] == pred:
+                                heads[m] = subj2  # compounds follow subj
+                        main_verbs.append(pred)
+                        copula_pred = pred
+                        continue
+                    # skip over a post-subject PP to find a VBN/VBG
+                    # predicate ("What is the fear of cockroaches
+                    # called?")
+                    j = e
+                    while j + 1 < n and tags[j] == "IN" \
+                            and (j + 1) in chunk_head:
+                        ce2 = next((ee for bb, ee, hh2 in chunks
+                                    if bb <= j + 1 < ee), j + 2)
+                        j = ce2
+                    if j > e and j < n and tags[j] in ("VBN", "VBG"):
+                        e = j
+                    pt = tags[e] if e < n else ""
+                    if pt == "VBG":
+                        attach(main, e, "aux")
+                        attach(hh, e, "nsubj")
+                        attach(wh, e, whlab)
+                        processed.add(e)
+                        main_verbs.append(e)
+                        continue
+                    if pt == "VBN":
+                        attach(main, e, "aux:pass")
+                        attach(hh, e, "nsubj:pass")
+                        strand = next((s for s in range(e + 1, n)
+                                       if tags[s] == "IN"
+                                       and all(m not in chunk_head
+                                               for m in range(s + 1, n))),
+                                      -1)
+                        if strand >= 0 and tags[wh] != "WRB":
+                            attach(strand, wh, "case")
+                            attach(wh, e, "obl")
+                        else:
+                            attach(wh, e, whlab)
+                        processed.add(e)
+                        main_verbs.append(e)
+                        continue
+                    if pt in ("JJ", "IN", "RB") and \
+                            (e + 1 >= n or tags[e + 1] in _PUNCT):
+                        attach(main, e, "cop")
+                        attach(hh, e, "nsubj")
+                        attach(wh, e, whlab)
+                        main_verbs.append(e)
+                        copula_pred = e
+                        continue
+                    if pt == "TO" and e + 1 < n and tags[e + 1] == "VB":
+                        # "Who am I to judge?" — WH is the predicate
+                        attach(main, wh, "cop")
+                        attach(hh, wh, "nsubj")
+                        attach(e, e + 1, "mark")
+                        attach(e + 1, wh, "advcl")
+                        processed.add(e + 1)
+                        main_verbs.append(wh)
+                        copula_pred = wh
+                        continue
         # WH-copula question: "What is that?" / "Who is John?" — the
         # WH word is the predicate root, the post-verbal nominal its
         # subject (only when no other verb follows)
@@ -392,7 +485,9 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         if v0 < v1 and v0 not in relcl_verbs and v1 not in relcl_verbs \
                 and (lowers[0] in ("that", "whether")
                      or tags[0] in ("WP", "WDT")) \
-                and not any(tags[m] == "CC" for m in range(v0, v1)):
+                and not any(tags[m] == "CC" for m in range(v0, v1)) \
+                and not any(heads[m] == v0 and labels[m] == "cop"
+                            for m in range(n)):
             csubj_first = v0
             passive1 = any(heads[k] == v1 and labels[k] == "aux:pass"
                            for k in range(n))
@@ -467,6 +562,7 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         for s in range(v - 1, prev, -1):
             if tags[s] == "IN" and heads[s] == -2 \
                     and (lowers[s] in _SUBORD
+                         or (s == v - 1 and tags[v] == "VBG")
                          or (lowers[s] == "as"
                              and any(m in chunk_head
                                      for m in range(s + 1, v))

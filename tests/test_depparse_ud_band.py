@@ -57,14 +57,14 @@ def _band(tagger):
 
 def test_cascade_band_gold_pos():
     s = _band("gold")
-    # measured 0.826 UAS / 0.768 LAS (2026-08; BASELINE.md) — floor a
+    # measured 0.891 UAS / 0.841 LAS (2026-08; BASELINE.md) — floor a
     # few points under so only real regressions trip
-    assert s["uas"] >= 0.79, s
-    assert s["las"] >= 0.73, s
+    assert s["uas"] >= 0.85, s
+    assert s["las"] >= 0.80, s
 
 
 def test_cascade_band_end_to_end():
     s = _band("ours")
-    # measured 0.748 UAS / 0.669 LAS with the deterministic tagger
-    assert s["uas"] >= 0.71, s
-    assert s["las"] >= 0.63, s
+    # measured 0.786 UAS / 0.714 LAS with the deterministic tagger
+    assert s["uas"] >= 0.75, s
+    assert s["las"] >= 0.67, s
