@@ -135,6 +135,25 @@ OPEN_CLASS = {
     "green": "JJ", "white": "JJ", "black": "JJ", "smart": "JJ",
     "top": "JJ", "main": "JJ", "key": "JJ", "total": "JJ",
     "prime": "JJ", "global": "JJ", "common": "JJ", "open": "JJ",
+    "certain": "JJ", "intense": "JJ", "unsafe": "JJ", "safe": "JJ",
+    "pink": "JJ", "yellow": "JJ", "purple": "JJ", "gray": "JJ",
+    "grey": "JJ", "ready": "JJ", "wrong": "JJ", "cheap": "JJ",
+    "rich": "JJ", "poor": "JJ", "huge": "JJ", "tiny": "JJ",
+    "pretty": "JJ", "clean": "JJ", "warm": "JJ", "cold": "JJ",
+    "hot": "JJ", "dark": "JJ", "bright": "JJ", "deep": "JJ",
+    "wide": "JJ", "narrow": "JJ", "thick": "JJ", "sharp": "JJ",
+    "soft": "JJ", "loud": "JJ", "quiet": "JJ", "busy": "JJ",
+    "empty": "JJ", "angry": "JJ", "happy": "JJ", "sad": "JJ",
+    "nice": "JJ", "sick": "JJ", "healthy": "JJ", "dead": "JJ",
+    "wild": "JJ", "modern": "JJ", "ancient": "JJ", "simple": "JJ",
+    "single": "JJ", "likely": "JJ", "easy": "JJ", "difficult": "JJ",
+    "important": "JJ", "tall": "JJ", "short": "JJ", "tired": "JJ",
+    # pronoun-like compounds PTB tags NN
+    "nothing": "NN", "something": "NN", "anything": "NN",
+    "everything": "NN", "someone": "NN", "anyone": "NN",
+    "everyone": "NN", "nobody": "NN", "somebody": "NN",
+    "everybody": "NN",
+    "so": "RB",
 }
 
 POS_LEXICON = dict(OPEN_CLASS)
@@ -187,6 +206,9 @@ S_SINGULAR = {
     "gas", "glass", "class", "boss", "loss", "kiss", "address", "business",
     "press", "process", "access", "success", "chess", "lens", "canvas",
     "campus", "status", "virus", "census", "chaos", "cosmos",
+    "asbestos", "esophagus", "alias", "atlas", "bias", "bonus",
+    "focus", "circus", "consensus", "apparatus", "octopus", "iris",
+    "tennis", "pelvis",
 }
 
 # ------------------------------------------------------ coref dictionaries ----

@@ -132,6 +132,18 @@ def tag_sentence(words: List[str]) -> List[str]:
         # a plural noun directly after a subject pronoun is ungrammatical
         elif prev_t == "PRP" and t == "NNS":
             tags[i] = "VBZ"
+        # PRP + unknown singular → plural-agreement verb ("you love X")
+        elif prev_t == "PRP" and t == "NN" and lw not in POS_LEXICON:
+            tags[i] = "VBP"
+        # predeterminer: all/both/half before a determiner
+        if lw in ("all", "both", "half") and i + 1 < n \
+                and tags[i + 1] in ("DT", "PRP$"):
+            tags[i] = "PDT"
+        # mid-sentence complementizer: "says that you ..." — "that"
+        # before a subject pronoun is IN, never a determiner
+        if lw == "that" and t == "DT" and i + 1 < n \
+                and tags[i + 1] == "PRP":
+            tags[i] = "IN"
         # "to" disambiguation: TO before verb/num stays TO, else IN
         if lw == "to" and i + 1 < n:
             nxt = tags[i + 1]
@@ -207,6 +219,20 @@ def tag_sentence(words: List[str]) -> List[str]:
             if tags[j] in ("VBZ", "VBP", "VBD", "MD"):
                 tags[i] = "VBN"
                 break
+    # inverted passive: "What is the fear of cockroaches called ?" — a
+    # clause-final Ved with a fronted be-auxiliary is a participle
+    for i in range(2, n):
+        if tags[i] != "VBD":
+            continue
+        if not all(tags[j] in ("IN", "RB") or lowers[j] in ".?!;:,"
+                   for j in range(i + 1, n)):
+            continue
+        be_at = next((j for j in range(min(3, i)) if lowers[j] in
+                      ("is", "are", "was", "were", "am")), -1)
+        if be_at >= 0 and not any(
+                tags[j] in ("VBZ", "VBP", "VBD", "MD")
+                for j in range(be_at + 1, i)):
+            tags[i] = "VBN"
     # verbless-sentence repair: a clause needs a verb; an NNS right after
     # a potential subject (NNP/PRP) whose stem is a known verb is almost
     # surely VBZ ("Acme Corp. employs 5,000 people") — gated on the

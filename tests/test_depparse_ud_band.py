@@ -65,6 +65,6 @@ def test_cascade_band_gold_pos():
 
 def test_cascade_band_end_to_end():
     s = _band("ours")
-    # measured 0.786 UAS / 0.714 LAS with the deterministic tagger
-    assert s["uas"] >= 0.75, s
-    assert s["las"] >= 0.67, s
+    # measured 0.831 UAS / 0.771 LAS with the deterministic tagger
+    assert s["uas"] >= 0.79, s
+    assert s["las"] >= 0.73, s
