@@ -62,6 +62,10 @@ register(Stage("depparse", ("tok_pos",), ("dep_head", "dep_label"), DepParser,
                _pool))
 register(Stage("coref", ("men_begin", "tok_pos"),
                ("men_chain", "men_canonical", "pron_idx"), coref_batch))
+from corenlp_ray.stages.coref import coref_full_batch  # noqa: E402
+register(Stage("coref.full", ("men_begin", "tok_pos"),
+               ("men_chain", "men_canonical", "pron_idx"),
+               coref_full_batch))
 
 # optional annotators (not in the flagship chain; demand-driven)
 from corenlp_ray.stages.entitylink import entitylink_batch  # noqa: E402

@@ -82,9 +82,62 @@ def _gender_of_person(surface: str) -> str:
     return "u"
 
 
+_FIRST_PERSON = {"i", "me", "my", "myself", "mine"}
+_SECOND_PERSON = {"you", "your", "yourself", "yours"}
+_BE_FORMS = {"is", "are", "was", "were", "am", "be", "been", "'s",
+             "'re", "'m", "seems", "remains", "became", "becomes"}
+
+
+def detect_coref_mentions(
+    words: List[str], tags: List[str], tok_sent: List[int],
+    men: List[Tuple[int, int, str, str]],
+) -> List[Tuple[int, int, str, str]]:
+    """RuleBasedCorefMentionFinder analogue (dcoref/
+    RuleBasedCorefMentionFinder.java): extends the entity-mention list
+    with NOMINAL noun-phrase mentions ((DT)? (JJ|NN)* NN(S) chunks) and
+    PRONOMINAL single-token mentions, skipping spans already covered by
+    an entity mention. Used by the FULL coref configuration (opt-in:
+    the flagship chain keeps entity mentions only, so planted outputs
+    are unchanged)."""
+    n = len(words)
+    covered = [False] * n
+    for b, e, _, _ in men:
+        for k in range(b, e):
+            covered[k] = True
+    out = list(men)
+    i = 0
+    while i < n:
+        t = tags[i]
+        if t in ("PRP", "PRP$") and not covered[i]:
+            out.append((i, i + 1, "PRONOMINAL", words[i].lower()))
+            i += 1
+            continue
+        if t == "DT" or t in ("JJ", "JJR", "JJS", "NN", "NNS"):
+            b = i
+            j = i + 1 if t == "DT" else i
+            last_noun = j if t in ("NN", "NNS") else -1
+            while j < n and tags[j] in ("JJ", "JJR", "JJS", "NN",
+                                        "NNS", "VBG", "CD"):
+                if tags[j] in ("NN", "NNS"):
+                    last_noun = j
+                j += 1
+            if last_noun >= 0 and not any(covered[b:last_noun + 1]):
+                out.append((b, last_noun + 1, "NOMINAL",
+                            " ".join(w.lower()
+                                     for w in words[b:last_noun + 1])))
+                i = last_noun + 1
+                continue
+            i = max(j, i + 1)
+            continue
+        i += 1
+    out.sort(key=lambda m: (m[0], -m[1]))
+    return out
+
+
 def resolve_coref(
     words: List[str], tags: List[str], tok_sent: List[int],
     men: List[Tuple[int, int, str, str]],
+    full: bool = False,
 ) -> Tuple[List[int], List[str], List[int], List[str]]:
     """Pure kernel. ``men`` = [(begin, end, type, norm)] doc-level mentions.
 
@@ -104,6 +157,95 @@ def resolve_coref(
             uf.union(seen[key], i)
         else:
             seen[key] = i
+
+    if full:
+        # FULL-mode sieves over nominal/pronominal mentions (the dcoref
+        # passes the entity-only default cannot express):
+        # exact/relaxed string match for NOMINAL mentions ("a concert"
+        # / "the concert" — determiner-stripped, ExactStringMatch +
+        # RelaxedStringMatch over common NPs)
+        seen_n: Dict[str, int] = {}
+        for i in range(nm):
+            if men[i][2] != "NOMINAL" or not stripped[i]:
+                continue
+            if stripped[i] in seen_n:
+                uf.union(seen_n[stripped[i]], i)
+            else:
+                seen_n[stripped[i]] = i
+        # predicate nominative (PreciseConstructs): "<X> is <Y>" — only
+        # a be-form (+adverbs) between two same-sentence mentions
+        for i in range(nm - 1):
+            b1, e1, t1, _ = men[i]
+            for j in range(i + 1, nm):
+                b2, e2, t2, _ = men[j]
+                if b2 < e1:
+                    continue
+                if tok_sent[b1] != tok_sent[min(b2, len(words) - 1)] \
+                        or b2 - e1 > 3 or b2 <= e1:
+                    break
+                between = list(range(e1, b2))
+                if between and words[between[0]].lower() in _BE_FORMS \
+                        and all(words[k].lower() in _BE_FORMS
+                                or tags[k] == "RB" for k in between):
+                    uf.union(i, j)
+                break
+        # speaker sieve (SpeakerMatch, single-speaker approximation):
+        # first-person mentions corefer; second-person likewise
+        for group in (_FIRST_PERSON, _SECOND_PERSON):
+            first = -1
+            for i in range(nm):
+                if men[i][2] == "PRONOMINAL" and men[i][3] in group:
+                    if first < 0:
+                        first = i
+                    else:
+                        uf.union(first, i)
+        # third-person pronominal mentions join their antecedent's
+        # cluster (PronounMatch over the full mention list — nominal
+        # antecedents allowed for neutral/plural pronouns)
+        for i in range(nm):
+            if men[i][2] != "PRONOMINAL":
+                continue
+            lw = men[i][3]
+            if lw in _FIRST_PERSON or lw in _SECOND_PERSON:
+                continue
+            k = men[i][0]
+            if lw in MALE_PRONOUNS:
+                want, g = "PERSON", "m"
+            elif lw in FEMALE_PRONOUNS:
+                want, g = "PERSON", "f"
+            elif lw in NEUTRAL_PRONOUNS:
+                want, g = "NEUTRAL", None
+            elif lw in PLURAL_PRONOUNS:
+                want, g = "ANY_PLURAL", None
+            else:
+                continue
+            best = -1
+            for j in range(nm):
+                b, e, t, _ = men[j]
+                if e > k:
+                    break
+                if j == i or men[j][2] == "PRONOMINAL":
+                    continue
+                if tok_sent[k] - tok_sent[b] > 2:
+                    continue
+                if want == "PERSON":
+                    if t != "PERSON":
+                        continue
+                    gg = _gender_of_person(surfaces[j])
+                    if g and gg != "u" and gg != g:
+                        continue
+                elif want == "NEUTRAL":
+                    if t not in ("ORGANIZATION", "LOCATION", "NOMINAL"):
+                        continue
+                    if t == "NOMINAL" and tags[e - 1] == "NNS":
+                        continue
+                elif want == "ANY_PLURAL":
+                    if not (t in ("ORGANIZATION", "PERSON")
+                            or (t == "NOMINAL" and tags[e - 1] == "NNS")):
+                        continue
+                best = j
+            if best >= 0:
+                uf.union(best, i)
 
     # Sieve 3: precise constructs — appositive "X , the Y ," (adjacent
     # mentions separated by a comma with a determiner-led second mention)
@@ -305,14 +447,77 @@ def finalize_clusters(uf, men, surfaces, entity_like,
         r = uf.find(i)
         if r not in roots or i < roots[r]:
             roots[r] = min(roots.get(r, i), i)
+    # clusters with no entity-like member (full mode: nominal/pronoun
+    # chains) represent by their earliest non-pronominal member
+    roots_all: Dict[int, int] = {}
+    for i in range(nm):
+        if men[i][2] == "PRONOMINAL":
+            continue
+        r = uf.find(i)
+        if r not in roots_all or i < roots_all[r]:
+            roots_all[r] = i
     men_chain = [uf.find(i) for i in range(nm)]
     men_canonical = []
     for i in range(nm):
         r = uf.find(i)
-        rep = roots.get(r, i)
+        rep = roots.get(r, roots_all.get(r, i))
         men_canonical.append(surfaces[rep])
     pron_canonical = [men_canonical[m] for m in pron_canon_mention]
     return men_chain, men_canonical, pron_idx, pron_canonical
+
+
+def coref_full_batch(batch: pa.Table,
+                     cols: dict | None = None) -> pa.Table:
+    """FULL dcoref configuration: the RuleBasedCorefMentionFinder
+    analogue extends men_* with nominal + pronominal mentions, then the
+    full sieve stack (speaker, nominal string match, predicate
+    nominative, head matches, pronoun match) chains them. REPLACES the
+    men_* columns — opt-in; the flagship chain uses ``coref_batch``
+    (entity mentions only) so planted outputs stay byte-stable."""
+    from corenlp_ray.stages._cache import col, put
+
+    words_col = col(batch, "tok_word", cols)
+    tags_col = col(batch, "tok_pos", cols)
+    tsent_col = col(batch, "tok_sent", cols)
+    mb_col = col(batch, "men_begin", cols)
+    me_col = col(batch, "men_end", cols)
+    mn_col = col(batch, "men_ner", cols)
+    mv_col = col(batch, "men_norm", cols)
+    mb2, me2, mn2, mv2 = [], [], [], []
+    chain_c, canon_c, pidx_c, pcan_c = [], [], [], []
+    for r in range(batch.num_rows):
+        men = list(zip(mb_col[r], me_col[r], mn_col[r], mv_col[r]))
+        men = detect_coref_mentions(words_col[r], tags_col[r],
+                                    tsent_col[r], men)
+        chain, canon, pidx, pcan = resolve_coref(
+            words_col[r], tags_col[r], tsent_col[r], men, full=True)
+        mb2.append([m[0] for m in men])
+        me2.append([m[1] for m in men])
+        mn2.append([m[2] for m in men])
+        mv2.append([m[3] for m in men])
+        chain_c.append(chain)
+        canon_c.append(canon)
+        pidx_c.append(pidx)
+        pcan_c.append(pcan)
+    i32 = pa.list_(pa.int32())
+    s = pa.list_(pa.string())
+    out = batch
+    for name in ("men_begin", "men_end", "men_ner", "men_norm",
+                 "men_chain", "men_canonical", "pron_idx",
+                 "pron_canonical"):
+        if name in out.column_names:
+            out = out.drop_columns([name])
+    put(cols, men_canonical=canon_c, pron_idx=pidx_c,
+        pron_canonical=pcan_c)
+    return (out
+            .append_column("men_begin", pa.array(mb2, type=i32))
+            .append_column("men_end", pa.array(me2, type=i32))
+            .append_column("men_ner", pa.array(mn2, type=s))
+            .append_column("men_norm", pa.array(mv2, type=s))
+            .append_column("men_chain", pa.array(chain_c, type=i32))
+            .append_column("men_canonical", pa.array(canon_c, type=s))
+            .append_column("pron_idx", pa.array(pidx_c, type=i32))
+            .append_column("pron_canonical", pa.array(pcan_c, type=s)))
 
 
 def coref_batch(batch: pa.Table, cols: dict | None = None) -> pa.Table:

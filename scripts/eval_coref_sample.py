@@ -42,7 +42,7 @@ def gold_clusters():
     return clusters
 
 
-def engine_clusters(statistical: bool):
+def engine_clusters(statistical, full=False):
     import pyarrow as pa
 
     from corenlp_ray.stages.extract import extract_text
@@ -53,7 +53,11 @@ def engine_clusters(statistical: bool):
     text = extract_text(open(SGM, "rb").read())
     b = pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]})
     b = ner_batch(pos_batch(tokenize_ssplit_batch(b)))
-    if statistical:
+    if full:
+        from corenlp_ray.stages.coref import coref_full_batch
+
+        b = coref_full_batch(b)
+    elif statistical:
         from corenlp_ray.models.distill import distill_and_register  # noqa: F401
         from corenlp_ray.models.coref_ranker import CorefRanker, \
             StatisticalCoref
@@ -111,8 +115,10 @@ def b_cubed(gold, pred):
 def main():
     gold = gold_clusters()
     out = {"gold_chains": len(gold)}
-    for name, stat in (("sieves", False), ("statistical", True)):
-        pred = engine_clusters(stat)
+    for name, stat, full in (("sieves", False, False),
+                             ("statistical", True, False),
+                             ("full_sieves", False, True)):
+        pred = engine_clusters(stat, full)
         P, R, F, n = b_cubed(gold, pred)
         out[name] = {"chains": len(pred), "b3_P": P, "b3_R": R,
                      "b3_F": F, "aligned_mentions": n}
