@@ -154,6 +154,17 @@ OPEN_CLASS = {
     "everyone": "NN", "nobody": "NN", "somebody": "NN",
     "everybody": "NN",
     "so": "RB",
+    "fine": "JJ", "named": "VBN",
+}
+
+# capitalized nationality/language adjectives PTB tags JJ, not NNP
+NATIONALITY_JJ = {
+    "french", "british", "american", "german", "italian", "spanish",
+    "chinese", "japanese", "russian", "english", "european", "african",
+    "asian", "australian", "canadian", "mexican", "indian", "korean",
+    "dutch", "greek", "turkish", "brazilian", "swedish", "norwegian",
+    "danish", "polish", "irish", "scottish", "welsh", "arab", "arabic",
+    "israeli", "egyptian", "iraqi", "iranian", "soviet",
 }
 
 POS_LEXICON = dict(OPEN_CLASS)
@@ -200,7 +211,7 @@ IRREGULAR_NOUN_LEMMA = {
 
 # words ending in -s that are NOT plural (keep as-is when tagged NN/NNP)
 S_SINGULAR = {
-    "news", "series", "species", "physics", "economics", "mathematics",
+    "news", "series", "physics", "economics", "mathematics",
     "linguistics", "robotics", "politics", "ethics", "athletics",
     "measles", "diabetes", "analysis", "basis", "crisis", "thesis", "bus",
     "gas", "glass", "class", "boss", "loss", "kiss", "address", "business",

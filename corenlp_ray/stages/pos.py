@@ -57,6 +57,9 @@ def _base_tag(word: str, lower: str, sent_initial: bool) -> str:
     in_lex = POS_LEXICON.get(lower)
     cap = word[:1].isupper()
     if cap and not sent_initial:
+        from corenlp_ray.functions.lexicon import NATIONALITY_JJ
+        if lower in NATIONALITY_JJ:
+            return "JJ"   # "the French government" — JJ despite the cap
         # mid-sentence capitalization beats the lexicon → proper noun
         return "NNP"
     if in_lex:
@@ -121,8 +124,12 @@ def tag_sentence(words: List[str]) -> List[str]:
         elif prev_t in ("NNS", "PRP") and t == "VB":
             tags[i] = "VBP"
         # DT/PRP$/JJ + verb tag → noun (e.g. "the work", "the meeting")
+        # — but a gerund MODIFIER before a noun stays VBG ("the
+        # breeding season")
         elif prev_t in ("DT", "PRP$", "JJ") and t in ("VB", "VBP", "VBG"):
-            tags[i] = "NN"
+            if not (t == "VBG" and i + 1 < n
+                    and tags[i + 1] in ("NN", "NNS")):
+                tags[i] = "NN"
         elif prev_t in ("DT", "PRP$", "JJ") and t == "VBZ":
             tags[i] = "NNS" if not lw.endswith("ss") else "NN"
         # PRP + NN with verb reading → VBP ("they work")
@@ -135,15 +142,43 @@ def tag_sentence(words: List[str]) -> List[str]:
         # PRP + unknown singular → plural-agreement verb ("you love X")
         elif prev_t == "PRP" and t == "NN" and lw not in POS_LEXICON:
             tags[i] = "VBP"
-        # predeterminer: all/both/half before a determiner
+        # predeterminer: all/both/half before a determiner — except the
+        # preconjunct "both X and Y", which PTB tags CC
         if lw in ("all", "both", "half") and i + 1 < n \
                 and tags[i + 1] in ("DT", "PRP$"):
-            tags[i] = "PDT"
+            if lw == "both" and "and" in lowers[i + 1:i + 7]:
+                tags[i] = "CC"
+            else:
+                tags[i] = "PDT"
+        # approximation adverb before a number ("About 200 people")
+        if lw in ("about", "around", "nearly", "roughly",
+                  "approximately") and t == "IN" and i + 1 < n \
+                and tags[i + 1] == "CD":
+            tags[i] = "RB"
         # mid-sentence complementizer: "says that you ..." — "that"
         # before a subject pronoun is IN, never a determiner
         if lw == "that" and t == "DT" and i + 1 < n \
                 and tags[i + 1] == "PRP":
             tags[i] = "IN"
+        # relativizer: NOUN + "that" + VERB → WDT ("species that live")
+        elif lw == "that" and t == "DT" and 0 < i < n - 1 \
+                and tags[i - 1] in ("NN", "NNS", "NNP", "NNPS") \
+                and tags[i + 1] in _VERBAL:
+            tags[i] = "WDT"
+        # superlative adverb: most/least before an adjective/adverb
+        if lw in ("most", "least") and t in ("JJS", "RBS", "JJ") \
+                and i + 1 < n and tags[i + 1] in ("JJ", "RB"):
+            tags[i] = "RBS"
+        # noun subject + apparent plural + non-noun continuation → 3sg
+        # verb ("survival depends heavily on", "success comes from")
+        if t == "NNS" and i > 0 \
+                and tags[i - 1] in ("NN", "NNP") \
+                and i + 1 < n and tags[i + 1] in ("IN", "TO", "RB",
+                                                  "DT", "PRP$", "CD") \
+                and lw not in ("sales", "results", "profits", "shares",
+                               "prices", "stocks", "officials") \
+                and not lw.endswith("ss"):
+            tags[i] = "VBZ"
         # "to" disambiguation: TO before verb/num stays TO, else IN
         if lw == "to" and i + 1 < n:
             nxt = tags[i + 1]

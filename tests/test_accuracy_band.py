@@ -52,7 +52,7 @@ def test_pos_cascade_band_on_reference_gold():
     gold = [g for _, g in corpus]
     pred = [tag_sentence(w) for w, _ in corpus]
     acc = token_accuracy(gold, pred)
-    assert acc >= 0.84, f"cascade token accuracy {acc:.4f} < 0.84"
+    assert acc >= 0.86, f"cascade token accuracy {acc:.4f} < 0.86"
 
 
 @needs_ref
