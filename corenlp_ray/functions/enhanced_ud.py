@@ -149,7 +149,11 @@ def enhance_dependencies(words: Sequence[str], tags: Sequence[str],
     # -- 6. xcomp controlled subjects ----------------------------------
     # fixpoint loop: an xcomp chain ("you like to be able to swim")
     # resolves outer-first, each pass letting the next link inherit
-    xcomps = [(g, d) for (g, d, L) in edges if L == "xcomp" and g >= 0]
+    # only VERBAL xcomps inherit a controlled subject — a nominal
+    # predicate xcomp ("is becoming a problem") gets no xsubj edge
+    # (UniversalEnglishGrammaticalStructure addExtraNSubj semantics)
+    xcomps = [(g, d) for (g, d, L) in edges
+              if L == "xcomp" and g >= 0 and tags[d].startswith("VB")]
     changed, guard = True, 0
     while changed and guard <= n:
         changed, guard = False, guard + 1

@@ -148,3 +148,22 @@ def test_batch_stage(ray_session):
     assert words[deps[i]] == "Clinton" and words[govs[i]] == "defeated"
     n = len(words)
     assert all(-1 <= g < n for g in govs) and all(0 <= d < n for d in deps)
+
+
+def test_non_collapsed_gold_extras_exact():
+    """All 7 enhanced extras in the reference's NON_COLLAPSED
+    conversion gold (44 cases) are produced with no false positives
+    when the gold basic trees are the input (scripts/
+    eval_enhanced_ud.py measured P=1.0/R=1.0, 2026-08)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scripts/eval_enhanced_ud.py"],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"})
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    assert d["cases"] >= 40
+    assert d["recall"] == 1.0, d
+    assert d["precision"] >= 0.95, d
