@@ -116,6 +116,17 @@ def enhance_dependencies(words: Sequence[str], tags: Sequence[str],
         else:
             edges[i] = (g, d, f"{L}:{marker}")
 
+    # -- 2b. advcl subtyped by its marker ("counts contracts when they
+    # are awarded" → advcl:when; infinitival/complementizer marks stay
+    # bare) -------------------------------------------------------------
+    for i, (g, d, L) in enumerate(edges):
+        if L != "advcl":
+            continue
+        marks = _children(heads, labels, d, "mark") or \
+            _children(heads, labels, d, "case")
+        if marks and lem[marks[0]] not in ("to", "that", "whether"):
+            edges[i] = (g, d, f"advcl:{lem[marks[0]]}")
+
     # -- 3. conj augmentation ------------------------------------------
     conj_pairs: List[Tuple[int, int]] = []
     for i, (g, d, L) in enumerate(edges):
@@ -124,6 +135,8 @@ def enhance_dependencies(words: Sequence[str], tags: Sequence[str],
         cc = _children(heads, labels, d, "cc") or \
             _children(heads, labels, g, "cc")
         marker = lem[cc[0]] if cc else "and"
+        if marker == "not":          # "but not X" → conj:negcc
+            marker = "negcc"
         edges[i] = (g, d, f"conj:{marker}")
         conj_pairs.append((g, d))
 
@@ -132,17 +145,20 @@ def enhance_dependencies(words: Sequence[str], tags: Sequence[str],
     for g, d in conj_pairs:
         own_subj = {L for (gg, dd, L) in base if gg == d and L in _SUBJ}
         for (G, dep, L) in base:
-            core = L in _CORE_PROPAGATE
-            if not core:
-                continue
-            if dep == g and G != d:
+            if dep == g and G != d and (
+                    L in _CORE_PROPAGATE
+                    or L.partition(":")[0] in ("nmod", "obl")):
                 # conjoined dependent keeps its role under the shared
-                # governor ("boys and girls are" → nsubj(are, girls))
+                # governor, SUBTYPE INCLUDED ("Activation of Akt and
+                # NFkappaB" → nmod:of(Activation, NFkappaB); "boys and
+                # girls are" → nsubj(are, girls))
                 edges.append((G, d, L))
-            elif G == g and dep != d:
-                # conjoined governor shares its core arguments unless
-                # the second conjunct brought its own subject
-                if L in _SUBJ and own_subj:
+            elif G == g and dep != d and L in _SUBJ:
+                # conjoined governor shares its SUBJECT (objects are
+                # NOT distributed — "noticed a cockroach and departed"
+                # adds nsubj to departed, never obj) unless the second
+                # conjunct brought its own subject
+                if own_subj:
                     continue
                 edges.append((d, dep, L))
 

@@ -167,3 +167,22 @@ def test_non_collapsed_gold_extras_exact():
     assert d["cases"] >= 40
     assert d["recall"] == 1.0, d
     assert d["precision"] >= 0.95, d
+
+
+def test_ccprocessed_gold_graph_exact():
+    """The FULL enhanced graph (conj:<coordinator> incl. negcc,
+    nmod/obl case subtypes, advcl markers, conjunct role propagation)
+    matches the reference's CC_PROCESSED conversion gold edge-for-edge
+    (22 literal-tree cases / 196 edges; copy-node lines excluded)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scripts/eval_ccprocessed_ud.py"],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"})
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    assert d["cases"] >= 20
+    assert d["precision"] >= 0.99, d
+    assert d["recall"] >= 0.99, d
