@@ -2365,3 +2365,76 @@ def range_join_planted_sql() -> str:
         "SELECT e.event_id, iv2.interval_id, e.user_id, e.value "
         "FROM events e JOIN iv2 ON e.user_id = iv2.user_id "
         "AND e.ts >= iv2.lo AND e.ts < iv2.hi")
+
+
+# ------------------------------------------------------------ coref.full
+
+# (text, n_mentions, n_multi_chains, max_chain): the FULL dcoref
+# configuration (stages/coref.py coref_full_batch — nominal+pronominal
+# mentions, speaker / nominal-exact / predicate-nominative / pronoun
+# sieves). Expected stats are template constants, hand-checked:
+#  T0 pred-nominative + nominal exact  → one chain of 3
+#  T1 nominal exact + neutral pronoun  → one chain of 3 (7 mentions:
+#     concert×2, It, I, Paris, two hours→CD skipped ⇒ measured 7)
+#  T2 first-person speaker chain       → one chain of 3
+#  T3 PERSON pronoun + nominal repeat  → two chains of 2
+COREF_FULL_PLANTED_TEMPLATES = [
+    ("Mohammed Munir is a strange person. The strange person smiled.",
+     3, 1, 3),
+    ("I saw a concert in Paris. The concert was loud. "
+     "It lasted two hours.", 7, 1, 3),
+    ("I think they saw me near my house.", 5, 1, 3),
+    ("Alice Johnson founded the company. She runs the company.",
+     4, 2, 2),
+]
+
+
+def _coref_full_text(i: int) -> str:
+    return COREF_FULL_PLANTED_TEMPLATES[i % 4][0]
+
+
+def q_coref_full_planted(sf_dir: str):
+    """Full-sieve coref oracle: planted coreference constructions →
+    tokenize→pos→ner→coref.full; per-doc chain stats are template
+    constants (dcoref's sieve families over nominal/pronominal
+    mentions, cf. RuleBasedCorefMentionFinder.java,
+    dcoref/SieveCoreferenceSystem.java)."""
+    from collections import Counter
+
+    from corenlp_ray.pipelines.kg import apply
+
+    ann = apply(_planted_doc_texts(sf_dir, _coref_full_text),
+                ("coref.full",), distributed=False)
+
+    def project(b: pa.Table) -> pa.Table:
+        n_men, n_multi, mx = [], [], []
+        for ch in b.column("men_chain").to_pylist():
+            sizes = Counter(ch)
+            n_men.append(len(ch))
+            n_multi.append(sum(1 for v in sizes.values() if v > 1))
+            mx.append(max(sizes.values()) if sizes else 0)
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"),
+             "n_mentions": pa.array(n_men, type=pa.int64()),
+             "n_multi_chains": pa.array(n_multi, type=pa.int64()),
+             "max_chain": pa.array(mx, type=pa.int64())},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_mentions", pa.int64()),
+                              ("n_multi_chains", pa.int64()),
+                              ("max_chain", pa.int64())]))
+
+    return ann.map_batches(project, batch_format="pyarrow")
+
+
+def coref_full_planted_sql() -> str:
+    men = ", ".join(str(t[1]) for t in COREF_FULL_PLANTED_TEMPLATES)
+    mul = ", ".join(str(t[2]) for t in COREF_FULL_PLANTED_TEMPLATES)
+    mx = ", ".join(str(t[3]) for t in COREF_FULL_PLANTED_TEMPLATES)
+    return (
+        "SELECT doc_id, "
+        f"CAST(list_extract([{men}], CAST(doc_id % 4 AS INT) + 1) "
+        "AS BIGINT) AS n_mentions, "
+        f"CAST(list_extract([{mul}], CAST(doc_id % 4 AS INT) + 1) "
+        "AS BIGINT) AS n_multi_chains, "
+        f"CAST(list_extract([{mx}], CAST(doc_id % 4 AS INT) + 1) "
+        "AS BIGINT) AS max_chain FROM documents")

@@ -1585,6 +1585,7 @@ from corenlp_ray.pipelines.planted import (  # noqa: E402
     q_tokenize_planted, protobuf_planted_sql,
     simhash_pairs_planted_sql, tokenize_planted_sql,
     multimodal_planted_sql, natlog_planted_sql, ngram_jaccard_planted_sql,
+    q_coref_full_planted, coref_full_planted_sql,
     openie_planted_sql, parse_planted_sql, q_entity_mentions_planted,
     q_kbp_planted, q_kg_planted, q_linking_planted, q_minhash_planted,
     q_multilingual_planted, q_multimodal_planted, q_natlog_planted,
@@ -1629,6 +1630,7 @@ ORACLE_SQL["simhash_planted"] = dedup_planted_sql()
 ORACLE_SQL["ngram_jaccard_planted"] = ngram_jaccard_planted_sql()
 ORACLE_SQL["quotes_planted"] = quotes_planted_sql()
 ORACLE_SQL["natlog_planted"] = natlog_planted_sql()
+ORACLE_SQL["coref_full_planted"] = coref_full_planted_sql()
 ORACLE_SQL["sentiment_planted"] = sentiment_planted_sql()
 ORACLE_SQL["linking_planted"] = linking_planted_sql()
 ORACLE_SQL["multilingual_planted"] = multilingual_planted_sql()
@@ -1811,6 +1813,7 @@ QUERIES = {
     "ngram_jaccard_planted": q_ngram_jaccard_planted,
     "quotes_planted": q_quotes_planted,
     "natlog_planted": q_natlog_planted,
+    "coref_full_planted": q_coref_full_planted,
     "sentiment_planted": q_sentiment_planted,
     "linking_planted": q_linking_planted,
     "multilingual_planted": q_multilingual_planted,
@@ -1932,6 +1935,7 @@ _WINDOW_DEPRIORITIZED = [
     # checked every session by the sf0.001 mirror
     # (tests/test_query_catalog.py). Staleness table: BASELINE.md
     # "Oracle verification staleness (r5 window)".
+    "unicode_clean",  # r4-green filler, bumped for coref_full_planted (r5)
     "bloom_probe", "c4_clean", "c4_planted", "chunk_documents",
     "cooccurrence_planted", "count_min", "customers_without_orders",
     "decontamination", "doc_length_histogram", "domain_quota_planted",
