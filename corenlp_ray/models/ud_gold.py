@@ -123,7 +123,10 @@ def ptb_tokens(tree: str) -> Tuple[List[str], List[str]]:
         else:
             if stack[-1] != "-NONE-":   # empty elements (traces) are
                 words.append(t)         # dropped before indexing, as in
-                tags.append(stack[-1])  # the reference's conversion
+                tag = stack[-1]         # the reference's conversion
+                if "-" in tag and not tag.startswith("-"):
+                    tag = tag.split("-")[0]   # strip functional tags
+                tags.append(tag)              # (NN-ADV → NN)
             i += 1
     return words, tags
 

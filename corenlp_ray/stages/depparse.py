@@ -305,22 +305,42 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         if len(chain) == 1 and lowers[main] in _BE and main == 1 \
                 and tags[0] in ("WP", "WDT") and heads[0] == -2 \
                 and not any(tags[m] in _VERB for m in range(main + 1, n)):
-            attach(main, 0, "cop")
+            # "What 's on the test?" — be + PP: the be-verb is the
+            # root, the WH its subject
+            if main + 1 < n and tags[main + 1] == "IN":
+                attach(0, main, "nsubj")
+                main_verbs.append(main)
+                continue
+            # "Who is nervous?" — an adjectival predicate wins the
+            # root (generic copula scan handles it); only a NOMINAL
+            # predicate roots at the WH word
+            adj_first = False
             for k in range(main + 1, n):
-                if k in chunk_head or tags[k] == "DT":
-                    attach(chunk_head.get(k, k), 0, "nsubj")
+                if k in chunk_head:
                     break
-            main_verbs.append(0)
-            copula_pred = 0
-            continue
+                if tags[k] in ("JJ", "VBN"):
+                    adj_first = True
+                    break
+            if not adj_first:
+                attach(main, 0, "cop")
+                for k in range(main + 1, n):
+                    if k in chunk_head or tags[k] == "DT":
+                        attach(chunk_head.get(k, k), 0, "nsubj")
+                        break
+                main_verbs.append(0)
+                copula_pred = 0
+                continue
         # existential there: "There is a statue ..." — the be-verb IS
         # the predicate (expl + post-verbal nsubj), never a copula
         if len(chain) == 1 and lowers[main] in _BE \
-                and any((tags[k] == "EX" or lowers[k] == "there")
+                and any((tags[k] == "EX" or lowers[k] in ("there",
+                                                          "here"))
                         and heads[k] == -2 for k in range(main)):
             ex = next(k for k in range(main)
-                      if tags[k] == "EX" or lowers[k] == "there")
-            attach(ex, main, "expl")
+                      if tags[k] == "EX" or lowers[k] in ("there",
+                                                          "here"))
+            attach(ex, main, "advmod" if lowers[ex] == "here"
+                   else "expl")
             for k in range(main + 1, n):
                 if k in chunk_head:
                     attach(chunk_head[k], main, "nsubj")
@@ -529,16 +549,39 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
     for vi, v in enumerate(main_verbs[1:], start=1):
         if v in relcl_verbs or heads[v] != -2:
             continue
+        # purpose idiom "in order to VB": mark+fixed, advcl of the
+        # previous predicate — never an acl of the noun "order"
+        if v >= 3 and tags[v - 1] == "TO" and lowers[v - 2] == "order" \
+                and lowers[v - 3] == "in":
+            attach(v - 3, v, "mark")
+            attach(v - 2, v - 3, "fixed")
+            attach(v - 1, v, "mark")
+            attach(v, main_verbs[vi - 1] if vi > 0 else root, "advcl")
+            continue
         # infinitival acl: NOUN + to + VB ("the first African American to
         # hold the office") — modifier clause of the noun, not a conjunct
         if v >= 2 and tags[v - 1] == "TO" and (v - 2) in chunk_head:
             attach(v - 1, v, "mark")
             attach(v, chunk_head[v - 2], "acl")
             continue
+        prev = main_verbs[vi - 1]
+        # embedded WH question: "know who did it" — the WH clause is a
+        # ccomp of the previous predicate, the WH filling the embedded
+        # subject (or object when a nominal subject intervenes)
+        if v - 2 >= prev and tags[prev + 1] in ("WP", "WRB") \
+                and heads[prev + 1] == -2 and prev + 1 < v:
+            w = prev + 1
+            has_nom = any(w < m < v and chunk_head.get(m) == m
+                          for m in range(w + 1, v))
+            if tags[w] == "WP":
+                attach(w, v, "obj" if has_nom else "nsubj")
+            else:
+                attach(w, v, "advmod")
+            attach(v, prev, "ccomp")
+            continue
         # "that"-complement: a bare "that" between the previous clause and
         # this verb's subject marks a ccomp under the previous predicate
         # ("There is no doubt that I am great", "He said that X founded Y")
-        prev = main_verbs[vi - 1]
         for p in range(prev + 1, v):
             # complementizer "that" between two clauses: a lone "that"
             # re-attaches as mark; one fused as a determiner into the
@@ -682,6 +725,15 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                     if b > k:
                         ph = h
                         break
+                # a possessive complement heads at the POSSESSED noun:
+                # "of Sotheby 's Holdings Inc." → case(Inc., of)
+                while ph >= 0:
+                    pe = next((e for b, e, h in chunks if h == ph), -1)
+                    if pe >= 0 and pe < n and tags[pe] == "POS" \
+                            and (pe + 1) in chunk_head:
+                        ph = chunk_head[pe + 1]
+                    else:
+                        break
                 if ph >= 0 and heads[ph] == -2:
                     attach(k, ph, "case")
                     # "of"-PPs are nominal modifiers of the preceding noun;
@@ -795,9 +847,19 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 tgt = heads[tgt]
             attach(k, tgt if tgt >= 0 else root, "advmod")
         elif t == "IN":
+            # preposition over a demonstrative pronoun: "in that ?" —
+            # the DT is the complement, an obl of the root
+            if k + 1 < n and tags[k + 1] == "DT" \
+                    and lowers[k + 1] in ("that", "this", "these",
+                                          "those") and heads[k + 1] == -2:
+                attach(k, k + 1, "case")
+                attach(k + 1, root, "obl")
+                continue
             # stranded preposition: case of the following chunk head or mark
             tgt = chunk_head.get(k + 1, root)
             attach(k, tgt if tgt is not None else root, "case")
+        elif t == "WDT" and k + 1 < n and tags[k + 1] in ("NN", "NNS"):
+            attach(k, chunk_head.get(k + 1, k + 1), "det")
         elif root >= 0 and k != root:
             attach(k, root, "dep")
         else:
