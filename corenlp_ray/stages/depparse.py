@@ -506,7 +506,10 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 and (lowers[0] in ("that", "whether")
                      or tags[0] in ("WP", "WDT")) \
                 and not any(tags[m] == "CC" for m in range(v0, v1)) \
-                and not any(heads[m] == v0 and labels[m] == "cop"
+                and tags[v1 - 1] != "TO" \
+                and not any(heads[m] == v0
+                            and labels[m] in ("cop", "nsubj",
+                                              "nsubj:pass")
                             for m in range(n)):
             csubj_first = v0
             passive1 = any(heads[k] == v1 and labels[k] == "aux:pass"
@@ -602,6 +605,33 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         if v in relcl_verbs or heads[v] != -2:
             continue
         prev = main_verbs[vi - 1]
+        # "P whether/if ..." complement: the embedded predicate is an
+        # acl of the preceding noun ("information on whether users are
+        # at risk") or a ccomp of the previous predicate
+        done = False
+        for s in range(v - 1, prev, -1):
+            if lowers[s] in ("whether", "if") and heads[s] == -2 \
+                    and s > prev + 1:
+                attach(s, v, "mark")
+                anchor = s - 1
+                if anchor > prev and tags[anchor] == "IN":
+                    attach(anchor, v, "mark")
+                    anchor -= 1
+                if anchor > prev and anchor in chunk_head:
+                    attach(v, chunk_head[anchor], "acl")
+                else:
+                    attach(v, prev, "ccomp")
+                done = True
+                break
+            if tags[s] == "WRB" and heads[s] == -2 \
+                    and lowers[s] in ("when", "whenever", "where",
+                                      "wherever", "while"):
+                attach(s, v, "advmod")
+                attach(v, prev, "advcl")
+                done = True
+                break
+        if done:
+            continue
         for s in range(v - 1, prev, -1):
             if tags[s] == "IN" and heads[s] == -2 \
                     and (lowers[s] in _SUBORD
@@ -697,6 +727,8 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         got_obj = nominal
         stop = min(nxt, n)
         while k < stop:
+            if words[k] == ";":     # clause boundary — arguments beyond
+                break               # belong to the next clause
             t = tags[k]
             # "that"-complementizer: the clause after it belongs to the
             # embedded verb — stop scavenging arguments across it
