@@ -154,6 +154,23 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
             else:
                 attach(k, h, "compound")
 
+    # currency amounts: "$ 3.2 billion" — the symbol heads, numbers are
+    # its nummods (PTB/UD money convention)
+    for k in range(n):
+        if words[k] == "$" and k + 1 < n and tags[k + 1] == "CD" \
+                and k not in chunk_head:
+            j = k + 1
+            while j < n and tags[j] == "CD":
+                attach(j, k, "nummod")
+                chunk_head.pop(j, None)
+                j += 1
+            chunks = [(b, e, h) for b, e, h in chunks
+                      if not (k + 1 <= h < j)]
+            chunks.append((k, j, k))
+            chunks.sort()
+            for m in range(k, j):
+                chunk_head[m] = k
+
     heads_of_chunks = [h for _, _, h in chunks]
 
     # ---- possessives: NP 's NP → possessor nmod:poss of possessed ----
@@ -209,6 +226,14 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                 relcl_verbs.add(main)
                 main_verbs.append(main)
                 continue
+        # participial VBG right after a noun modifies it ("the team
+        # demonstrating his incompetence", "dogs sitting in heaven")
+        if len(chain) == 1 and tags[main] == "VBG" \
+                and prvk in chunk_head:
+            attach(main, chunk_head[prvk], "acl")
+            relcl_verbs.add(main)
+            main_verbs.append(main)
+            continue
         # be-inversion questions: WH (+RB) + be + SUBJ + PRED — the
         # post-subject predicate is the root; be is its aux (VBG/VBN)
         # or cop; the WH word fills obj/obl/advmod per the gap
@@ -538,9 +563,19 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
                         main_verbs[0])
     elif heads_of_chunks:
         # verbless fragment: root = first chunk head that is not already
-        # attached (e.g. a possessor NP points at its possessee)
-        root = next((h for h in heads_of_chunks if heads[h] == -2),
-                    heads_of_chunks[0])
+        # attached (e.g. a possessor NP points at its possessee);
+        # a bare demonstrative head ("those still under GASB rules")
+        # roots itself with the trailing nominal as its reduced relative
+        if tags[0] == "DT" and lowers[0] in ("those", "these") \
+                and 0 not in chunk_head:
+            root = 0
+            nh = next((h for h in heads_of_chunks if heads[h] == -2),
+                      -1)
+            if nh > 0:
+                attach(nh, 0, "acl:relcl")
+        else:
+            root = next((h for h in heads_of_chunks if heads[h] == -2),
+                        heads_of_chunks[0])
     elif n:
         root = 0
     if root >= 0:
@@ -566,6 +601,12 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
         if v >= 2 and tags[v - 1] == "TO" and (v - 2) in chunk_head:
             attach(v - 1, v, "mark")
             attach(v, chunk_head[v - 2], "acl")
+            continue
+        # bare to-infinitive after a verb: open-clause complement
+        # ("says that you like to swim" → xcomp(like, swim))
+        if v >= 2 and tags[v - 1] == "TO":
+            attach(v - 1, v, "mark")
+            attach(v, main_verbs[vi - 1], "xcomp")
             continue
         prev = main_verbs[vi - 1]
         # embedded WH question: "know who did it" — the WH clause is a
@@ -685,6 +726,17 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
             for sep, nh in chain:
                 attach(sep, nh, "cc" if tags[sep] == "CC" else "punct")
                 attach(nh, first, "conj")
+
+    # ---- appositives: CHUNK , CHUNK , — a comma-bracketed nominal
+    # right after another nominal is its appos ("Sam, my brother,
+    # eats ...") — the conj pass above already claimed list items ----
+    for b, e, h in chunks:
+        if heads[h] != -2 or b < 2 or tags[b - 1] != ",":
+            continue
+        prev_h = chunk_head.get(b - 2)
+        if prev_h is None or e >= n or tags[e] != ",":
+            continue
+        attach(h, prev_h, "appos")
 
     # ---- core arguments per main verb ----
     for vi, v in enumerate(main_verbs):
@@ -892,6 +944,11 @@ def parse_sentence(words: List[str], tags: List[str]) -> Tuple[List[int], List[s
             attach(k, tgt if tgt is not None else root, "case")
         elif t == "WDT" and k + 1 < n and tags[k + 1] in ("NN", "NNS"):
             attach(k, chunk_head.get(k + 1, k + 1), "det")
+        elif t == "PDT" and k + 1 < n and (k + 1) in chunk_head:
+            attach(k, chunk_head[k + 1], "det:predet")
+        elif t == "CC" and lowers[k] in ("both", "neither", "either") \
+                and k + 1 < n and (k + 1) in chunk_head:
+            attach(k, chunk_head[k + 1], "cc:preconj")
         elif root >= 0 and k != root:
             attach(k, root, "dep")
         else:
