@@ -268,6 +268,19 @@ def tag_sentence(words: List[str]) -> List[str]:
                 tags[j] in ("VBZ", "VBP", "VBD", "MD")
                 for j in range(be_at + 1, i)):
             tags[i] = "VBN"
+    # verbless repair: an UNKNOWN noun before a clause-final -ly adverb
+    # is the missing predicate ("Dogs sitting in heaven bark loudly .")
+    if not any(t in ("VBZ", "VBP", "VBD", "MD") for t in tags):
+        for i in range(1, n):
+            if tags[i] == "NN" and lowers[i] not in POS_LEXICON \
+                    and i + 1 < n and tags[i + 1] == "RB" \
+                    and lowers[i + 1].endswith("ly"):
+                plural = any(tags[j] in ("NNS", "NNPS")
+                             or (tags[j] == "PRP" and lowers[j] in
+                                 ("they", "we", "you", "i"))
+                             for j in range(i))
+                tags[i] = "VBP" if plural else "VBZ"
+                break
     # verbless-sentence repair: a clause needs a verb; an NNS right after
     # a potential subject (NNP/PRP) whose stem is a known verb is almost
     # surely VBZ ("Acme Corp. employs 5,000 people") — gated on the
