@@ -60,6 +60,11 @@ def _base_tag(word: str, lower: str, sent_initial: bool) -> str:
         from corenlp_ray.functions.lexicon import NATIONALITY_JJ
         if lower in NATIONALITY_JJ:
             return "JJ"   # "the French government" — JJ despite the cap
+        if lower in ("holdings", "industries", "airlines", "airways",
+                     "motors", "brothers", "partners", "systems",
+                     "communications", "enterprises", "securities",
+                     "investments", "sons", "associates"):
+            return "NNPS"  # plural corporate-name heads
         # mid-sentence capitalization beats the lexicon → proper noun
         return "NNP"
     if in_lex:
@@ -155,6 +160,24 @@ def tag_sentence(words: List[str]) -> List[str]:
                   "approximately") and t == "IN" and i + 1 < n \
                 and tags[i + 1] == "CD":
             tags[i] = "RB"
+        # "like" after a subject pronoun is the verb ("you like to swim")
+        if lw == "like" and t == "IN" and prev_t == "PRP":
+            tags[i] = "VBP"
+        # determiner "what" before a noun ("What dignity is there...")
+        if lw == "what" and t == "WP" and i + 1 < n \
+                and tags[i + 1] in ("NN", "NNS"):
+            tags[i] = "WDT"
+        # participial-bias -ed verbs after a noun and before IN are
+        # reduced relatives even with no later finite verb ("the
+        # auction house founded in London")
+        if t == "VBD" and lw in ("founded", "based", "located",
+                                 "situated", "born", "named", "known",
+                                 "called", "owned", "operated",
+                                 "headquartered", "established") \
+                and i > 0 and tags[i - 1] in ("NN", "NNS", "NNP",
+                                              "NNPS") \
+                and i + 1 < n and tags[i + 1] == "IN":
+            tags[i] = "VBN"
         # mid-sentence complementizer: "says that you ..." — "that"
         # before a subject pronoun is IN, never a determiner
         if lw == "that" and t == "DT" and i + 1 < n \

@@ -65,6 +65,6 @@ def test_cascade_band_gold_pos():
 
 def test_cascade_band_end_to_end():
     s = _band("ours")
-    # measured 0.877 UAS / 0.826 LAS with the deterministic tagger
-    assert s["uas"] >= 0.84, s
-    assert s["las"] >= 0.79, s
+    # measured 0.896 UAS / 0.846 LAS with the deterministic tagger
+    assert s["uas"] >= 0.86, s
+    assert s["las"] >= 0.81, s
