@@ -163,6 +163,20 @@ def tag_sentence(words: List[str]) -> List[str]:
         # "like" after a subject pronoun is the verb ("you like to swim")
         if lw == "like" and t == "IN" and prev_t == "PRP":
             tags[i] = "VBP"
+        # do-support: the lexical verb after do/does/did is the BASE
+        # form ("do you live", "did Babbage invent") — gated on no
+        # other verb between the auxiliary and this token
+        if tags[i] in ("VBP", "NN") and lw not in POS_LEXICON:
+            do_at = next((j for j in range(i) if lowers[j] in
+                          ("do", "does", "did")), -1)
+            if do_at >= 0 and not any(
+                    tags[j].startswith("V") or tags[j] == "MD"
+                    for j in range(do_at + 1, i)) \
+                    and (i + 1 >= n or tags[i + 1] in ("DT", "PRP$",
+                                                       "NN", "NNS",
+                                                       "NNP", "IN")
+                         or words[i + 1] in ".?!"):
+                tags[i] = "VB"
         # determiner "what" before a noun ("What dignity is there...")
         if lw == "what" and t == "WP" and i + 1 < n \
                 and tags[i + 1] in ("NN", "NNS"):

@@ -65,6 +65,7 @@ def test_cascade_band_gold_pos():
 
 def test_cascade_band_end_to_end():
     s = _band("ours")
-    # measured 0.896 UAS / 0.846 LAS with the deterministic tagger
-    assert s["uas"] >= 0.86, s
-    assert s["las"] >= 0.81, s
+    # measured 0.903 UAS / 0.854 LAS with the deterministic tagger —
+    # the shipped end-to-end path is AT the reference's ~0.90 band
+    assert s["uas"] >= 0.87, s
+    assert s["las"] >= 0.82, s
